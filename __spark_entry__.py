@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` /
+``oracle_sql()`` expose the full operator catalog (interlinked_spark.
+catalog) for the sf0.01 DuckDB correctness gate.  Every catalog query
+executes through the workflow engine (pattern routing, dependency
+resolution, config injection, per-run memoization) — not as loose
+DataFrame code.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from interlinked_spark import catalog  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the TPC-H-Q5-shaped
+    star join (broadcast dims + single fact shuffle) through the
+    workflow engine."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return catalog.run_query("region_revenue", spark, "/root/testdata/sf0.001")
+
+
+def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return catalog.run_query(name, spark, sf_dir)
+
+    run.__name__ = f"q_{name}"
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2b."""
+    return {name: _runner(name) for name in catalog.query_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; non-SQL-expressible ops
+    (approx sketches, LSH, streaming dedup) are omitted -> rows-only."""
+    return {name: sql for name, sql in catalog.ORACLES.items() if sql}

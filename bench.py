@@ -1,0 +1,78 @@
+"""Engine benchmark: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "catalog_headline_runtime", "value": <total sec>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query materializes via the noop sink (computes every column, no
+driver collect) — measuring executor work, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from interlinked_spark import catalog  # noqa: E402
+from interlinked_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "region_revenue",
+    "top_orders",
+    "customer_order_stats",
+    "customer_running_spend",
+    "nation_top3_customers",
+    "click_attribution_asof",
+    "price_band_join",
+    "event_props_stats",
+    "customer_zscore",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "doc_token_stats",
+    "stream_tumbling_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths outside the measured window.
+    catalog.run_query("pricing_summary", spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = catalog.run_query(name, spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_headline_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1197 @@
+"""Query catalog: one workflow resource per engine operator, each with a
+DuckDB oracle (SURVEY.md §2b coverage, checked by the driver's
+CORRECTNESS gate).
+
+Every query is registered as a resource ``q.<name>`` on the module-level
+``WKF`` workflow and executed via ``WKF.run("q.<name>", spark=...,
+base_dir=<sf_dir>)`` — so the correctness gate exercises the *engine*
+(routing, deps, config, memoization), not just raw DataFrame code.
+
+Determinism rules (BASELINE.md): every computed column is aliased
+identically in Spark and SQL; float aggregates are rounded (2dp money,
+6dp ratios); Spark/DuckDB type pairs are aligned by explicit casts
+(count->BIGINT both; size/len -> INTEGER; etc.); timestamps leave the
+query as epoch seconds or DATE.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .workflow import Workflow
+from .sources.readers import table_provider
+from .operators import (
+    anti_join,
+    asof_join,
+    broadcast_join,
+    collect_sorted,
+    cross_join,
+    cube_agg,
+    dedup_exact,
+    difference,
+    distinct_agg,
+    equi_join,
+    group_agg,
+    intersect,
+    range_join,
+    ranked,
+    rollup_agg,
+    running,
+    semi_join,
+    shifted,
+    top_k,
+    top_k_per_group,
+    union_distinct,
+    window_spec,
+)
+from .operators.udfs import zscore_per_group
+
+WKF = Workflow("catalog")
+table_provider(WKF)
+
+#: name -> DuckDB oracle SQL (None = non-SQL-expressible, rows-only check)
+ORACLES: dict[str, str | None] = {}
+_QUERY_NAMES: list[str] = []
+
+
+def defq(name: str, oracle: str | None = None, **deps: str):
+    """Register a catalog query: resource ``q.<name>`` with table deps."""
+
+    def deco(fn):
+        WKF.provide(f"q.{name}")(fn)
+        if deps:
+            WKF.depend(**deps)(fn)
+        ORACLES[name] = oracle
+        _QUERY_NAMES.append(name)
+        return fn
+
+    return deco
+
+
+def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WKF.run(f"q.{name}", spark=spark, base_dir=sf_dir)
+
+
+def query_names() -> list[str]:
+    return list(_QUERY_NAMES)
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+# =====================================================================
+# A/B/D — scan, filter, projection, aggregation
+# =====================================================================
+
+
+@defq(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    li="table.lineitem",
+)
+def q_pricing_summary(li: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: scan -> pushed filter -> hash aggregate.
+    Reference analog: the SURVEY §7 t1 slice."""
+    return group_agg(
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+            "sum_disc_price": F.round(F.sum(_rev()), 2),
+            "avg_qty": F.round(F.avg("l_quantity"), 6),
+            "avg_disc": F.round(F.avg("l_discount"), 6),
+            "count_order": F.count("*"),
+        },
+    )
+
+
+@defq(
+    "orders_per_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           COUNT(*)                            AS n_orders,
+           ROUND(SUM(o_totalprice), 2)         AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    o="table.orders",
+)
+def q_orders_per_month(o: DataFrame) -> DataFrame:
+    """Date scalar functions + aggregation (§2b-H date family)."""
+    return group_agg(
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            "o_totalprice",
+        ),
+        ["yr", "mo"],
+        {"n_orders": F.count("*"), "total": F.round(F.sum("o_totalprice"), 2)},
+    )
+
+
+@defq(
+    "lineitem_charges",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_discount * l_discount), 8)                          AS avg_disc_sq,
+           ROUND(MAX(ABS(l_extendedprice - l_quantity * 1000)), 2)         AS max_abs_diff
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    li="table.lineitem",
+)
+def q_lineitem_charges(li: DataFrame) -> DataFrame:
+    """Math scalar functions inside aggregates (§2b-H math family)."""
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return group_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_charge": F.round(F.sum(charge), 2),
+            "avg_disc_sq": F.round(F.avg(F.col("l_discount") * F.col("l_discount")), 8),
+            "max_abs_diff": F.round(
+                F.max(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000)), 2
+            ),
+        },
+    )
+
+
+@defq(
+    "nation_segments",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(DISTINCT c_mktsegment)                          AS distinct_c_mktsegment,
+           COUNT(*)                                              AS n_customers,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS collected_c_mktsegment
+    FROM customer GROUP BY c_nationkey
+    """,
+    c="table.customer",
+)
+def q_nation_segments(c: DataFrame) -> DataFrame:
+    """Distinct aggregation + deterministic collect (§2b-D)."""
+    d = distinct_agg(c, ["c_nationkey"], ["c_mktsegment"])
+    n = group_agg(c, ["c_nationkey"], {"n_customers": F.count("*")})
+    s = collect_sorted(c, ["c_nationkey"], "c_mktsegment")
+    return equi_join(equi_join(d, n, "c_nationkey"), s, "c_nationkey")
+
+
+@defq(
+    "sales_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           COUNT(*)                      AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    li="table.lineitem",
+)
+def q_sales_rollup(li: DataFrame) -> DataFrame:
+    """Hierarchical subtotals (§2b-D rollup)."""
+    out = rollup_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": F.round(F.sum("l_quantity"), 2), "n": F.count("*")},
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "sum_qty",
+        "n",
+    )
+
+
+@defq(
+    "sales_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*)                       AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    li="table.lineitem",
+)
+def q_sales_cube(li: DataFrame) -> DataFrame:
+    """All grouping-set combinations (§2b-D cube)."""
+    out = cube_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        {"sum_price": F.round(F.sum("l_extendedprice"), 2), "n": F.count("*")},
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "sum_price",
+        "n",
+    )
+
+
+@defq(
+    "order_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    o="table.orders",
+)
+def q_order_percentiles(o: DataFrame) -> DataFrame:
+    """Exact percentiles (Spark ``percentile`` = linear interpolation,
+    matching ``quantile_cont``).  The approx sketch variant is
+    ``approx_distinct_parts`` (rows-only)."""
+    return group_agg(
+        o,
+        ["o_orderpriority"],
+        {
+            "p50": F.round(F.expr("percentile(o_totalprice, 0.5)"), 4),
+            "p90": F.round(F.expr("percentile(o_totalprice, 0.9)"), 4),
+        },
+    )
+
+
+@defq("approx_distinct_parts", oracle=None, li="table.lineitem")
+def q_approx_distinct_parts(li: DataFrame) -> DataFrame:
+    """HLL++ distinct estimate — algorithm-specific values, rows-only
+    check (the exact-distinct twin is oracle-checked in
+    ``nation_segments``)."""
+    from .operators import approx_distinct
+
+    return approx_distinct(li, ["l_returnflag"], "l_partkey")
+
+
+# =====================================================================
+# C — joins
+# =====================================================================
+
+
+@defq(
+    "top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    c="table.customer",
+    o="table.orders",
+    li="table.lineitem",
+)
+def q_top_orders(c: DataFrame, o: DataFrame, li: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> agg ->
+    global top-k (TakeOrderedAndProject)."""
+    joined = equi_join(
+        li,
+        broadcast_join(
+            o,
+            c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        ),
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = group_agg(
+        joined.select("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), _rev().alias("rev")),
+        ["o_orderkey", "orderdate"],
+        {"revenue": F.round(F.sum("rev"), 2)},
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10)
+
+
+@defq(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    li="table.lineitem",
+    o="table.orders",
+    c="table.customer",
+    n="table.nation",
+    r="table.region",
+)
+def q_region_revenue(li, o, c, n, r) -> DataFrame:
+    """TPC-H Q5 shape: star join — big-big equi-join on keys, small
+    dims broadcast (the 100-TB pattern: facts shuffle once, dims ship)."""
+    dims = broadcast_join(
+        broadcast_join(c, n, F.col("c_nationkey") == F.col("n_nationkey")),
+        r,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("c_custkey", "n_name", "r_name")
+    facts = equi_join(li, o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_custkey", _rev().alias("rev")
+    )
+    return group_agg(
+        broadcast_join(facts, dims, F.col("o_custkey") == F.col("c_custkey")),
+        ["r_name", "n_name"],
+        {"revenue": F.round(F.sum("rev"), 2)},
+    )
+
+
+@defq(
+    "customer_order_stats",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey)                       AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    c="table.customer",
+    o="table.orders",
+)
+def q_customer_order_stats(c, o) -> DataFrame:
+    """Left outer join preserving unmatched customers (§2b-C)."""
+    return group_agg(
+        equi_join(c, o, F.col("c_custkey") == F.col("o_custkey"), how="left"),
+        ["c_custkey"],
+        {
+            "n_orders": F.count("o_orderkey"),
+            "total_spend": F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2),
+        },
+    )
+
+
+@defq(
+    "active_customers_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY 1
+    """,
+    c="table.customer",
+    o="table.orders",
+)
+def q_active_customers_semi(c, o) -> DataFrame:
+    """Left-semi join: existence check without row multiplication."""
+    hit = semi_join(
+        c,
+        o.filter(F.col("o_orderstatus") == "F"),
+        on=F.col("c_custkey") == F.col("o_custkey"),
+    )
+    return group_agg(hit, ["c_mktsegment"], {"n": F.count("*")})
+
+
+@defq(
+    "inactive_customers_anti",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    c="table.customer",
+    o="table.orders",
+)
+def q_inactive_customers_anti(c, o) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    miss = anti_join(c, o, on=F.col("c_custkey") == F.col("o_custkey"))
+    return group_agg(miss, ["c_nationkey"], {"n": F.count("*")})
+
+
+@defq(
+    "nation_counterparts_full",
+    oracle="""
+    SELECT COALESCE(cc.k, ss.k)      AS nationkey,
+           COALESCE(cc.n_cust, 0)    AS n_cust,
+           COALESCE(ss.n_supp, 0)    AS n_supp
+    FROM (SELECT c_nationkey k, COUNT(*) n_cust FROM customer GROUP BY 1) cc
+    FULL OUTER JOIN
+         (SELECT s_nationkey k, COUNT(*) n_supp FROM supplier GROUP BY 1) ss
+    ON cc.k = ss.k
+    """,
+    c="table.customer",
+    s="table.supplier",
+)
+def q_nation_counterparts_full(c, s) -> DataFrame:
+    """Full outer join of two aggregates."""
+    cc = group_agg(c, ["c_nationkey"], {"n_cust": F.count("*")}).withColumnRenamed("c_nationkey", "ck")
+    ss = group_agg(s, ["s_nationkey"], {"n_supp": F.count("*")}).withColumnRenamed("s_nationkey", "sk")
+    return equi_join(cc, ss, F.col("ck") == F.col("sk"), how="full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@defq(
+    "status_region_matrix",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    r="table.region",
+    o="table.orders",
+)
+def q_status_region_matrix(r, o) -> DataFrame:
+    """Cross join (bounded dims only)."""
+    return cross_join(r.select("r_name"), o.select("o_orderstatus").distinct())
+
+
+@defq(
+    "price_band_join",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n, ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (VALUES (0.0, 150000.0, 'low'),
+                 (150000.0, 300000.0, 'mid'),
+                 (300000.0, 1e18, 'high')) b(lo, hi, band)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1
+    """,
+    o="table.orders",
+)
+def q_price_band_join(o: DataFrame, spark: SparkSession) -> DataFrame:
+    """Range/interval join against a band dimension (§2b-C range join):
+    non-equi condition, broadcast nested loop on the small side."""
+    bands = spark.createDataFrame(
+        [(0.0, 150000.0, "low"), (150000.0, 300000.0, "mid"), (300000.0, 1e18, "high")],
+        "lo double, hi double, band string",
+    )
+    joined = range_join(
+        o,
+        bands,
+        [F.col("o_totalprice") >= F.col("lo"), F.col("o_totalprice") < F.col("hi")],
+    )
+    return group_agg(
+        joined, ["band"], {"n": F.count("*"), "total": F.round(F.sum("o_totalprice"), 2)}
+    )
+
+
+@defq(
+    "click_attribution_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    ev="table.events",
+)
+def q_click_attribution_asof(ev: DataFrame) -> DataFrame:
+    """As-of join (§2b-C): latest prior click per purchase, union-tag +
+    window implementation — one shuffle, no nested loop."""
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, "ts", "click_ts", by=["user_id"], value_cols=["click_id"])
+    return out.select("event_id", "user_id", "click_id")
+
+
+# =====================================================================
+# E/F — windows, sorts, top-k
+# =====================================================================
+
+
+@defq(
+    "nation_top3_customers",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+          FROM customer)
+    WHERE rk <= 3
+    """,
+    c="table.customer",
+)
+def q_nation_top3_customers(c: DataFrame) -> DataFrame:
+    """Top-k per group via row_number (§2b-E/F; Spark 3.5+ pushes a
+    WindowGroupLimit below the shuffle)."""
+    r = ranked(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        "row_number",
+        "rk",
+    )
+    return r.filter(F.col("rk") <= 3)
+
+
+@defq(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders
+    """,
+    o="table.orders",
+)
+def q_customer_running_spend(o: DataFrame) -> DataFrame:
+    """Running frame aggregate (§2b-E)."""
+    out = running(
+        o,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        F.sum("o_totalprice"),
+        "running_spend",
+    )
+    return out.select("o_orderkey", "o_custkey", F.round("running_spend", 2).alias("running_spend"))
+
+
+@defq(
+    "event_value_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    """,
+    ev="table.events",
+)
+def q_event_value_delta(ev: DataFrame) -> DataFrame:
+    """lag/lead analytics (§2b-E)."""
+    out = shifted(ev, ["user_id"], ["ts", "event_id"], "value", offsets=(-1,))
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.col("value_lag1"), 2).alias("delta"),
+    )
+
+
+@defq(
+    "order_moving_avg",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+    FROM orders
+    """,
+    o="table.orders",
+)
+def q_order_moving_avg(o: DataFrame) -> DataFrame:
+    """Bounded moving frame (§2b-E)."""
+    out = running(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"], F.avg("o_totalprice"), "mov_avg",
+        rows=(-2, 0),
+    )
+    return out.select("o_orderkey", F.round("mov_avg", 4).alias("mov_avg"))
+
+
+@defq(
+    "supplier_rank",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(rank() OVER w AS INTEGER)       AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER)     AS quartile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+    s="table.supplier",
+)
+def q_supplier_rank(s: DataFrame) -> DataFrame:
+    """rank / dense_rank / ntile over a global window (§2b-E)."""
+    w = window_spec([], [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()])
+    return s.select(
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@defq(
+    "top_expensive_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 10
+    """,
+    li="table.lineitem",
+)
+def q_top_expensive_lineitems(li: DataFrame) -> DataFrame:
+    """Global sorted top-k (§2b-F, TakeOrderedAndProject)."""
+    return top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        10,
+    )
+
+
+# =====================================================================
+# G — set operations
+# =====================================================================
+
+_SEG_SQL = "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+_OPEN_SQL = "SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'"
+
+
+def _seg_and_open(c: DataFrame, o: DataFrame):
+    seg = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(F.col("c_custkey").alias("k"))
+    opn = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
+    return seg, opn
+
+
+@defq(
+    "seg_union",
+    oracle=f"SELECT k FROM ({_SEG_SQL} UNION {_OPEN_SQL})",
+    c="table.customer",
+    o="table.orders",
+)
+def q_seg_union(c, o) -> DataFrame:
+    seg, opn = _seg_and_open(c, o)
+    return union_distinct(seg, opn)
+
+
+@defq(
+    "seg_intersect",
+    oracle=f"SELECT k FROM ({_SEG_SQL} INTERSECT {_OPEN_SQL})",
+    c="table.customer",
+    o="table.orders",
+)
+def q_seg_intersect(c, o) -> DataFrame:
+    seg, opn = _seg_and_open(c, o)
+    return intersect(seg, opn)
+
+
+@defq(
+    "seg_except",
+    oracle=f"SELECT k FROM ({_SEG_SQL} EXCEPT {_OPEN_SQL})",
+    c="table.customer",
+    o="table.orders",
+)
+def q_seg_except(c, o) -> DataFrame:
+    seg, opn = _seg_and_open(c, o)
+    return difference(seg, opn)
+
+
+# =====================================================================
+# H — scalar function families (string / json / array)
+# =====================================================================
+
+
+@defq(
+    "part_name_features",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(SUBSTRING(p_name, 1, 8))                   AS name8,
+           CAST(LENGTH(p_name) AS INTEGER)                  AS name_len,
+           CAST(levenshtein(p_brand, 'Brand#33') AS INTEGER) AS brand_dist,
+           CONCAT(p_brand, '/', p_type)                     AS brand_type
+    FROM part
+    """,
+    p="table.part",
+)
+def q_part_name_features(p: DataFrame) -> DataFrame:
+    """String function family (§2b-H)."""
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#33")).alias("brand_dist"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@defq(
+    "event_props_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    ev="table.events",
+)
+def q_event_props_stats(ev: DataFrame) -> DataFrame:
+    """JSON extraction (§2b-H json family) on the events props column."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return group_agg(
+        ev.select("event_type", k.alias("k")),
+        ["event_type"],
+        {"avg_k": F.round(F.avg("k"), 6), "n": F.count("*")},
+    )
+
+
+@defq(
+    "embedding_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(MIN(len(embedding)) AS INTEGER) AS dim,
+           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    e="table.embeddings",
+)
+def q_embedding_norms(e: DataFrame) -> DataFrame:
+    """Array higher-order functions (§2b-H): zip_with dot product,
+    aggregate fold — JVM-side, no UDF."""
+    from .llm.similarity import _dot
+
+    vec = F.col("embedding")
+    return group_agg(
+        e.select("label", F.size(vec).alias("dim_i"), F.sqrt(_dot(vec, vec)).alias("norm")),
+        ["label"],
+        {
+            "n": F.count("*"),
+            "dim": F.min("dim_i"),
+            "avg_norm": F.round(F.avg("norm"), 4),
+        },
+    )
+
+
+# =====================================================================
+# B (route-param pushdown) — the engine's signature move
+# =====================================================================
+
+
+@WKF.depend(o="table.orders")
+@WKF.provide("orders.status.{status:identifier}")
+def _orders_by_status(o: DataFrame, status: str) -> DataFrame:
+    """Route param -> pushed-down filter (§2b-B): the resource name
+    ``orders.status.f`` selects the filter value, the engine casts and
+    pushes it into the scan."""
+    return group_agg(
+        o.filter(F.upper(F.col("o_orderstatus")) == status.upper()),
+        ["o_orderpriority"],
+        {"n": F.count("*"), "total": F.round(F.sum("o_totalprice"), 2)},
+    )
+
+
+@defq(
+    "route_param_filter",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE UPPER(o_orderstatus) = 'F' GROUP BY 1
+    """,
+    res="orders.status.f",
+)
+def q_route_param_filter(res: DataFrame) -> DataFrame:
+    """Depends on the parameterized resource: the route name carries the
+    predicate (reference's param extraction -> Spark pushdown)."""
+    return res
+
+
+# =====================================================================
+# I — Python UDF surface (pandas_udf / applyInPandas / mapInPandas)
+# =====================================================================
+
+
+@defq(
+    "customer_zscore",
+    oracle="""
+    SELECT c_custkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS zscore
+    FROM customer
+    """,
+    c="table.customer",
+)
+def q_customer_zscore(c: DataFrame) -> DataFrame:
+    """Grouped-map pandas UDF (§2b-I, the reference's per-group-model
+    pattern, examples/ml-flow.py:61-79): per-nation z-score, ddof=1."""
+    out = zscore_per_group(c, ["c_nationkey"], "c_acctbal")
+    return out.select("c_custkey", F.round("zscore", 6).alias("zscore"))
+
+
+@defq(
+    "doc_token_count_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+    d="table.documents",
+)
+def q_doc_token_count_udf(d: DataFrame) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (§2b-I tier 2)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.split().map(len).astype("int32")
+
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+# =====================================================================
+# K — LLM-data-pipeline operators
+# =====================================================================
+
+
+@defq(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+    d="table.documents",
+)
+def q_dedup_exact_docs(d: DataFrame) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, min-id survivor
+    (§2b-K; shuffle moves 8-byte hashes, not documents)."""
+    from .llm.dedup import exact_text_dedup
+
+    return exact_text_dedup(d).select("doc_id")
+
+
+@defq("dedup_minhash_pairs", oracle=None, d="table.documents")
+def q_dedup_minhash_pairs(d: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified (§2b-K).
+    Internal hashing is engine-specific -> rows-only check; the exact
+    Jaccard twin below is the oracle-checked variant."""
+    from .llm.dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(d, jaccard_threshold=0.2, num_hashes=32, bands=16)
+
+
+@defq(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT left_id, right_id,
+           ROUND(common / (la + lb - common), 6) AS jaccard
+    FROM pairs
+    WHERE common / (la + lb - common) >= 0.05
+    """,
+    d="table.documents",
+)
+def q_dedup_ngram_jaccard(d: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted-index self-join (§2b-K) —
+    the verify stage of the LSH pipeline, oracle-checked."""
+    from .llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(d, n=3, threshold=0.05)
+
+
+@defq("dedup_simhash_pairs", oracle=None, d="table.documents")
+def q_dedup_simhash_pairs(d: DataFrame) -> DataFrame:
+    """SimHash banded near-dup pairs (§2b-K); xxhash64-based signature
+    is engine-specific -> rows-only."""
+    from .llm.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(d, max_hamming=16, bands=4)
+
+
+@defq(
+    "similarity_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS rk
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+    ) WHERE rk <= 5
+    """,
+    e="table.embeddings",
+)
+def q_similarity_cosine_topk(e: DataFrame) -> DataFrame:
+    """Exact brute-force cosine top-k (§2b-K baseline): broadcast query
+    vectors, JVM zip_with dot products, per-query window top-k."""
+    from .llm.similarity import cosine_top_k
+
+    return cosine_top_k(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+@defq("similarity_lsh_pairs", oracle=None, e="table.embeddings")
+def q_similarity_lsh_pairs(e: DataFrame) -> DataFrame:
+    """Approximate LSH similarity join (§2b-K scale path): random
+    projections are seed-specific -> rows-only."""
+    from .llm.similarity import lsh_similarity_join
+
+    return lsh_similarity_join(e, e.filter(F.col("vec_id") < 8), threshold_distance=1.3)
+
+
+@defq(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est,
+           ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6) AS avg_token_len
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    """,
+    d="table.documents",
+)
+def q_doc_token_stats(d: DataFrame) -> DataFrame:
+    """Token counting incl. BPE-ish estimate (§2b-K text analysis)."""
+    from .llm.text import token_stats
+
+    return token_stats(d).select("doc_id", "n_tokens", "n_bpe_est", "avg_token_len")
+
+
+@defq(
+    "doc_quality",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(toks, t -> lower(t) IN ('the','and','of'))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS upper_ratio
+    FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    """,
+    d="table.documents",
+)
+def q_doc_quality(d: DataFrame) -> DataFrame:
+    """Quality-score signals (§2b-K): stopword / punctuation / case
+    ratios, all codegen'd column expressions."""
+    from .llm.text import quality_scores
+
+    return quality_scores(d).select("doc_id", "stopword_ratio", "punct_ratio", "upper_ratio")
+
+
+@defq(
+    "doc_language_id",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(toks, t -> t IN ('der','und','die'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('the','and','of')))  AS s_en,
+             len(list_filter(toks, t -> t IN ('el','y','de')))     AS s_es,
+             len(list_filter(toks, t -> t IN ('le','et','la')))    AS s_fr
+      FROM (SELECT lang, list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) AS toks
+            FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+    d="table.documents",
+)
+def q_doc_language_id(d: DataFrame) -> DataFrame:
+    """Language-ID heuristic (§2b-K): stopword-marker argmax, evaluated
+    against the labeled lang column."""
+    from .llm.text import language_id
+
+    return group_agg(language_id(d), ["lang", "lang_pred"], {"n": F.count("*")})
+
+
+@defq(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(toks, (t, i) ->
+                i * length(t) * CAST(pow(31, (i - 1) % 5) AS BIGINT))) AS BIGINT) AS fingerprint
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    """,
+    d="table.documents",
+)
+def q_doc_fingerprints(d: DataFrame) -> DataFrame:
+    """Rolling document fingerprint (§2b-K): position-weighted polynomial
+    (DuckDB lambda index is 1-based; Spark's is 0-based — aligned)."""
+    from .llm.text import fingerprints
+
+    return fingerprints(d).select("doc_id", "fingerprint")
+
+
+@defq(
+    "multimodal_payload",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
+    d="table.documents",
+)
+def q_multimodal_payload(d: DataFrame) -> DataFrame:
+    """Multimodal binary-column plumbing (§2b-K): text -> utf-8 payload
+    asset table; byte lengths oracle-checked (codecs are stubbed)."""
+    from .llm.multimodal import attach_binary_payload, extract_features
+
+    assets = attach_binary_payload(d, "text", "doc_id")
+    return extract_features(assets).select("asset_id", "media_type", "payload_bytes")
+
+
+@defq("multimodal_features", oracle=None, d="table.documents")
+def q_multimodal_features(d: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (§2b-K; deterministic stub decoder -> rows-only)."""
+    from .llm.multimodal import attach_binary_payload, extract_features
+
+    feats = extract_features(attach_binary_payload(d, "text", "doc_id"))
+    return feats.select(
+        "asset_id", F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 6).alias("feature_sum")
+    )
+
+
+# =====================================================================
+# J — Structured Streaming (deterministic availableNow replay)
+# =====================================================================
+
+
+def _events_stream(spark: SparkSession, base_dir: str) -> DataFrame:
+    from .streaming import stream_from_parquet
+
+    return stream_from_parquet(spark, f"{base_dir}/events.parquet")
+
+
+@defq(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_hourly(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation (§2b-J), replayed with
+    availableNow micro-batches; complete output mode so every window
+    emits (oracle = batch SQL over the same rows)."""
+    from .streaming import tumbling_agg, run_available_now
+
+    res = tumbling_agg(
+        _events_stream(spark, base_dir),
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs={"n_events": F.count("*"), "sum_value": F.round(F.sum("value"), 2)},
+    )
+    out = res.select(
+        F.unix_timestamp(F.col("window.start")).alias("ws"), "event_type", "n_events", "sum_value"
+    )
+    run_available_now(out, "sink_tumbling", output_mode="complete")
+    return spark.table("sink_tumbling")
+
+
+@defq(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT CAST(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - o.off AS BIGINT) AS ws,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 300]) AS off) o
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding_counts(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (§2b-J): 10-minute windows
+    every 5 minutes — each event lands in exactly two windows."""
+    from .streaming import sliding_agg, run_available_now
+
+    res = sliding_agg(_events_stream(spark, base_dir), "ts", "10 minutes", "5 minutes")
+    out = res.select(F.unix_timestamp(F.col("window.start")).alias("ws"), "n_events")
+    run_available_now(out, "sink_sliding", output_mode="complete")
+    return spark.table("sink_sliding")
+
+
+@defq(
+    "stream_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_stream_sessions(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Session-window streaming aggregation (§2b-J): 5-minute inactivity
+    gap per user; oracle is the batch gaps-and-islands equivalent."""
+    from .streaming import session_agg, run_available_now
+
+    res = session_agg(_events_stream(spark, base_dir), "ts", "5 minutes", keys=["user_id"])
+    out = res.select(
+        "user_id",
+        "n_events",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+    )
+    run_available_now(out, "sink_sessions", output_mode="complete")
+    return spark.table("sink_sessions")
+
+
+@defq(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_custkey < 150
+    """,
+)
+def q_stream_static_enrich(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Stream x static-dimension join (§2b-J): per-micro-batch broadcast
+    of the dim; append mode (no aggregation, every row emits)."""
+    from .streaming import stream_static_join, run_available_now
+
+    dim = spark.read.parquet(f"{base_dir}/customer.parquet").filter(F.col("c_custkey") < 150)
+    res = stream_static_join(
+        _events_stream(spark, base_dir), dim, on=F.col("user_id") == F.col("c_custkey")
+    )
+    out = res.select("event_id", "c_mktsegment", "value")
+    run_available_now(out, "sink_enrich", output_mode="append")
+    return spark.table("sink_enrich")
+
+
+@defq("stream_dedup_users", oracle=None)
+def q_stream_dedup_users(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state (§2b-J):
+    first event per (user_id, event_type) within the watermark horizon.
+    Time-horizon semantics are stream-specific -> rows-only."""
+    from .streaming import stream_dedup, run_available_now
+
+    res = stream_dedup(
+        _events_stream(spark, base_dir), ["user_id", "event_type"], "ts", watermark="10 minutes"
+    )
+    out = res.select("event_id", "user_id", "event_type")
+    run_available_now(out, "sink_dedup", output_mode="append")
+    return spark.table("sink_dedup")

@@ -1,0 +1,29 @@
+from .dedup import (
+    exact_text_dedup,
+    minhash_near_dup_pairs,
+    simhash_signatures,
+    simhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+)
+from .similarity import cosine_top_k, lsh_similarity_join, embedding_near_dup_pairs
+from .text import (
+    token_stats,
+    quality_scores,
+    language_id,
+    fingerprints,
+)
+
+__all__ = [
+    "exact_text_dedup",
+    "minhash_near_dup_pairs",
+    "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_top_k",
+    "lsh_similarity_join",
+    "embedding_near_dup_pairs",
+    "token_stats",
+    "quality_scores",
+    "language_id",
+    "fingerprints",
+]

@@ -1,0 +1,108 @@
+"""Text-analysis operators (SURVEY.md §2b-K): token stats, quality
+scoring, language ID, document fingerprinting.
+
+All JVM-side column expressions (split / regexp / higher-order array
+fns) — these run inside whole-stage codegen over 100 TB of documents
+without a single Python round-trip.  Every computation here is also
+expressible in ANSI SQL, which is what the DuckDB oracles check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword
+#: language heuristic.  Deliberately small + deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+}
+
+_TOKENS = lambda col: F.split(F.trim(F.col(col)), r"\s+")  # noqa: E731
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace tokens plus a BPE-ish
+    estimate (word-chunks of <=4 chars — a deterministic stand-in for a
+    real tokenizer's ~4 chars/token rule of thumb)."""
+    toks = _TOKENS(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_chars_measured", F.length(F.col(text_col)))
+        .withColumn(
+            "n_bpe_est",
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+            ),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+                )
+                / F.size(toks),
+                6,
+            ),
+        )
+    )
+
+
+def quality_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Heuristic quality signals: length, punctuation ratio, stopword
+    ratio, uppercase ratio — the standard cheap filters before expensive
+    model-based scoring."""
+    stopwords = stopwords or LANG_MARKERS["en"]
+    toks = _TOKENS(text_col)
+    text = F.col(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = F.length(F.regexp_replace(text, "[^A-Z]", ""))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("stopword_ratio", F.round(n_stop / F.size(toks), 6))
+        .withColumn("punct_ratio", F.round(n_punct / F.length(text), 6))
+        .withColumn("upper_ratio", F.round(n_upper / F.length(text), 6))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Deterministic stopword-marker language heuristic: count marker
+    hits per language, pick the argmax (ties broken by language code
+    order, 'und' = undetermined when nothing matches)."""
+    toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*markers))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:  # earlier (alphabetical) language wins ties
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return df.withColumn(out_col, best)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic rolling document fingerprint: position-weighted
+    token-length polynomial, ``sum((i+1) * len(tok_i) * 31^(i mod 5))``
+    in long arithmetic (wraps like Java).  Cheap, order-sensitive, and
+    SQL-expressible — for content-drift detection, not cryptography."""
+    toks = _TOKENS(text_col)
+    weighted = F.transform(
+        toks,
+        lambda t, i: ((i + 1) * F.length(t)).cast("long")
+        * F.pow(F.lit(31.0), (i % F.lit(5)).cast("double")).cast("long"),
+    )
+    return df.withColumn(
+        out_col, F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    )

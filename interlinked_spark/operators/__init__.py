@@ -1,0 +1,33 @@
+from .joins import (
+    equi_join,
+    broadcast_join,
+    semi_join,
+    anti_join,
+    cross_join,
+    range_join,
+    banded_range_join,
+    asof_join,
+)
+from .aggregates import (
+    group_agg,
+    rollup_agg,
+    cube_agg,
+    distinct_agg,
+    approx_distinct,
+    approx_quantiles,
+    dedup_exact,
+    collect_sorted,
+)
+from .windows import ranked, top_k_per_group, running, shifted, window_spec
+from .setops import union_all, union_distinct, intersect, difference
+from .sorts import sort, top_k
+
+__all__ = [
+    "equi_join", "broadcast_join", "semi_join", "anti_join", "cross_join",
+    "range_join", "banded_range_join", "asof_join",
+    "group_agg", "rollup_agg", "cube_agg", "distinct_agg", "approx_distinct",
+    "approx_quantiles", "dedup_exact", "collect_sorted",
+    "ranked", "top_k_per_group", "running", "shifted", "window_spec",
+    "union_all", "union_distinct", "intersect", "difference",
+    "sort", "top_k",
+]

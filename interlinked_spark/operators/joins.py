@@ -1,0 +1,156 @@
+"""Join operators (SURVEY.md §2b-C).
+
+The reference has no joins (cite of absence: SURVEY.md §2a); these are
+the standard Spark surface plus two engineered operators Spark lacks as
+builtins: range join and as-of join.
+
+Scale notes per operator are inline.  General posture: equi-joins
+shuffle both sides on the key (sort-merge or shuffled-hash, AQE picks);
+dimensions under ~100 MB should be broadcast explicitly; skewed keys are
+handled by AQE skew-join (enabled in session defaults) or salting.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+OnType = Union[str, Sequence[str], Column]
+
+
+def equi_join(left: DataFrame, right: DataFrame, on: OnType, how: str = "inner") -> DataFrame:
+    """Plain equi-join; Catalyst/AQE choose sort-merge vs shuffled-hash
+    vs broadcast based on observed sizes."""
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_join(left: DataFrame, dim: DataFrame, on: OnType, how: str = "inner") -> DataFrame:
+    """Map-side join: ships the dim table to every executor — no shuffle
+    of the (big) left side.  Use for dims that fit in executor memory;
+    at 100 TB this is THE way to join fact tables with dimensions."""
+    return left.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: OnType) -> DataFrame:
+    """Rows of ``left`` with at least one match — no right columns, no
+    row multiplication (cheaper than inner+distinct)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: OnType) -> DataFrame:
+    """Rows of ``left`` with no match in ``right``."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Cartesian product (BroadcastNestedLoopJoin when one side is
+    small).  Guard: only sensible when |left| * |right| is bounded."""
+    return left.crossJoin(right)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    conditions: Sequence[Column],
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Theta/interval join (``lo <= x < hi`` style conditions).
+
+    Spark executes non-equi joins as nested-loop; with a small ``right``
+    (bucket/band dims — the common case) broadcasting makes it a cheap
+    map-side scan of the big side.  For two BIG sides, pre-bucket both
+    on ``floor(x / band)`` and equi-join the bucket key first, then
+    apply the residual condition — see ``banded_range_join``.
+    """
+    cond = conditions[0]
+    for extra in conditions[1:]:
+        cond = cond & extra
+    if broadcast_right:
+        right = F.broadcast(right)
+    return left.join(right, on=cond, how=how)
+
+
+def banded_range_join(
+    big_left: DataFrame,
+    big_right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    band: float,
+    extra_on: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Scale path for BIG x BIG interval joins: equi-join on a band key
+    (interval buckets right rows into every band it overlaps), then
+    filter the exact range — turns O(n*m) nested-loop into a shuffle
+    equi-join.  ``band`` should approximate the typical interval width.
+    """
+    lb = F.floor(F.col(left_val) / F.lit(band)).alias("__band")
+    left_b = big_left.withColumn("__band", lb)
+    right_b = big_right.withColumn(
+        "__bands",
+        F.sequence(
+            F.floor(F.col(right_lo) / F.lit(band)),
+            F.floor(F.col(right_hi) / F.lit(band)),
+        ),
+    ).withColumn("__band", F.explode("__bands")).drop("__bands")
+    on = ["__band"] + list(extra_on or [])
+    return (
+        left_b.join(right_b, on=on)
+        .filter((F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) < F.col(right_hi)))
+        .drop("__band")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_ts: str,
+    right_ts: str,
+    by: Sequence[str],
+    value_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single most recent right row
+    with ``right_ts <= left[on_ts]`` per ``by`` key (``backward``; the
+    ``forward`` direction mirrors it).
+
+    Implementation is the union-tag trick: tag both sides, sort within
+    key, carry the last-seen right values forward with ``last(...,
+    ignorenulls)`` over an unbounded-preceding window, keep left rows.
+    ONE shuffle on the key — no nested-loop, no per-key collect; scales
+    to arbitrarily large sides (skew on the key is the only hazard).
+    """
+    value_cols = list(value_cols or [c for c in right.columns if c not in by and c != right_ts])
+    by = list(by)
+
+    lhs = left.withColumn("__ts", F.col(on_ts)).withColumn("__is_left", F.lit(1))
+    for c in value_cols:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    lhs = lhs.select(*rhs.columns)  # align column order for union
+
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # Right rows sort before left rows at equal ts => "<=" semantics.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = lhs.unionByName(rhs)
+    for c in value_cols:
+        merged = merged.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    out = merged.filter(F.col("__is_left") == 1).drop("__is_left", "__ts")
+    for c in value_cols:
+        out = out.withColumnRenamed(f"__r_{c}", c)
+    return out

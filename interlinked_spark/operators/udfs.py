@@ -1,0 +1,67 @@
+"""Python UDF surface (SURVEY.md §2b-I).
+
+The reference's whole premise is "producers are arbitrary Python"
+(``workflow.py:39-42``); on Spark, arbitrary Python comes in tiers by
+cost, and the engine exposes them cheapest-first:
+
+1. whole-resource driver fn returning a DataFrame (no per-row Python) —
+   the default; this is just a workflow producer.
+2. ``pandas_udf`` — Arrow-vectorized scalar/agg fns (~10-100x faster
+   than row UDFs).
+3. ``applyInPandas`` — grouped-map (per-group model fit / normalize, à
+   la the reference's MLflow example ``examples/ml-flow.py:61-79``).
+4. ``mapInPandas`` — streaming Arrow batches for flat-map/table fns.
+5. row-at-a-time ``F.udf`` — escape hatch, deliberately last.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def vectorized(return_type: str) -> Callable:
+    """Decorator: Arrow-vectorized scalar UDF (pandas Series in/out)."""
+    return F.pandas_udf(returnType=return_type)
+
+
+def grouped_apply(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Per-group pandas transform.  Each group must fit in one
+    executor's memory — keep keys fine-grained at scale."""
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def zscore_per_group(df: DataFrame, keys: list[str], value_col: str, out_col: str = "zscore") -> DataFrame:
+    """Grouped-map example operator: sample-stddev z-score of
+    ``value_col`` within each key group (ddof=1, matching SQL
+    ``stddev_samp``)."""
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} double"]
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=1)
+        mean = pdf[value_col].mean()
+        pdf[out_col] = (pdf[value_col] - mean) / std if std and std > 0 else 0.0
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(norm, schema=out_schema)
+
+
+def map_batches(
+    df: DataFrame,
+    fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+    schema: str,
+) -> DataFrame:
+    """Arrow-batched flat map (table function): 1 row -> N rows allowed,
+    memory bounded by the batch iterator."""
+    return df.mapInPandas(fn, schema=schema)

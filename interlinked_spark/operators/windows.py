@@ -1,0 +1,90 @@
+"""Window-function operators (SURVEY.md §2b-E, §2b-F top-k-per-group).
+
+Scale notes: a window = one shuffle on the partition key + per-partition
+sort.  Unbounded windows without a partition key collapse to a single
+task — always partition.  For top-k-per-group Spark pushes a per-
+partition rank limit (WindowGroupLimit) before the shuffle since 3.5.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+_RANKERS = {
+    "row_number": F.row_number,
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+}
+
+
+def window_spec(
+    partition: Sequence[str],
+    order: Sequence[Union[str, Column]],
+    rows: Optional[Tuple[int, int]] = None,
+    range_: Optional[Tuple[int, int]] = None,
+) -> WindowSpec:
+    w = Window.partitionBy(*partition).orderBy(*order)
+    if rows is not None:
+        w = w.rowsBetween(*rows)
+    elif range_ is not None:
+        w = w.rangeBetween(*range_)
+    return w
+
+
+def ranked(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Union[str, Column]],
+    fn: str = "row_number",
+    alias: str = "rk",
+) -> DataFrame:
+    if fn == "ntile":
+        raise ValueError("use ntile() directly with the bucket count")
+    return df.withColumn(alias, _RANKERS[fn]().over(window_spec(partition, order)))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Union[str, Column]],
+    k: int,
+) -> DataFrame:
+    """Keep the k first rows per group by the given order.  Use a total
+    order (unique tie-breaker) for deterministic results."""
+    return (
+        ranked(df, partition, order, "row_number", "__rk")
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def running(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Union[str, Column]],
+    col: Column,
+    alias: str,
+    rows: Tuple[int, int] = (Window.unboundedPreceding, 0),
+) -> DataFrame:
+    """Frame aggregate (running sum, moving average, ...)."""
+    return df.withColumn(alias, col.over(window_spec(partition, order, rows=rows)))
+
+
+def shifted(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Union[str, Column]],
+    col: str,
+    offsets: Sequence[int] = (-1, 1),
+) -> DataFrame:
+    """lag/lead columns: ``{col}_lag{n}`` / ``{col}_lead{n}``."""
+    w = window_spec(partition, order)
+    for off in offsets:
+        if off < 0:
+            df = df.withColumn(f"{col}_lag{-off}", F.lag(col, -off).over(w))
+        else:
+            df = df.withColumn(f"{col}_lead{off}", F.lead(col, off).over(w))
+    return df

@@ -25,6 +25,9 @@ ENGINE_CONF: dict[str, str] = {
     # 128 MiB scan splits — parquet row-group aligned.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.session.timeZone": "UTC",
+    # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no nanos
+    # type); sources convert to microsecond timestamps explicitly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

@@ -1,0 +1,34 @@
+"""Batch sinks (SURVEY.md §2b-A).
+
+Scale notes: always ``partitionBy`` on the natural pruning column(s) for
+100-TB tables; writers default to snappy parquet.  ``maxRecordsPerFile``
+guards against giant files on skewed partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Optional[Sequence[str]] = None,
+    max_records_per_file: Optional[int] = None,
+    **options: str,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if options:
+        writer = writer.options(**options)
+    if fmt == "jdbc":
+        writer.format("jdbc").save()
+    else:
+        getattr(writer, fmt)(path)

@@ -1,0 +1,19 @@
+from .ops import (
+    stream_from_parquet,
+    tumbling_agg,
+    sliding_agg,
+    session_agg,
+    stream_dedup,
+    stream_static_join,
+    run_available_now,
+)
+
+__all__ = [
+    "stream_from_parquet",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stream_dedup",
+    "stream_static_join",
+    "run_available_now",
+]

@@ -1,0 +1,134 @@
+"""Structured Streaming operators (SURVEY.md §2b-J).
+
+The ``events`` table is the stream surrogate: replayed deterministically
+with the ``availableNow`` trigger (process everything currently
+available as micro-batches, then stop) so streaming results are
+reproducible and oracle-checkable against batch SQL.
+
+Scale notes: watermarks bound state (late rows beyond the watermark are
+dropped); windowed aggregation state lives in the state store keyed by
+(window, keys) — at 100 TB/day the state store must be RocksDB-backed
+and watermarks tight.  ``foreachBatch`` bridges stream results back
+into workflow resources (each micro-batch is a normal DataFrame).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_from_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming scan of a parquet dir.  Streaming readers require an
+    explicit schema; by default it is borrowed from a batch peek (fine
+    for replay; declare it in production)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # FileStreamSource needs a directory; stage single files via
+        # symlink (read-only test fixtures stay untouched).
+        staged = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(staged, os.path.basename(path)))
+        path = staged
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    from ..sources.readers import normalize_nanos
+
+    return normalize_nanos(stream)
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    aggs: Optional[dict] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Non-overlapping fixed windows; one state entry per (window, key)."""
+    aggs = aggs or {"n_events": F.count("*")}
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+
+
+def sliding_agg(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str] = (),
+    aggs: Optional[dict] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    aggs = aggs or {"n_events": F.count("*")}
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration, slide), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+
+
+def session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Optional[dict] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Dynamic-width session windows: a session closes after ``gap`` of
+    inactivity per key."""
+    aggs = aggs or {"n_events": F.count("*")}
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+
+
+def stream_dedup(stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def stream_static_join(stream: DataFrame, static_dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream x static dimension join — the dim is re-read per
+    micro-batch (broadcast when small)."""
+    return stream.join(F.broadcast(static_dim), on=on, how=how)
+
+
+def run_available_now(
+    result: DataFrame,
+    sink_table: str,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> None:
+    """Deterministic replay: drain everything available as micro-batches
+    into an in-memory sink table, then stop.  The caller reads
+    ``spark.table(sink_table)`` afterwards."""
+    query = (
+        result.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{sink_table}_"))
+        .start()
+    )
+    query.awaitTermination(timeout_s)
