@@ -12,12 +12,17 @@ Four tiers, cheapest first:
 4. n-gram Jaccard — exact set overlap on shingles for candidate pairs
    (used as the verify stage of 2/3, or standalone on small groups).
 
-Everything is built from JVM-side primitives (split/explode/xxhash64/
-groupBy) — no Python UDF in any hot path.
+Joins/aggregations/hashing stay JVM-side (explode/xxhash64/groupBy);
+the shingle kernel is an Arrow-vectorized pandas UDF — measured ~15x
+faster than the equivalent interpreted higher-order-function column
+expression (see :func:`_with_shingles`).
 """
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.aggregates import dedup_exact
@@ -25,6 +30,17 @@ from ..operators.aggregates import dedup_exact
 
 def _normalized(col: str) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition compute-heavy narrow pipelines when the scan gave too
+    few partitions (a single small parquet file -> 1 partition -> 1 core
+    does all the shingling).  At real scale scans already arrive with
+    hundreds of partitions and this is a no-op."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -35,9 +51,47 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return dedup_exact(hashed, ["__h"], tie_breaker=id_col, keep="min").drop("__h")
 
 
+def _with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, out: str = "sh"
+) -> DataFrame:
+    """Project ``(id, sh)`` where ``sh`` is the deduplicated word-n-gram
+    shingle array, via an Arrow-vectorized pandas UDF.
+
+    Measured against two pure-Column formulations (slice/array_join and
+    sequence/element_at/concat_ws): nested higher-order functions
+    evaluate INTERPRETED per element (~12s single-core for 260k shingles
+    at sf0.1) while the Arrow batch + CPython string path does the same
+    in ~0.8s.  This is the documented exception to "UDFs are the slow
+    path": HOF-heavy string kernels are faster vectorized in Python.
+    Output verified identical to the Column formulations."""
+
+    @F.pandas_udf("array<string>")
+    def shingle_udf(texts: pd.Series) -> pd.Series:
+        ws = re.compile(r"\s+")
+
+        def sh(t: str) -> list[str]:
+            toks = ws.sub(" ", t.strip().lower()).split(" ")
+            return list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+            )
+
+        return texts.map(sh)
+
+    # Cheap scan-side pre-filter (>= n tokens <=> >= 1 shingle); a
+    # post-hoc size(sh)>0 filter would be predicate-pushed below the
+    # repartition exchange and run the UDF twice.
+    base = df.filter(F.size(F.split(_normalized(text_col), " ")) >= n).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    base = _spread(base)
+    return base.select("id", shingle_udf("__text").alias(out))
+
+
 def _shingles(text_col: str, n: int) -> F.Column:
-    """Word n-gram shingles as a deduplicated array (JVM higher-order
-    fns; no UDF)."""
+    """Shingle column expression (kept for ad-hoc use; prefer
+    :func:`_with_shingles`, which evaluates the tokenizer once/row)."""
     toks = F.split(_normalized(text_col), " ")
     return F.array_distinct(
         F.filter(
@@ -77,8 +131,7 @@ def minhash_near_dup_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
-    sh = df.select(F.col(id_col).alias("id"), _shingles(text_col, shingle_n).alias("sh"))
-    sh = sh.filter(F.size("sh") > 0)
+    sh = _with_shingles(df, text_col, id_col, shingle_n)
 
     # Min over seeded hashes of every shingle: minhash_i = min_s xxhash64(i, s)
     sig = sh.select(
@@ -104,7 +157,10 @@ def minhash_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # Candidate pairs: docs sharing any (band, bucket)
+    # Candidate pairs: docs sharing any (band, bucket).  banded feeds
+    # both join sides — checkpoint so the signature pipeline
+    # materializes once (see ngram_jaccard_pairs note).
+    banded = banded.localCheckpoint(eager=False)
     left = banded.select("band", "bucket", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
     right = banded.select("band", "bucket", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
     cand = (
@@ -127,9 +183,15 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token
     hashes.  Pure JVM expressions: token -> xxhash64 -> per-bit +/-1
-    vote -> sign bit.  One narrow projection + no shuffle."""
-    toks = F.array_distinct(F.split(_normalized(text_col), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    vote -> sign bit.  One narrow projection + no shuffle.
+
+    The hash array is materialized as a column before the 64 per-bit
+    fold expressions — each fold references the column, not a copy of
+    the tokenizer pipeline (64x re-evaluation otherwise)."""
+    df = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    toks = F.array_distinct(F.split(F.regexp_replace(F.lower(F.trim(F.col("__text"))), r"\s+", " "), " "))
+    df = df.select("id", F.transform(toks, lambda t: F.xxhash64(t)).alias("__hashes"))
+    hashes = F.col("__hashes")
     # vote_i = sum over tokens of (bit_i(h) ? 1 : -1); bit set iff vote > 0
     sig = None
     for i in range(bits):
@@ -141,7 +203,7 @@ def simhash_signatures(
         # 1L << i (i=63 wraps to the sign bit, as in Java)
         term = F.when(bit_vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return df.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -169,6 +231,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "chunk"),
     )
+    banded = banded.localCheckpoint(eager=False)  # compute signatures once
     l = banded.select("band", "chunk", F.col("id").alias("left_id"), F.col("simhash").alias("lh"))
     r = banded.select("band", "chunk", F.col("id").alias("right_id"), F.col("simhash").alias("rh"))
     return (
@@ -193,12 +256,16 @@ def ngram_jaccard_pairs(
     (inverted-index self-join — never all-pairs).  Optional ``group_col``
     restricts pairs to the same group (e.g. same language), shrinking
     the join.  Returns ``(left_id, right_id, jaccard)``, left < right."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(group_col).alias("grp")] if group_col else [] ),
-        _shingles(text_col, n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    base = _with_shingles(df, text_col, id_col, n)
+    if group_col:
+        base = base.join(df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp")), "id")
     sizes = base.select("id", *( ["grp"] if group_col else [] ), F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
+    # Self-joined below: checkpoint the exploded index so the shingle
+    # pipeline materializes ONCE (A/B-tested vs plain recompute /
+    # repartition-reuse / persist: 8-9s -> 1.3s at sf0.1).  Lineage
+    # truncation trades executor-failure recovery of this intermediate
+    # for not running the pipeline per join side.
+    sizes = sizes.localCheckpoint(eager=False)
     on = ["s"] + (["grp"] if group_col else [])
     l = sizes.select(*on, F.col("id").alias("left_id"), F.col("nsh").alias("lns"))
     r = sizes.select(*on, F.col("id").alias("right_id"), F.col("nsh").alias("rns"))

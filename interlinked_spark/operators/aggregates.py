@@ -62,16 +62,24 @@ def dedup_exact(
 ) -> DataFrame:
     """Exact deduplication.
 
-    With ``tie_breaker`` the survivor per key group is deterministic
-    (min/max of the tie-breaker — one hash aggregate, no window shuffle
-    + sort).  Without it, falls back to ``dropDuplicates`` (arbitrary
-    survivor — cheaper, order-dependent).
+    With ``tie_breaker`` the survivor per key group is deterministic:
+    rows equal to the per-key min/max of the tie-breaker, computed with
+    an unordered window aggregate — ONE shuffle on the keys and no sort
+    (vs. two shuffles for groupBy-min + semi-join back).  Without it,
+    falls back to ``dropDuplicates`` (arbitrary survivor — cheapest,
+    order-dependent).
     """
     if tie_breaker is None:
         return df.dropDuplicates(list(keys))
+    from pyspark.sql import Window
+
     pick = F.min(tie_breaker) if keep == "min" else F.max(tie_breaker)
-    survivors = df.groupBy(*keys).agg(pick.alias(tie_breaker))
-    return df.join(survivors, on=[*keys, tie_breaker], how="left_semi")
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__pick", pick.over(w))
+        .filter(F.col(tie_breaker) == F.col("__pick"))
+        .drop("__pick")
+    )
 
 
 def collect_sorted(df: DataFrame, keys: Sequence[str], col: str, sep: str = ",") -> DataFrame:

@@ -60,6 +60,26 @@ def _is_dataframe(value: Any) -> bool:
     return mod.startswith("pyspark.") and type(value).__name__ == "DataFrame"
 
 
+_HEAVY_PLAN_NODES = (
+    "Join", "Aggregate", "Window", "Generate", "Union",
+    "Sort", "Expand", "Deduplicate", "Intersect", "Except",
+)
+
+
+def _is_cheap_scan(df: Any) -> bool:
+    """True when the DataFrame is just scan+filter+project — caching
+    those is a pessimization (re-scanning columnar parquet beats the
+    row<->columnar cache conversion, and an InMemoryRelation blocks
+    filter/projection pushdown for downstream pipelines; measured 3.4s
+    -> 16s on the shingle pipeline at sf0.1).  Only plans that actually
+    recompute something (join/agg/window/...) are worth pinning."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - e.g. Spark Connect
+        return False
+    return not any(node in plan for node in _HEAVY_PLAN_NODES)
+
+
 class Cell:
     """One DAG node: a producer function registered under one or more
     route patterns, with its declared dependencies and kwarg mutators."""
@@ -293,7 +313,6 @@ class Run:
         self.extra_kw = extra_kw
         self.cache: dict[str, Any] = {}
         self.persisted: list[Any] = []
-        self._fanout = wkf._fanout_counts()
 
     def resolve(self, resource_name: str) -> Any:
         cached = self.cache.get(resource_name)
@@ -310,6 +329,7 @@ class Run:
             and not getattr(value, "isStreaming", False)
             and not value.storageLevel.useMemory
             and not value.storageLevel.useDisk
+            and not _is_cheap_scan(value)
         ):
             from pyspark import StorageLevel
 
@@ -374,12 +394,15 @@ class Run:
         return out[raw.index(match.route)]
 
     def _maybe_persist(self, pattern: str, value: Any, multi: bool = False) -> Any:
-        """Mark fan-out DataFrames for caching.  persist() is lazy and
-        cheap to request; Spark caches on first action and reuses across
-        the run's downstream actions."""
+        """Mark multi-provide DataFrames for caching (their shared
+        producer ran once; without persist each slice would recompute
+        the common prefix per action).  Single-pattern resources persist
+        lazily on second in-run consumption instead (_persist_on_reuse)
+        — the memo cache is the precise fan-out signal, and bare scans
+        are exempt (persisting a scan is a pessimization)."""
         if not _is_dataframe(value) or getattr(value, "isStreaming", False):
             return value
-        if multi or self._fanout.get(pattern, 0) > 1:
+        if multi and not _is_cheap_scan(value):
             from pyspark import StorageLevel
 
             value = value.persist(StorageLevel.MEMORY_AND_DISK)
