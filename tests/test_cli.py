@@ -1,0 +1,68 @@
+"""CLI parity tier (R22-R27): run/deps/validate/version subcommands,
+config loading, module:variable selection (the R25 fix)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+REPO = "/root/repo"
+
+
+def run_cli(*args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "interlinked_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=timeout,
+    )
+
+
+def test_version():
+    out = run_cli("examples.basic", "version")
+    assert out.returncode == 0
+    assert out.stdout.strip() == "0.1.0"
+
+
+def test_run_default_workflow():
+    out = run_cli("examples.basic", "run", "many_echo", "-s")
+    assert out.returncode == 0
+    assert "test test" in out.stdout
+
+
+def test_run_with_route_param():
+    out = run_cli("examples.basic", "run", "echo.hello", "-s")
+    assert "hello" in out.stdout
+
+
+def test_deps_tree():
+    out = run_cli("examples.basic", "deps")
+    assert out.returncode == 0
+    assert "echo.{name}" in out.stdout and "many_echo" in out.stdout
+
+
+def test_validate_ok():
+    out = run_cli("examples.basic", "validate")
+    assert out.stdout.strip().endswith("ok")
+
+
+def test_named_workflow_selection(tmp_path):
+    # module:variable form — broken in the reference (R25), fixed here
+    out = run_cli("examples.analytics:wkf", "validate")
+    assert out.stdout.strip().endswith("ok"), out.stderr[-500:]
+
+
+def test_bad_config_extension(tmp_path):
+    bad = tmp_path / "conf.yaml"
+    bad.write_text("x: 1")
+    out = run_cli("examples.basic", "run", "echo", "-c", str(bad))
+    assert out.returncode != 0
+
+
+def test_json_config_injection(tmp_path):
+    conf = tmp_path / "conf.json"
+    conf.write_text(json.dumps({"many_echo": {"repeat": 4}}))
+    out = run_cli("examples.basic", "run", "many_echo", "-s", "-c", str(conf))
+    assert "test test test test" in out.stdout
