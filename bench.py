@@ -39,6 +39,9 @@ HEADLINE = [
     "similarity_cosine_topk",
     "doc_token_stats",
     "stream_tumbling_hourly",
+    "banded_price_match",
+    "next_error_asof_fwd",
+    "token_frequencies",
 ]
 
 

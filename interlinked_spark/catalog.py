@@ -1195,3 +1195,211 @@ def q_stream_dedup_users(spark: SparkSession, base_dir: str) -> DataFrame:
     out = res.select("event_id", "user_id", "event_type")
     run_available_now(out, "sink_dedup", output_mode="append")
     return spark.table("sink_dedup")
+
+
+# =====================================================================
+# Coverage round 2 — remaining §2b variants
+# =====================================================================
+
+
+@defq(
+    "orders_item_counts_right",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_items
+    FROM lineitem l RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    li="table.lineitem",
+    o="table.orders",
+)
+def q_orders_item_counts_right(li, o) -> DataFrame:
+    """Right outer join (§2b-C) preserving orders without items."""
+    joined = equi_join(li, o, F.col("l_orderkey") == F.col("o_orderkey"), how="right")
+    return group_agg(joined, ["o_orderkey"], {"n_items": F.count("l_orderkey")})
+
+
+@defq(
+    "seg_union_all",
+    oracle=f"SELECT k FROM ({_SEG_SQL} UNION ALL {_OPEN_SQL})",
+    c="table.customer",
+    o="table.orders",
+)
+def q_seg_union_all(c, o) -> DataFrame:
+    """union all (§2b-G): duplicates preserved."""
+    from .operators import union_all
+
+    seg, opn = _seg_and_open(c, o)
+    return union_all(seg, opn)
+
+
+@defq(
+    "qty_intersect_all",
+    oracle="""
+    SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    li="table.lineitem",
+)
+def q_qty_intersect_all(li: DataFrame) -> DataFrame:
+    """intersect all (§2b-G): multiset semantics."""
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").cast("int").alias("qty"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").cast("int").alias("qty"))
+    return intersect(a, r, keep_duplicates=True)
+
+
+@defq(
+    "banded_price_match",
+    oracle="""
+    SELECT p.p_partkey, COUNT(*) AS n
+    FROM part p JOIN lineitem l
+      ON l.l_extendedprice >= p.p_retailprice * 10
+     AND l.l_extendedprice <  p.p_retailprice * 10 + 500
+    GROUP BY 1
+    """,
+    li="table.lineitem",
+    p="table.part",
+)
+def q_banded_price_match(li, p) -> DataFrame:
+    """BIG x BIG range join via band bucketing (§2b-C scale path): the
+    interval is bucketed into 5000-wide bands, turning the nested-loop
+    theta join into a shuffle equi-join + residual filter."""
+    from .operators import banded_range_join
+
+    ranges = p.select(
+        "p_partkey",
+        (F.col("p_retailprice") * 10).alias("lo"),
+        (F.col("p_retailprice") * 10 + 500).alias("hi"),
+    )
+    joined = banded_range_join(li, ranges, "l_extendedprice", "lo", "hi", band=500.0)
+    return group_agg(joined, ["p_partkey"], {"n": F.count("*")})
+
+
+@defq(
+    "props_map_explode",
+    oracle="""
+    SELECT 'k' AS key, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_v
+    FROM events
+    """,
+    ev="table.events",
+)
+def q_props_map_explode(ev: DataFrame) -> DataFrame:
+    """Map functions (§2b-H): parse JSON props into map<string,int>,
+    explode entries, aggregate per key."""
+    entries = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("key", "value")
+    )
+    return group_agg(entries, ["key"], {"n": F.count("*"), "sum_v": F.sum("value")})
+
+
+@defq(
+    "token_frequencies",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents)
+    GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 10
+    """,
+    d="table.documents",
+)
+def q_token_frequencies(d: DataFrame) -> DataFrame:
+    """explode + aggregate + global top-k (§2b-H array family)."""
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    counts = group_agg(toks, ["token"], {"n": F.count("*")})
+    return top_k(counts, [F.col("n").desc(), F.col("token").asc()], 10)
+
+
+@defq(
+    "customer_name_digits",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num
+    FROM customer
+    """,
+    c="table.customer",
+)
+def q_customer_name_digits(c: DataFrame) -> DataFrame:
+    """regexp_extract (§2b-H string family)."""
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).cast("bigint").alias("name_num"),
+    )
+
+
+@defq(
+    "brand_reversed_udf",
+    oracle="SELECT p_partkey, reverse(p_brand) AS rev_brand FROM part",
+    p="table.part",
+)
+def q_brand_reversed_udf(p: DataFrame) -> DataFrame:
+    """Row-at-a-time Python UDF — the deliberate escape hatch (§2b-I
+    tier 5); fine off the hot path, never in one."""
+    rev = F.udf(lambda s: None if s is None else s[::-1], "string")
+    return p.select("p_partkey", rev("p_brand").alias("rev_brand"))
+
+
+@defq(
+    "next_error_asof_fwd",
+    oracle="""
+    SELECT p.event_id, p.user_id, e.event_id AS next_error_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts <= e.ts
+    """,
+    ev="table.events",
+)
+def q_next_error_asof_fwd(ev: DataFrame) -> DataFrame:
+    """Forward-direction as-of join (§2b-C): first error at-or-after
+    each purchase per user."""
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("next_error_id")
+    )
+    out = asof_join(
+        purchases, errors, "ts", "err_ts", by=["user_id"],
+        value_cols=["next_error_id"], direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_error_id")
+
+
+@defq(
+    "monthly_order_gaps",
+    oracle="""
+    WITH b AS (SELECT date_trunc('month', MIN(o_orderdate)) mn,
+                      date_trunc('month', MAX(o_orderdate)) mx FROM orders),
+    m AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month FROM b),
+    c AS (SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n FROM orders GROUP BY 1)
+    SELECT CAST(floor(epoch(m.month)) AS BIGINT) AS month_epoch,
+           COALESCE(c.n, 0) AS n_orders
+    FROM m LEFT JOIN c USING (month)
+    """,
+    o="table.orders",
+)
+def q_monthly_order_gaps(o: DataFrame) -> DataFrame:
+    """Date-dimension densification (§2b-H sequence): generate the full
+    month spine, left-join counts, zero-fill gaps."""
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 month)")).alias("month")
+    )
+    counts = group_agg(
+        o.select(F.date_trunc("month", "o_orderdate").alias("month")),
+        ["month"],
+        {"n": F.count("*")},
+    )
+    return equi_join(spine, counts, "month", how="left").select(
+        F.unix_timestamp("month").alias("month_epoch"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+    )
+
+
+@defq("embedding_near_dups", oracle=None, e="table.embeddings")
+def q_embedding_near_dups(e: DataFrame) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join (§2b-K);
+    projection seeds are engine-specific -> rows-only."""
+    from .llm.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(e, cosine_threshold=0.3, num_hash_tables=4)
