@@ -25,13 +25,23 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the TPC-H-Q5-shaped
     star join (broadcast dims + single fact shuffle) through the
     workflow engine."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _prepare(spark)
     return catalog.run_query("region_revenue", spark, "/root/testdata/sf0.001")
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Ready an externally-created session: nanos-timestamp reads +
+    package shipped to executors (the driver may launch us without the
+    repo on the worker PYTHONPATH)."""
+    from interlinked_spark.session import ship_package
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ship_package(spark)
 
 
 def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _prepare(spark)
         return catalog.run_query(name, spark, sf_dir)
 
     run.__name__ = f"q_{name}"

@@ -1403,3 +1403,44 @@ def q_embedding_near_dups(e: DataFrame) -> DataFrame:
     from .llm.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(e, cosine_threshold=0.3, num_hash_tables=4)
+
+
+@defq(
+    "similarity_ivf_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS rk
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rk <= 5
+    """,
+    e="table.embeddings",
+)
+def q_similarity_ivf_topk(e: DataFrame) -> DataFrame:
+    """IVF approximate nearest neighbors (§2b-K scale path): KMeans
+    coarse quantizer + inverted-list search.  Run with probe-all
+    (n_probe = n_clusters) so the result is exact and oracle-checkable;
+    production sets n_probe << n_clusters for the recall/cost dial."""
+    from .llm.similarity import ivf_top_k
+
+    return ivf_top_k(e, e.filter(F.col("vec_id") < 5), k=5, n_clusters=8, n_probe=8)
+
+
+@defq("multimodal_transform", oracle=None, d="table.documents")
+def q_multimodal_transform(d: DataFrame) -> DataFrame:
+    """Resize + frame-sample plumbing over binary payloads (§2b-K
+    multimodal; stub codecs -> rows-only)."""
+    from .llm.multimodal import attach_binary_payload, transform_assets
+
+    out = transform_assets(attach_binary_payload(d, "text", "doc_id"))
+    return out.select(
+        "asset_id",
+        F.octet_length("resized").alias("resized_bytes"),
+        F.size("frames").alias("n_frames"),
+    )

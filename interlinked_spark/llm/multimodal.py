@@ -102,3 +102,54 @@ def extract_features(assets: DataFrame, dim: int = 8, batch_size_hint: int = 102
             )
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(payload: bytes, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic fake 'resize': fold the payload into a width*height
+    byte grid (real impl: PIL Image.resize).  Same contract — bytes in,
+    resized-asset bytes out."""
+    if payload is None:
+        return b"\x00" * (width * height)
+    grid = bytearray(width * height)
+    for i, b in enumerate(payload):
+        grid[i % (width * height)] = (grid[i % (width * height)] + b) % 256
+    return bytes(grid)
+
+
+def frame_sample_stub(payload: bytes, n_frames: int = 4, frame_bytes: int = 16) -> list[bytes]:
+    """Deterministic fake 'video frame sampling': n_frames evenly-spaced
+    byte windows (real impl: decord/ffmpeg keyframe extraction)."""
+    if not payload:
+        return [b"\x00" * frame_bytes] * n_frames
+    step = max(1, len(payload) // n_frames)
+    return [
+        bytes(payload[i * step : i * step + frame_bytes]).ljust(frame_bytes, b"\x00")
+        for i in range(n_frames)
+    ]
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("resized", BinaryType(), True),
+        StructField("frames", ArrayType(BinaryType()), True),
+    ]
+)
+
+
+def transform_assets(assets: DataFrame, width: int = 8, height: int = 8, n_frames: int = 4) -> DataFrame:
+    """Arrow-batched resize + frame-sample over binary payloads — the
+    full multimodal transform plumbing (schema, batching, partitioning)
+    with stubbed codecs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "resized": pdf["payload"].map(lambda p: resize_stub(p, width, height)),
+                    "frames": pdf["payload"].map(lambda p: frame_sample_stub(p, n_frames)),
+                }
+            )
+
+    return assets.mapInPandas(run, RESIZED_SCHEMA)

@@ -128,3 +128,66 @@ def embedding_near_dup_pairs(
         F.col("neighbor_id").alias("right_id"),
         "cosine",
     )
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
+    assigns every corpus vector to a centroid; each query searches only
+    its ``n_probe`` nearest centroids' inverted lists.
+
+    The scale shape: corpus is partitioned by centroid id (the inverted
+    file), queries broadcast to their probed partitions — a 1000x
+    corpus only grows the per-list scan, not the all-pairs product.
+    Recall is tunable via ``n_probe`` (= n_clusters -> exact).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    prep = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="centroid")
+    model = km.fit(prep)
+    assigned = model.transform(prep).select("neighbor_id", "__cv", "centroid")
+
+    # Broadcastable centroid table: (centroid id, centroid vector)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = corpus.sparkSession.createDataFrame(
+        centroids, f"centroid int, cvec array<double>"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # Rank centroids per query, keep the n_probe closest.
+    qc = (
+        q.join(F.broadcast(cdf), on=F.lit(True))
+        .withColumn("cdist", -cosine_similarity(F.col("__qv"), F.col("cvec")))
+        .select("query_id", "__qv", "centroid", "cdist")
+    )
+    from ..operators.windows import top_k_per_group
+
+    probed = top_k_per_group(qc, ["query_id"], [F.col("cdist").asc(), F.col("centroid").asc()], n_probe)
+
+    # Inverted-list search: equi-join on centroid — only probed lists scan.
+    scored = (
+        assigned.join(probed.select("query_id", "__qv", "centroid"), on="centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )

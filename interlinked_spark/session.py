@@ -10,6 +10,7 @@ Tests/bench run ``local[N]``; the same config is what you'd ship to a
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -31,6 +32,38 @@ ENGINE_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``interlinked_spark`` importable on executors.
+
+    Closures sent to Python workers (mapInPandas feature extractors,
+    etc.) reference package-level functions, which cloudpickle
+    serializes BY MODULE PATH — so workers must import the package.
+    When the driver process was launched without the repo on
+    ``PYTHONPATH`` (or on a real multi-node cluster with no wheel
+    installed), ship the package as a zip via ``addPyFile`` — the
+    standard runtime distribution path; idempotent per session."""
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_interlinked_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"interlinked_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if not name.endswith(".py"):
+                        continue
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._interlinked_shipped = True
 
 
 def get_spark(app_name: str = "interlinked-spark", master: str | None = None) -> SparkSession:

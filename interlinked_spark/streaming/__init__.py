@@ -6,6 +6,7 @@ from .ops import (
     stream_dedup,
     stream_static_join,
     run_available_now,
+    foreach_batch_into,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "stream_dedup",
     "stream_static_join",
     "run_available_now",
+    "foreach_batch_into",
 ]

@@ -132,3 +132,29 @@ def run_available_now(
         .start()
     )
     query.awaitTermination(timeout_s)
+
+
+def foreach_batch_into(
+    stream_result: DataFrame,
+    handler,
+    checkpoint: Optional[str] = None,
+    timeout_s: int = 300,
+    output_mode: str = "update",
+):
+    """Bridge stream results back into workflow resources (§2b-J sinks):
+    ``handler(batch_df, batch_id)`` receives each micro-batch as a
+    normal (batch) DataFrame, so it can write through any workflow sink
+    or update downstream resources.  Runs with ``availableNow`` (drain
+    everything, then stop) for deterministic replay."""
+    query = (
+        stream_result.writeStream.foreachBatch(handler)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="ckpt_foreach_"),
+        )
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return query

@@ -313,6 +313,8 @@ class Run:
         self.extra_kw = extra_kw
         self.cache: dict[str, Any] = {}
         self.persisted: list[Any] = []
+        #: resource -> producer wall-clock seconds (metrics hook, R27)
+        self.metrics: dict[str, float] = {}
 
     def resolve(self, resource_name: str) -> Any:
         cached = self.cache.get(resource_name)
@@ -322,6 +324,21 @@ class Run:
             # cached blocks instead of re-running the shared lineage.
             return self._persist_on_reuse(cached)
         return self.wkf.resolve(resource_name, run=self)
+
+    def _set_job_group(self, kw: dict, resource_name: str) -> None:
+        """Attribute Spark jobs launched while producing this resource
+        (eager checkpoints, streaming starts) to the resource name —
+        shows up in the Spark UI / status API per resource."""
+        spark = kw.get("spark")
+        sc = getattr(spark, "sparkContext", None)
+        if sc is not None:
+            try:
+                sc.setJobGroup(
+                    f"{self.wkf.name}:{resource_name}",
+                    f"interlinked resource {resource_name}",
+                )
+            except Exception:  # pragma: no cover
+                pass
 
     def _persist_on_reuse(self, value: Any) -> Any:
         if (
@@ -371,11 +388,18 @@ class Run:
 
         logger.debug("Workflow %s running %s", self.wkf.name, cell.fn.__name__)
         started = time.time()
+        self._set_job_group(kw, resource_name)
         res = bind(cell.fn, kw=kw)()
+        elapsed = time.time() - started
+        # Metrics hook (reference analog: per-cell debug timer,
+        # workflow.py:250-257).  For DataFrame producers this measures
+        # plan construction; Spark-side job metrics are attributed via
+        # the job group set above (visible in the UI / status API).
+        self.metrics[resource_name] = elapsed
         logger.debug(
             "Call of %s took %.3fs (plan construction for DataFrames)",
             cell.fn.__name__,
-            time.time() - started,
+            elapsed,
         )
 
         if len(cell.patterns) == 1:
