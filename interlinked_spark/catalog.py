@@ -1444,3 +1444,75 @@ def q_multimodal_transform(d: DataFrame) -> DataFrame:
         F.octet_length("resized").alias("resized_bytes"),
         F.size("frames").alias("n_frames"),
     )
+
+
+@defq(
+    "segment_weighted_avg_udaf",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(SUM(c_acctbal * (c_nationkey + 1)) / SUM(c_nationkey + 1), 6) AS w_avg
+    FROM customer GROUP BY 1
+    """,
+    c="table.customer",
+)
+def q_segment_weighted_avg_udaf(c: DataFrame) -> DataFrame:
+    """Grouped-agg pandas UDAF (§2b-I): Arrow-vectorized weighted
+    average per segment (weights = nationkey+1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(bal: pd.Series, w: pd.Series) -> float:
+        return float((bal * w).sum() / w.sum())
+
+    return (
+        c.withColumn("__w", (F.col("c_nationkey") + 1).cast("double"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(weighted_avg("c_acctbal", "__w"), 6).alias("w_avg"))
+    )
+
+
+@defq(
+    "doc_content_hashes",
+    oracle="""
+    SELECT doc_id, sha256(text) AS sha_hex, CAST(length(text) AS INTEGER) AS n
+    FROM documents
+    """,
+    d="table.documents",
+)
+def q_doc_content_hashes(d: DataFrame) -> DataFrame:
+    """Cryptographic hash family (§2b-H): sha2 content addressing —
+    the building block of exact dedup manifests."""
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_hex"),
+        F.length("text").alias("n"),
+    )
+
+
+@defq("text_ml_pipeline", oracle=None, d="table.documents")
+def q_text_ml_pipeline(d: DataFrame) -> DataFrame:
+    """pyspark.ml feature pipeline (§2b-K): RegexTokenizer ->
+    StopWordsRemover -> NGram -> per-doc bigram count.  ML transformer
+    surface; rows-only (transformer internals are impl-specific)."""
+    from pyspark.ml.feature import NGram, RegexTokenizer, StopWordsRemover
+
+    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
+    stop = StopWordsRemover(inputCol="toks", outputCol="kept")
+    ngram = NGram(n=2, inputCol="kept", outputCol="bigrams")
+    out = ngram.transform(stop.transform(tok.transform(d)))
+    return out.select("doc_id", F.size("bigrams").alias("n_bigrams"))
+
+
+@defq("stream_stateful_counts", oracle=None)
+def q_stream_stateful_counts(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Custom stateful per-key streaming (§2b-J,
+    applyInPandasWithState): running per-user event counts across
+    micro-batches; final state per user equals the batch group count
+    (update-mode emissions are stream-specific -> rows-only)."""
+    from .streaming import run_available_now, stateful_running_counts
+
+    res = stateful_running_counts(_events_stream(spark, base_dir), ["user_id"])
+    run_available_now(res, "sink_stateful", output_mode="update")
+    sink = spark.table("sink_stateful")
+    # keep the final (max) running count per user for determinism
+    return group_agg(sink, ["user_id"], {"n_events": F.max("n_events")})

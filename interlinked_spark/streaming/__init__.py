@@ -7,6 +7,7 @@ from .ops import (
     stream_static_join,
     run_available_now,
     foreach_batch_into,
+    stateful_running_counts,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "stream_static_join",
     "run_available_now",
     "foreach_batch_into",
+    "stateful_running_counts",
 ]

@@ -158,3 +158,55 @@ def foreach_batch_into(
     )
     query.awaitTermination(timeout_s)
     return query
+
+
+def stateful_running_counts(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    timeout: str = "none",
+) -> DataFrame:
+    """Custom stateful per-key processing (§2b-J) via
+    ``applyInPandasWithState``: a running event count per key carried in
+    the state store across micro-batches; emits the updated count each
+    batch.
+
+    ``timeout="processing"`` bounds state lifetime for 24/7 streams —
+    but NOT for ``availableNow`` replays: pending processing-time
+    timeouts keep scheduling empty micro-batches and the drain never
+    terminates (observed: 300s hang).  Default is no timeout; bounded
+    replays don't need expiry."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ", ".join(f"{c} long" for c in key_cols) + ", n_events long"
+    state_schema = "n long"
+
+    use_timeout = timeout == "processing"
+
+    def update(key, batches, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in batches:
+            n += len(pdf)
+        state.update((n,))
+        if use_timeout:
+            state.setTimeoutDuration(30 * 60 * 1000)
+        import pandas as pd  # local import: runs on executors
+
+        yield pd.DataFrame([{**dict(zip(key_cols, key)), "n_events": n}])
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
