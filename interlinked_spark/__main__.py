@@ -1,4 +1,5 @@
-from interlinked_spark import cli
+"""Module entry point: ``python -m interlinked_spark <module> <cmd>``."""
 
-if __name__ == "__main__":
-    cli.main()
+from interlinked_spark.cli import main
+
+main()

@@ -32,3 +32,24 @@ def write_table(
         writer.format("jdbc").save()
     else:
         getattr(writer, fmt)(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Optional[Sequence[str]] = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (co-located joins, SURVEY.md §2b scale
+    notes): both sides of a frequent equi-join written with the same
+    bucketing (columns + count) join WITHOUT a shuffle — the planner
+    sees compatible output partitioning.  Hive-style bucketing requires
+    ``saveAsTable`` (a path-based write cannot record bucket metadata).
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -10,7 +10,11 @@ from interlinked_spark.binding import bind
 from interlinked_spark.routing import VALUE_PATTERNS, Router, compile_route
 from interlinked_spark.templating import NameTemplate
 
-identifiers = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+import keyword
+
+identifiers = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: not keyword.iskeyword(s)
+)
 ints = st.integers(-10**9, 10**9).map(str)
 
 
