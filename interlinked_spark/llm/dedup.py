@@ -131,18 +131,61 @@ def minhash_near_dup_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
-    sh = _with_shingles(df, text_col, id_col, shingle_n)
+    # One Arrow pass computes shingles AND the minhash signature:
+    # blake2b base hash per shingle, then num_hashes seeded variants via
+    # a vectorized splitmix64 mix in numpy — avoids num_hashes
+    # interpreted HOF transforms over the shingle arrays (the measured
+    # slow path, see _with_shingles).
+    import hashlib
 
-    # Min over seeded hashes of every shingle: minhash_i = min_s xxhash64(i, s)
-    sig = sh.select(
-        "id",
-        "sh",
-        F.array(
-            *[
-                F.array_min(F.transform("sh", lambda s: F.xxhash64(F.lit(i), s)))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
+    import numpy as np
+
+    @F.pandas_udf(f"struct<sh:array<string>,sig:array<long>>")
+    def shingle_sig_udf(texts: pd.Series) -> pd.DataFrame:
+        ws = re.compile(r"\s+")
+        seeds = np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+
+        def mix(m: "np.ndarray") -> "np.ndarray":
+            # splitmix64 finalizer — decorrelates the seeded variants
+            m = (m ^ (m >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            m = (m ^ (m >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return m ^ (m >> np.uint64(31))
+
+        shs, sigs = [], []
+        for t in texts:
+            toks = ws.sub(" ", t.strip().lower()).split(" ")
+            sh = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                )
+            )
+            shs.append(sh)
+            if not sh:
+                sigs.append([0] * num_hashes)
+                continue
+            base = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    for s in sh
+                ],
+                dtype=np.uint64,
+            )
+            seeded = mix(base[:, None] ^ seeds[None, :])  # (n_shingles, num_hashes)
+            sigs.append(seeded.min(axis=0).astype(np.int64).tolist())
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    base = df.filter(
+        F.size(F.split(_normalized(text_col), " ")) >= shingle_n
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    sig = (
+        _spread(base)
+        .select("id", shingle_sig_udf("__text").alias("__ss"))
+        .select("id", F.col("__ss.sh").alias("sh"), F.col("__ss.sig").alias("sig"))
     )
     # Band key = hash of the band's signature slice
     banded = sig.select(
