@@ -1516,3 +1516,60 @@ def q_stream_stateful_counts(spark: SparkSession, base_dir: str) -> DataFrame:
     sink = spark.table("sink_stateful")
     # keep the final (max) running count per user for determinism
     return group_agg(sink, ["user_id"], {"n_events": F.max("n_events")})
+
+
+@defq(
+    "order_priority_buckets",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                ELSE 'cold' END AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(LEAST(o_totalprice, 300000.0)), 2) AS capped_total,
+           ROUND(MAX(GREATEST(o_totalprice, 100000.0)), 2) AS floored_max
+    FROM orders GROUP BY 1
+    """,
+    o="table.orders",
+)
+def q_order_priority_buckets(o: DataFrame) -> DataFrame:
+    """Conditional scalar family (§2b-H): when/otherwise chains +
+    greatest/least clamping."""
+    bucket = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "warm")
+        .otherwise("cold")
+    )
+    return group_agg(
+        o.select(bucket.alias("bucket"), "o_totalprice"),
+        ["bucket"],
+        {
+            "n": F.count("*"),
+            "capped_total": F.round(F.sum(F.least("o_totalprice", F.lit(300000.0))), 2),
+            "floored_max": F.round(F.max(F.greatest("o_totalprice", F.lit(100000.0))), 2),
+        },
+    )
+
+
+@defq(
+    "supplier_acct_spread",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           ROUND(stddev_samp(s_acctbal), 4) AS sd,
+           ROUND(var_samp(s_acctbal), 4)    AS vr
+    FROM supplier GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    s="table.supplier",
+)
+def q_supplier_acct_spread(s: DataFrame) -> DataFrame:
+    """Statistical aggregates (§2b-D): sample stddev/variance."""
+    out = group_agg(
+        s,
+        ["s_nationkey"],
+        {
+            "n": F.count("*"),
+            "sd": F.round(F.stddev_samp("s_acctbal"), 4),
+            "vr": F.round(F.var_samp("s_acctbal"), 4),
+        },
+    )
+    return out.filter(F.col("n") > 1)
