@@ -74,10 +74,16 @@ def find_workflow(source: str) -> Workflow:
 def run_cmd(args) -> None:
     wkf = find_workflow(args.source)
     config = load_conf(args.config)
-    for target in args.targets:
+    if config is not None:
         # Per-invocation config on a clone: concurrent runs never see
-        # each other's config (copy-on-write, SURVEY.md §3.2).
-        res = wkf.config(config).run(target) if config is not None else wkf.run(target)
+        # each other's config (copy-on-write, SURVEY.md §3.2).  Clone
+        # ONCE before the loop — cloning per target would re-register
+        # the same '<name>_clone' and raise on the second target (the
+        # reference shares this latent bug; fixed here like its other
+        # CLI bugs, see module docstring).
+        wkf = wkf.config(config)
+    for target in args.targets:
+        res = wkf.run(target)
         if args.show:
             if hasattr(res, "show"):
                 res.show(truncate=False)

@@ -45,9 +45,12 @@ def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id document per normalized text.  The groupBy runs
-    on a 64-bit hash of the text, not the text itself, so the shuffle
-    moves 8 bytes + id per row instead of whole documents."""
-    hashed = df.withColumn("__h", F.xxhash64(_normalized(text_col)))
+    on a 128-bit md5 of the text, not the text itself, so the shuffle
+    moves 32 bytes + id per row instead of whole documents.  64 bits is
+    NOT enough here: at multi-billion-doc scale birthday collisions on
+    xxhash64 become expected (~0.3 at 10^9 docs) and would silently merge
+    distinct documents; at 128 bits the probability is ~1e-20."""
+    hashed = df.withColumn("__h", F.md5(_normalized(text_col).cast("binary")))
     return dedup_exact(hashed, ["__h"], tie_breaker=id_col, keep="min").drop("__h")
 
 
@@ -187,10 +190,17 @@ def minhash_near_dup_pairs(
         .select("id", shingle_sig_udf("__text").alias("__ss"))
         .select("id", F.col("__ss.sh").alias("sh"), F.col("__ss.sig").alias("sig"))
     )
-    # Band key = hash of the band's signature slice
+    # Materialize the Arrow pipeline ONCE; the band explode, both sides
+    # of the bucket self-join, and both shingle join-backs below all
+    # derive from this checkpoint (see ngram_jaccard_pairs note).
+    sig = sig.localCheckpoint(eager=False)
+    # Band key = hash of the band's signature slice.  Explode ids ONLY:
+    # the (band, bucket) shuffle and the bucket self-join move 3 longs
+    # per row.  Carrying `sh` here would duplicate every document's full
+    # shingle array bands x through the exchange and again into every
+    # candidate pair — the 100-TB killer this layout avoids.
     banded = sig.select(
         "id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -200,17 +210,22 @@ def minhash_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # Candidate pairs: docs sharing any (band, bucket).  banded feeds
-    # both join sides — checkpoint so the signature pipeline
-    # materializes once (see ngram_jaccard_pairs note).
-    banded = banded.localCheckpoint(eager=False)
-    left = banded.select("band", "bucket", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
-    right = banded.select("band", "bucket", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
+    left = banded.select("band", "bucket", F.col("id").alias("left_id"))
+    right = banded.select("band", "bucket", F.col("id").alias("right_id"))
     cand = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "lsh", "rsh")
+        .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
+    )
+    # Jaccard verify: join the shingle sets back by id — each document's
+    # array crosses the wire once per DISTINCT candidate pair side, not
+    # bands x per band bucket.
+    shingles = sig.select("id", "sh")
+    cand = cand.join(
+        shingles.select(F.col("id").alias("left_id"), F.col("sh").alias("lsh")), "left_id"
+    ).join(
+        shingles.select(F.col("id").alias("right_id"), F.col("sh").alias("rsh")), "right_id"
     )
     inter = F.size(F.array_intersect("lsh", "rsh"))
     union = F.size(F.array_union("lsh", "rsh"))
@@ -314,22 +329,43 @@ def ngram_jaccard_pairs(
     group_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
     (inverted-index self-join — never all-pairs).  Optional ``group_col``
     restricts pairs to the same group (e.g. same language), shrinking
-    the join.  Returns ``(left_id, right_id, jaccard)``, left < right."""
+    the join.  Returns ``(left_id, right_id, jaccard)``, left < right.
+
+    ``max_shingle_df`` drops postings whose shingle appears in more than
+    that many documents BEFORE the self-join: one viral shingle with
+    document frequency df otherwise yields O(df^2) candidate pairs — the
+    quadratic blowup that kills inverted-index dedup at web scale.  The
+    standard trade: pairs whose entire overlap is viral shingles are
+    missed, and ``common`` (hence jaccard) is a lower bound for pairs
+    that share a capped shingle.  ``None`` disables the cap (exact).
+    The default (1000) is far above any df in a normal corpus shard and
+    never triggers on the test data (max df 25 at sf0.1)."""
     base = _with_shingles(df, text_col, id_col, n)
     if group_col:
         base = base.join(df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp")), "id")
     sizes = base.select("id", *( ["grp"] if group_col else [] ), F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
-    # Self-joined below: checkpoint the exploded index so the shingle
-    # pipeline materializes ONCE (A/B-tested vs plain recompute /
-    # repartition-reuse / persist: 8-9s -> 1.3s at sf0.1).  Lineage
-    # truncation trades executor-failure recovery of this intermediate
-    # for not running the pipeline per join side.
-    sizes = sizes.localCheckpoint(eager=False)
     on = ["s"] + (["grp"] if group_col else [])
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        # Hot-shingle cap: count df per shingle with a window over the
+        # same key the self-join shuffles on, and drop viral postings.
+        sizes = (
+            sizes.withColumn("__df", F.count("*").over(Window.partitionBy(*on)))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    # Self-joined below: checkpoint the exploded (capped) index so the
+    # shingle pipeline + df-cap materialize ONCE (A/B-tested vs plain
+    # recompute / repartition-reuse / persist: 8-9s -> 1.3s at sf0.1).
+    # Lineage truncation trades executor-failure recovery of this
+    # intermediate for not running the pipeline per join side.
+    sizes = sizes.localCheckpoint(eager=False)
     l = sizes.select(*on, F.col("id").alias("left_id"), F.col("nsh").alias("lns"))
     r = sizes.select(*on, F.col("id").alias("right_id"), F.col("nsh").alias("rns"))
     pair_common = (

@@ -30,7 +30,16 @@ def salted_join(
 
     The replicated side multiplies by ``salt_buckets`` — use with a
     small/dimension side (for two huge skewed sides, prefer AQE's
-    runtime split)."""
+    runtime split).
+
+    Only ``inner``/``left`` are supported: an outer side that preserves
+    the REPLICATED table (right/full) would emit every unmatched small-
+    side row once per salt copy."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}); "
+            "right/full would duplicate unmatched replicated rows per salt"
+        )
     on = list(on)
     salted = skewed.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")

@@ -60,7 +60,14 @@ def normalize_nanos(df: DataFrame, cols: Sequence[str] = ("ts",)) -> DataFrame:
 
     for c in cols:
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # Exact integer floor division.  floor(col/1000) evaluates as
+            # DOUBLE division: epoch nanos (~1.7e18) exceed double's 2^53
+            # mantissa, skewing ~12% of rows by 1us.  `div` truncates
+            # toward zero, so adjust the (pre-1970) negative-remainder
+            # case to true floor semantics.
+            q = F.expr(f"`{c}` div 1000")
+            micros = F.when((F.col(c) < 0) & (F.col(c) % 1000 != 0), q - 1).otherwise(q)
+            df = df.withColumn(c, F.timestamp_micros(micros))
     return df
 
 

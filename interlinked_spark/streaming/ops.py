@@ -131,7 +131,11 @@ def run_available_now(
         .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{sink_table}_"))
         .start()
     )
-    query.awaitTermination(timeout_s)
+    if not query.awaitTermination(timeout_s):
+        # Timed out: stop the still-running query instead of letting the
+        # caller silently read a partially-drained sink table.
+        query.stop()
+        raise TimeoutError(f"stream into {sink_table!r} did not drain within {timeout_s}s")
 
 
 def foreach_batch_into(
@@ -156,7 +160,9 @@ def foreach_batch_into(
         )
         .start()
     )
-    query.awaitTermination(timeout_s)
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"foreachBatch drain did not finish within {timeout_s}s")
     return query
 
 

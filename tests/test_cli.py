@@ -66,3 +66,13 @@ def test_json_config_injection(tmp_path):
     conf.write_text(json.dumps({"many_echo": {"repeat": 4}}))
     out = run_cli("examples.basic", "run", "many_echo", "-s", "-c", str(conf))
     assert "test test test test" in out.stdout
+
+
+def test_multi_target_with_config(tmp_path):
+    # ADVICE round-1 fix: per-target cloning re-registered '<name>_clone'
+    # and crashed on the second target; the clone now happens once.
+    conf = tmp_path / "conf.json"
+    conf.write_text(json.dumps({"many_echo": {"repeat": 3}}))
+    out = run_cli("examples.basic", "run", "many_echo", "echo.hi", "-s", "-c", str(conf))
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "test test test" in out.stdout and "hi" in out.stdout
