@@ -63,17 +63,35 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_headline_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Regression tracking vs the latest recorded round (BENCH_r<N>.json):
+    # per-query ratio, with >1.5x slowdowns called out on stderr.
+    payload = {
+        "metric": "catalog_headline_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev_files = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+    if prev_files:
+        try:
+            doc = json.loads(prev_files[-1].read_text())
+            # Driver records wrap our JSON line under "parsed".
+            prev = doc.get("parsed", doc).get("queries", {})
+        except (json.JSONDecodeError, OSError, AttributeError):
+            prev = {}
+        ratios = {
+            n: round(t / prev[n], 2)
+            for n, t in timings.items()
+            if prev.get(n)
+        }
+        if ratios:
+            payload["vs_prev"] = {"round": prev_files[-1].stem, "ratio": ratios}
+            for n, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+                if r > 1.5:
+                    print(f"REGRESSION {n}: {r}x vs {prev_files[-1].stem}", file=sys.stderr)
+
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -6,6 +6,7 @@ from .ops import (
     stream_dedup,
     stream_static_join,
     run_available_now,
+    run_into_parquet,
     foreach_batch_into,
     stateful_running_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "stream_dedup",
     "stream_static_join",
     "run_available_now",
+    "run_into_parquet",
     "foreach_batch_into",
     "stateful_running_counts",
 ]

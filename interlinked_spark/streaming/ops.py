@@ -166,6 +166,29 @@ def foreach_batch_into(
     return query
 
 
+def run_into_parquet(
+    result: DataFrame,
+    path: Optional[str] = None,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> str:
+    """Production-shaped drain: micro-batches land in a PARQUET sink via
+    ``foreachBatch`` (complete -> overwrite with the full result,
+    append/update -> append) instead of accumulating on the driver the
+    way the memory sink does.  The memory-sink path
+    (:func:`run_available_now`) is a test-harness convenience only; this
+    is the sink shape that survives 100 TB.  Returns the sink directory
+    for ``spark.read.parquet`` read-back."""
+    path = path or tempfile.mkdtemp(prefix="stream_sink_")
+    mode = "overwrite" if output_mode == "complete" else "append"
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(path)
+
+    foreach_batch_into(result, write_batch, timeout_s=timeout_s, output_mode=output_mode)
+    return path
+
+
 def stateful_running_counts(
     stream: DataFrame,
     key_cols: Sequence[str],

@@ -76,3 +76,21 @@ def test_multi_target_with_config(tmp_path):
     out = run_cli("examples.basic", "run", "many_echo", "echo.hi", "-s", "-c", str(conf))
     assert out.returncode == 0, out.stderr[-500:]
     assert "test test test" in out.stdout and "hi" in out.stdout
+
+
+def test_example_scripts_run():
+    # Reference example parity: caching (lru_cache under provide) and
+    # multi-workflow (same resource name, isolated registries).
+    import os
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    for script in ["examples/caching.py", "examples/multi_workflow.py"]:
+        out = subprocess.run(
+            [sys.executable, script],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=env,
+            timeout=120,
+        )
+        assert out.returncode == 0, (script, out.stderr[-500:])

@@ -190,3 +190,42 @@ def test_normalize_nanos_negative_floor(spark):
     epoch = dt.datetime(1970, 1, 1)
     micros = [int((t - epoch).total_seconds() * 1e6) if t >= epoch else -int((epoch - t).total_seconds() * 1e6) for t in got]
     assert micros == [-1, -2, -2, 2]
+
+
+def test_zscore_per_group_matches_window_builtins(spark):
+    """Grouped-map pandas path (kept as the §2b-I demo) must agree with
+    the JVM window formulation that now backs the catalog query."""
+    from pyspark.sql import Window
+
+    from interlinked_spark.operators.udfs import zscore_per_group
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    pandas_side = {
+        r.c_custkey: round(r.zscore, 6)
+        for r in zscore_per_group(c, ["c_nationkey"], "c_acctbal").select("c_custkey", "zscore").collect()
+        if r.zscore is not None
+    }
+    w = Window.partitionBy("c_nationkey")
+    z = (F.col("c_acctbal") - F.avg("c_acctbal").over(w)) / F.stddev_samp("c_acctbal").over(w)
+    jvm_side = {
+        r.c_custkey: round(r.z, 6)
+        for r in c.select("c_custkey", z.alias("z")).collect()
+        if r.z is not None
+    }
+    assert pandas_side == jvm_side and pandas_side
+
+
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    """Full jdbc source/sink round-trip against the Derby EMBEDDED
+    driver that ships in Spark's own jars (no network, single JVM —
+    which is exactly local mode).  Validates the option plumbing of
+    write_table(fmt='jdbc') and read_table(fmt='jdbc')."""
+    from interlinked_spark.sources import read_table
+    from interlinked_spark.sources.writers import write_table
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    opts = {"url": url, "dbtable": "nations", "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.read.parquet(f"{SF}/nation.parquet").select("n_nationkey", "n_name")
+    write_table(src, path="", fmt="jdbc", mode="overwrite", **opts)
+    back = read_table(spark, path="", fmt="jdbc", **opts)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
