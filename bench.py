@@ -42,6 +42,16 @@ HEADLINE = [
     "banded_price_match",
     "next_error_asof_fwd",
     "token_frequencies",
+    # round 2 additions
+    "event_sessionization",
+    "doc_tfidf_top_terms",
+    "doc_bm25_query",
+    "dedup_clusters",
+    # customer_events_cogroup is deliberately NOT here: cogrouped-map
+    # pandas pays a per-GROUP Python invocation (~1ms x 15k customer
+    # groups at sf0.1) — that is the §2b-I tier's inherent cost, demoed
+    # and oracle-gated at sf0.01, not a plan regression to track.
+    "stream_click_error_join",
 ]
 
 

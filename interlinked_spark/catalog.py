@@ -1582,3 +1582,338 @@ def q_supplier_acct_spread(s: DataFrame) -> DataFrame:
         },
     )
     return out.filter(F.col("n") > 1)
+
+
+# =====================================================================
+# Round 2 — reshape, sampling, sessionization, ranking, clustering,
+# cogroup, stream-stream join (SURVEY.md §2b extensions)
+# =====================================================================
+
+
+@defq(
+    "order_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY 1
+    """,
+    o="table.orders",
+)
+def q_order_status_pivot(o: DataFrame) -> DataFrame:
+    """Pivot with an EXPLICIT value list (§2b-D reshape): one hash
+    aggregate, no distinct-values discovery pass."""
+    from .operators.reshape import pivot_agg
+
+    p = pivot_agg(o, ["o_orderpriority"], "o_orderstatus", ["F", "O", "P"], {"n": F.count(F.lit(1))})
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(v), F.lit(0)).alias(f"n_{v.lower()}") for v in ("F", "O", "P")],
+    )
+
+
+@defq(
+    "nation_balance_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT c_nationkey,
+             ROUND(SUM(c_acctbal), 2) AS sum_bal,
+             ROUND(AVG(c_acctbal), 6) AS avg_bal,
+             ROUND(MAX(c_acctbal), 2) AS max_bal
+      FROM customer GROUP BY 1
+    )
+    SELECT c_nationkey, 'sum_bal' AS metric, sum_bal AS value FROM w
+    UNION ALL SELECT c_nationkey, 'avg_bal', avg_bal FROM w
+    UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM w
+    """,
+    c="table.customer",
+)
+def q_nation_balance_unpivot(c: DataFrame) -> DataFrame:
+    """Unpivot/melt wide metrics to long form (§2b-D reshape) — narrow
+    generate, zero shuffle beyond the aggregate."""
+    from .operators.reshape import unpivot_metrics
+
+    wide = c.groupBy("c_nationkey").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return unpivot_metrics(wide, ["c_nationkey"], ["sum_bal", "avg_bal", "max_bal"])
+
+
+@defq(
+    "sales_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    li="table.lineitem",
+)
+def q_sales_grouping_sets(li: DataFrame) -> DataFrame:
+    """Arbitrary grouping sets in ONE Expand + one shuffle (§2b-D) —
+    not a union of per-set aggregates re-scanning the fact table."""
+    from .operators.reshape import grouping_sets_agg
+
+    return grouping_sets_agg(
+        li,
+        [["l_returnflag"], ["l_linestatus"], []],
+        {"sum_qty": F.round(F.sum("l_quantity"), 2), "n": F.count("*")},
+    )
+
+
+@defq(
+    "event_sessionization",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS b
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(b) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flags
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_s
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q_event_sessionization(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Batch sessionization (§2b-E): 30-min inactivity gap -> session
+    ids via lag + running boundary sum, one shuffle on user_id; the
+    batch twin of the streaming session_agg gate query."""
+    from .operators.windows import sessionize
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    s = sessionize(ev, ["user_id"], "ts", 1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.col("ts").cast("long")).alias("start_s"),
+        F.max(F.col("ts").cast("long")).alias("end_s"),
+    )
+
+
+@defq(
+    "customer_hash_sample",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE substr(md5('s1' || CAST(c_custkey AS VARCHAR)), 1, 8) < '1999999a'
+    """,
+    c="table.customer",
+)
+def q_customer_hash_sample(c: DataFrame) -> DataFrame:
+    """Deterministic 10% sample keyed on md5(salt||key) (§2b sampling):
+    reproducible across runs/engines/partitionings — unlike seeded
+    df.sample, whose draw changes with the partition layout.  The hex
+    threshold in the oracle is format(int(0.1 * 16**8), '08x')."""
+    from .operators.sampling import hash_sample
+
+    return hash_sample(c, "c_custkey", 0.1, salt="s1").select("c_custkey", "c_mktsegment")
+
+
+@defq(
+    "doc_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term, tf, tf * (ln((n_docs + 1) / (df + 1)) + 1) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, ROUND(tfidf, 6) AS tfidf FROM rk WHERE rk <= 3
+    """,
+    d="table.documents",
+)
+def q_doc_tfidf_top_terms(d: DataFrame) -> DataFrame:
+    """Smoothed TF-IDF, top-3 terms per document (§2b-K ranking): one
+    explode + two hash aggregates + a term-keyed join, all JVM-side;
+    ranking via WindowGroupLimit-eligible row_number."""
+    from .llm.ranking import tf_idf
+
+    t = tf_idf(d)
+    top = top_k_per_group(t, ["id"], [F.desc("tfidf"), F.asc("term")], 3)
+    return top.select(
+        F.col("id").alias("doc_id"), "term", "tf", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+@defq(
+    "doc_bm25_query",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term,
+             len(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ('table', 'stream', 'filter') GROUP BY 1, 2
+    ), stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             AVG(len(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS avgdl
+      FROM documents
+    ), dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+    SELECT doc_id,
+           ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+                     (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+    d="table.documents",
+)
+def q_doc_bm25_query(d: DataFrame) -> DataFrame:
+    """Okapi BM25 scores for a fixed query (§2b-K ranking): postings
+    pruned to the query terms before any join; corpus stats broadcast
+    as a one-row frame (no driver collect)."""
+    from .llm.ranking import bm25_scores
+
+    b = bm25_scores(d, ["table", "stream", "filter"])
+    return b.select(F.col("id").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+@defq(
+    "dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS l, b.doc_id AS r
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT l AS a, r AS b FROM pairs UNION SELECT r, l FROM pairs
+    ), reach(v, c) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.c FROM edges e JOIN reach r ON e.a = r.v
+    )
+    SELECT d.doc_id AS doc_id, COALESCE(m.c, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN (SELECT v, MIN(c) AS c FROM reach GROUP BY v) m
+    ON d.doc_id = m.v
+    """,
+    d="table.documents",
+)
+def q_dedup_clusters(d: DataFrame) -> DataFrame:
+    """Near-dup CLUSTERS (§2b-K final dedup stage): Jaccard pairs ->
+    hash-to-min connected components -> every doc labeled with its
+    cluster's min doc id (oracle: recursive-CTE reachability)."""
+    from .llm.dedup import near_dup_clusters
+
+    return near_dup_clusters(d, threshold=0.5)
+
+
+@defq(
+    "customer_events_cogroup",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders, SUM(o_totalprice) AS spent
+               FROM orders GROUP BY 1),
+    e AS (SELECT user_id AS k, COUNT(*) AS n_events, SUM(value) AS act
+          FROM events GROUP BY 1)
+    SELECT COALESCE(o.k, e.k) AS custkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events,
+           ROUND(COALESCE(spent, 0), 2) AS spent,
+           ROUND(COALESCE(act, 0), 2) AS activity
+    FROM o FULL JOIN e ON o.k = e.k
+    """,
+)
+def q_customer_events_cogroup(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Cogrouped-map pandas (§2b-I tier 3b): orders and events aligned
+    per key in ONE cogroup pass — the Arrow path for per-key
+    reconciliation across two tables."""
+    import pandas as pd
+
+    from .operators.udfs import cogrouped_apply
+
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    events = spark.read.parquet(f"{base_dir}/events.parquet").select(
+        F.col("user_id").alias("k"), "value"
+    )
+
+    def merge(o: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        k = o["k"].iloc[0] if len(o) else e["k"].iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "custkey": k,
+                    "n_orders": len(o),
+                    "n_events": len(e),
+                    "spent": round(float(o["o_totalprice"].sum()), 2),
+                    "activity": round(float(e["value"].sum()), 2),
+                }
+            ]
+        )
+
+    return cogrouped_apply(
+        orders,
+        events,
+        ["k"],
+        merge,
+        "custkey long, n_orders long, n_events long, spent double, activity double",
+    )
+
+
+@defq(
+    "stream_click_error_join",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 300 SECOND
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+)
+def q_stream_click_error_join(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (§2b-J): errors within 5 minutes
+    after a click by the same user.  The interval bound is what lets
+    Spark evict join state — each side holds watermark + 300s of
+    history, bounded on unbounded streams."""
+    from .streaming import run_available_now, stream_from_parquet, stream_stream_join
+
+    clicks = (
+        stream_from_parquet(spark, f"{base_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    errors = (
+        stream_from_parquet(spark, f"{base_dir}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    j = stream_stream_join(clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300)
+    out = j.select("user_id", "click_id", "error_id")
+    run_available_now(out, "sink_click_error", output_mode="append")
+    return spark.table("sink_click_error")

@@ -4,8 +4,10 @@ from .dedup import (
     simhash_signatures,
     simhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    near_dup_clusters,
 )
 from .similarity import cosine_top_k, lsh_similarity_join, embedding_near_dup_pairs
+from .ranking import tf_idf, bm25_scores
 from .text import (
     token_stats,
     quality_scores,
@@ -19,7 +21,10 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "near_dup_clusters",
     "cosine_top_k",
+    "tf_idf",
+    "bm25_scores",
     "lsh_similarity_join",
     "embedding_near_dup_pairs",
     "token_stats",

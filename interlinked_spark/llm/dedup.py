@@ -380,3 +380,32 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: n-gram Jaccard pairs -> connected
+    components -> every document labeled with the min doc id of its
+    cluster (documents with no near-dup partner are their own cluster).
+    The canonical-doc pick (keep ``cluster_id``) is then a trivial
+    filter — the standard final stage of web-scale dedup."""
+    from ..operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+    comp = connected_components(pairs, "left_id", "right_id")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp.withColumnRenamed("vertex", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("cluster_id"),
+        )
+    )

@@ -21,6 +21,11 @@ from .aggregates import (
 from .windows import ranked, top_k_per_group, running, shifted, window_spec
 from .setops import union_all, union_distinct, intersect, difference
 from .sorts import sort, top_k
+from .reshape import pivot_agg, unpivot_metrics, grouping_sets_agg
+from .sampling import hash_sample, hash_sample_sql, stratified_sample
+from .graph import connected_components
+from .windows import sessionize
+from .udfs import cogrouped_apply
 
 __all__ = [
     "equi_join", "broadcast_join", "semi_join", "anti_join", "cross_join",
@@ -30,4 +35,7 @@ __all__ = [
     "ranked", "top_k_per_group", "running", "shifted", "window_spec",
     "union_all", "union_distinct", "intersect", "difference",
     "sort", "top_k",
+    "pivot_agg", "unpivot_metrics", "grouping_sets_agg",
+    "hash_sample", "hash_sample_sql", "stratified_sample",
+    "connected_components", "sessionize", "cogrouped_apply",
 ]

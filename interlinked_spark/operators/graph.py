@@ -1,0 +1,59 @@
+"""Distributed graph operators (SURVEY.md §2b extensions).
+
+``connected_components`` turns near-duplicate PAIRS into CLUSTERS — the
+final stage of web-scale dedup (pick one canonical doc per component).
+Hash-to-min label propagation: every vertex repeatedly adopts the
+minimum label among itself and its neighbors.  Each iteration is one
+join + one aggregate (both keyed shuffles); rounds needed = graph
+diameter, which for near-dup graphs (dense clique-ish clusters) is tiny.
+Each round is checkpointed so lineage stays flat and convergence is
+checked with a cheap count — no driver-side graph materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label each vertex of the undirected graph with the MINIMUM vertex
+    id reachable from it.  Returns ``(vertex, component)``.
+
+    Raises ``RuntimeError`` if not converged within ``max_iterations``
+    (diameter bound; near-dup graphs converge in a handful)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().localCheckpoint(eager=False)
+
+    labels = (
+        e.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            e.join(labels.select(F.col("vertex").alias("a"), "component"), "a")
+            .select(F.col("b").alias("vertex"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # eager: flatten lineage before the convergence count
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "vertex")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")

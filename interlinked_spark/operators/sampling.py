@@ -1,0 +1,53 @@
+"""Sampling operators (SURVEY.md §2b extensions for pipeline tooling).
+
+``hash_sample`` is the 100-TB workhorse: a DETERMINISTIC sample keyed on
+a stable column hash.  Unlike ``df.sample`` it is reproducible across
+runs, engines, partitionings and retries (Spark's sample is seeded per
+partition — adding an executor changes the sample), it never needs a
+second pass, and the same key always lands on the same side, so samples
+taken on different tables stay join-consistent on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8  # first 8 hex chars of md5
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose ``md5(salt || key)`` prefix falls below
+    ``fraction`` of the 32-bit hex space.  Lowercase-hex string
+    comparison IS numeric comparison (same-width hex sorts
+    lexicographically), so the exact predicate is portable to any
+    engine with md5 — including the DuckDB oracle.  Vary ``salt`` to
+    draw independent samples."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = format(int(fraction * _HEX_SPACE), "08x")
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+    return df.filter(prefix < F.lit(threshold))
+
+
+def hash_sample_sql(key_col: str, fraction: float, salt: str = "") -> str:
+    """The equivalent ANSI-SQL predicate (oracle parity helper)."""
+    threshold = format(int(fraction * _HEX_SPACE), "08x")
+    return f"substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < '{threshold}'"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum sampling via ``sampleBy`` (seeded, one pass).
+    Reproducible only for a fixed partitioning — for cross-run
+    reproducibility at scale prefer :func:`hash_sample` per stratum."""
+    return df.sampleBy(strata_col, fractions, seed=seed)

@@ -65,3 +65,19 @@ def map_batches(
     """Arrow-batched flat map (table function): 1 row -> N rows allowed,
     memory bounded by the batch iterator."""
     return df.mapInPandas(fn, schema=schema)
+
+
+def cogrouped_apply(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Cogrouped-map (§2b-I tier 3b): align BOTH tables' rows per key in
+    one pass and hand the two pandas frames to ``fn`` — the Arrow path
+    for per-key merges that a join would force into N x M row blowup
+    (as-of alignment, per-key reconciliation, feature stitching).  One
+    shuffle per side on the keys; each cogroup must fit in executor
+    memory."""
+    return left.groupBy(*keys).cogroup(right.groupBy(*keys)).applyInPandas(fn, schema=schema)

@@ -88,3 +88,24 @@ def shifted(
         else:
             df = df.withColumn(f"{col}_lead{off}", F.lead(col, off).over(w))
     return df
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: a new session starts after ``gap_seconds``
+    of per-key inactivity.  ``session_col`` numbers sessions 1..n within
+    each key (lag + running sum of boundary flags — ONE shuffle on the
+    keys, the batch counterpart of the streaming ``session_agg``)."""
+    keys = list(keys)
+    w = window_spec(keys, [ts_col])
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    boundary = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(boundary).over(window_spec(keys, [ts_col], rows=(Window.unboundedPreceding, 0))),
+    )

@@ -5,6 +5,7 @@ from .ops import (
     session_agg,
     stream_dedup,
     stream_static_join,
+    stream_stream_join,
     run_available_now,
     run_into_parquet,
     foreach_batch_into,
@@ -18,6 +19,7 @@ __all__ = [
     "session_agg",
     "stream_dedup",
     "stream_static_join",
+    "stream_stream_join",
     "run_available_now",
     "run_into_parquet",
     "foreach_batch_into",

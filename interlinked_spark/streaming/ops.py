@@ -239,3 +239,42 @@ def stateful_running_counts(
             ),
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    min_delay_s: int,
+    max_delay_s: int,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM equi-join with a time-interval condition
+    (§2b-J): match right rows with ``right_ts`` in
+    ``[left_ts + min_delay, left_ts + max_delay]`` for equal keys.
+
+    Both sides get watermarks, and the interval bound is what lets
+    Spark EVICT join state: each side keeps only watermark + interval
+    of history, so state is bounded on unbounded streams.  Rename
+    time/payload columns to distinct names before calling (a self-join
+    otherwise produces ambiguous output columns)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (
+        r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {min_delay_s} SECONDS")
+    ) & (
+        r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay_s} SECONDS")
+    )
+    joined = l.join(r, cond, how)
+    for k in keys:  # keep one copy of each equi-key
+        joined = joined.drop(r[k])
+    return joined

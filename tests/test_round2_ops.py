@@ -1,0 +1,104 @@
+"""Round-2 operator units: connected components, sessionization,
+deterministic hash sampling, reshape ops.  (The catalog oracle mirror
+covers end-to-end correctness; these pin operator-level semantics on
+hand-computed fixtures.)"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_connected_components_hand_graph(spark):
+    # Components: {1,2,3,4 chain}, {10,11}, singleton vertices absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    from interlinked_spark.operators.graph import connected_components
+
+    got = {
+        (r.vertex, r.component) for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    from interlinked_spark.operators.graph import connected_components
+
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, "src", "dst", max_iterations=1)
+
+
+def test_sessionize_hand_events(spark):
+    from interlinked_spark.operators.windows import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=100)),     # same session
+        (1, t0 + dt.timedelta(seconds=2000)),    # gap > 1800 -> session 2
+        (2, t0),                                  # other key -> own session 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r.user_id, int(r.ts.timestamp()), r.session_id)
+        for r in sessionize(df, ["user_id"], "ts", 1800).collect()
+    )
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert [g[2] for g in sorted(got)] == [1, 1, 2, 1]
+
+
+def test_hash_sample_deterministic_and_join_consistent(spark):
+    from interlinked_spark.operators.sampling import hash_sample
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    a = sorted(r.c_custkey for r in hash_sample(c, "c_custkey", 0.2).select("c_custkey").collect())
+    b = sorted(r.c_custkey for r in hash_sample(c, "c_custkey", 0.2).select("c_custkey").collect())
+    assert a == b and 0.05 < len(a) / c.count() < 0.4
+    # Join-consistency: sampling orders on the SAME key keeps exactly
+    # the orders of sampled customers.
+    so = {r.o_custkey for r in hash_sample(o, "o_custkey", 0.2).select("o_custkey").collect()}
+    assert so == {k for k in (r.o_custkey for r in o.select("o_custkey").distinct().collect()) if k in set(a)}
+
+
+def test_hash_sample_rejects_bad_fraction(spark):
+    from interlinked_spark.operators.sampling import hash_sample
+
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)
+
+
+def test_grouping_sets_matches_union_of_aggregates(spark):
+    from interlinked_spark.operators.reshape import grouping_sets_agg
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    g = grouping_sets_agg(
+        li, [["l_returnflag"], []], {"n": F.count("*")}
+    )
+    got = {(r.l_returnflag, r.n) for r in g.collect()}
+    per_flag = {(r.l_returnflag, r.n) for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    assert got == per_flag | {(None, li.count())}
+
+
+def test_unpivot_round_trips_pivot(spark):
+    from interlinked_spark.operators.reshape import pivot_agg, unpivot_metrics
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    p = pivot_agg(o, ["o_orderpriority"], "o_orderstatus", ["F", "O"], {"n": F.count(F.lit(1))})
+    p = p.select("o_orderpriority", F.coalesce("F", F.lit(0)).alias("F"), F.coalesce("O", F.lit(0)).alias("O"))
+    u = unpivot_metrics(p, ["o_orderpriority"], ["F", "O"], "status", "n")
+    back = {(r.o_orderpriority, r.status): r.n for r in u.collect()}
+    direct = {
+        (r.o_orderpriority, r.o_orderstatus): r.n
+        for r in o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for k, v in direct.items():
+        assert back[k] == v
