@@ -44,6 +44,9 @@ HEADLINE = [
     "token_frequencies",
     # round 2 additions
     "event_sessionization",
+    "hourly_event_grid",
+    "user_type_intervals",
+    "orders_merge_upsert",
     "doc_tfidf_top_terms",
     "doc_bm25_query",
     "dedup_clusters",

@@ -1917,3 +1917,154 @@ def q_stream_click_error_join(spark: SparkSession, base_dir: str) -> DataFrame:
     out = j.select("user_id", "click_id", "error_id")
     run_available_now(out, "sink_click_error", output_mode="append")
     return spark.table("sink_click_error")
+
+
+@defq(
+    "hourly_event_grid",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
+    SELECT g.event_type AS event_type,
+           CAST(floor(epoch(g.h)) AS BIGINT) AS hour_s,
+           COALESCE(n, 0) AS n
+    FROM grid g LEFT JOIN hourly USING (event_type, h)
+    """,
+)
+def q_hourly_event_grid(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Resample/gap-fill (§2b-E time series): dense per-key hourly grid
+    via row-local sequence+explode — no driver loop, no global calendar
+    cross join."""
+    from .operators.timeseries import time_grid_fill
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    filled = time_grid_fill(ev, ["event_type"], "ts", "hour", {"n": F.count("*")})
+    return filled.select("event_type", F.col("bucket").cast("long").alias("hour_s"), "n")
+
+
+@defq(
+    "user_type_intervals",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS c
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), isl AS (
+      SELECT *, SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
+      FROM chg
+    )
+    SELECT user_id, event_type,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS valid_from_s,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS valid_to_s,
+           COUNT(*) AS n_events
+    FROM isl GROUP BY user_id, grp, event_type
+    """,
+)
+def q_user_type_intervals(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD2 validity intervals (§2b-E): consecutive
+    same-attribute runs per key collapse to intervals in one keyed
+    shuffle."""
+    from .operators.windows import change_intervals
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    return change_intervals(ev, ["user_id"], "ts", "event_type", tie_breaker="event_id")
+
+
+@defq(
+    "orders_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderstatus FROM updates
+    UNION ALL
+    SELECT o_orderkey, ROUND(o_totalprice, 2), o_orderstatus FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+    o="table.orders",
+)
+def q_orders_merge_upsert(o: DataFrame) -> DataFrame:
+    """Merge/upsert as union + per-key winner (§2b-A sink-side MERGE
+    rewrite): updates win; one shuffle, no driver diffing."""
+    from .operators.merge import merge_upsert
+
+    current = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    updates = current.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1000, 2)
+    )
+    out = merge_upsert(current, updates, ["o_orderkey"])
+    return out.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderstatus")
+
+
+@defq(
+    "customer_balance_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile,
+           first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+           nth_value(c_custkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second
+    FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    c="table.customer",
+)
+def q_customer_balance_quartiles(c: DataFrame) -> DataFrame:
+    """Distribution window functions (§2b-E): percent_rank, cume_dist,
+    ntile, first/nth_value over a TOTAL order (unique tie-breaker keeps
+    every function deterministic)."""
+    wo = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    full = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(wo), 6).alias("pr"),
+        F.round(F.cume_dist().over(wo), 6).alias("cd"),
+        F.ntile(4).over(wo).alias("quartile"),
+        F.first("c_custkey").over(full).alias("poorest"),
+        F.nth_value("c_custkey", 2).over(full).alias("second"),
+    )
+
+
+@defq(
+    "doc_tokens_udtf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               (t, i) -> struct_pack(pos := i, token := t))) AS s
+      FROM documents
+    )
+    SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.token AS token FROM toks
+    """,
+)
+def q_doc_tokens_udtf(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL (§2b-I tier 4b): true table-function
+    semantics — one row in, N ordered rows out."""
+    from .operators.udfs import position_tokens_udtf
+    from .sources.readers import normalize_nanos
+
+    docs = normalize_nanos(spark.read.parquet(f"{base_dir}/documents.parquet"))
+    spark.udtf.register("tokens_udtf", position_tokens_udtf())
+    docs.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token FROM __docs_udtf d, LATERAL tokens_udtf(d.text) t"
+    )
+
+
+@defq("embedding_pca", oracle=None, e="table.embeddings")
+def q_embedding_pca(e: DataFrame) -> DataFrame:
+    """Distributed PCA (§2b-K): covariance-method partials in one Arrow
+    pass, d x d eigh on the driver, broadcast projection.  Numeric
+    results depend on float reduction order -> rows-only gate; algebraic
+    properties are pinned in tests/test_round2_ops.py."""
+    from .llm.embeddings import pca_project
+
+    out = pca_project(e, "embedding", "vec_id", k=4)
+    return out.select("id", *[F.round(F.element_at("pc", i + 1), 4).alias(f"pc{i+1}") for i in range(4)])

@@ -8,6 +8,7 @@ from .dedup import (
 )
 from .similarity import cosine_top_k, lsh_similarity_join, embedding_near_dup_pairs
 from .ranking import tf_idf, bm25_scores
+from .embeddings import pca_project
 from .text import (
     token_stats,
     quality_scores,
@@ -25,6 +26,7 @@ __all__ = [
     "cosine_top_k",
     "tf_idf",
     "bm25_scores",
+    "pca_project",
     "lsh_similarity_join",
     "embedding_near_dup_pairs",
     "token_stats",

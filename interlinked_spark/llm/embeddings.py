@@ -1,0 +1,72 @@
+"""Embedding-matrix operators (SURVEY.md §2b-K extensions).
+
+``pca_project`` is distributed PCA by the covariance method — the
+standard shape for tall-skinny embedding matrices (n rows >> d dims):
+
+1. ONE Arrow pass computes per-batch partials ``(n, sum_x, X^T X)``;
+2. the driver reduces the tiny partials (O(partitions * d^2) floats —
+   for d=32 that is ~4 KB per partition, nothing like collecting rows)
+   and eigendecomposes the d x d covariance with numpy;
+3. projection onto the top-k components is a second Arrow pass with the
+   (d x k) component matrix shipped in the UDF closure.
+
+Eigenvector sign is fixed deterministically (largest-magnitude loading
+positive), so projections are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Project each vector onto the top-``k`` principal components of
+    the column's covariance.  Returns ``(id, pc: array<double>)``."""
+    import numpy as np
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_project on an empty DataFrame")
+    d_dim = len(first[0])
+    if not 1 <= k <= d_dim:
+        raise ValueError(f"k must be in [1, {d_dim}], got {k}")
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                [{"n": len(X), "s": X.sum(axis=0).tolist(), "g": (X.T @ X).ravel().tolist()}]
+            )
+
+    parts = df.select(vec_col).mapInPandas(partials, "n long, s array<double>, g array<double>").collect()
+    n = sum(p.n for p in parts)
+    if n < 2:
+        raise ValueError("pca_project needs at least 2 rows")
+    s = np.sum([np.asarray(p.s) for p in parts], axis=0)
+    gram = np.sum([np.asarray(p.g).reshape(d_dim, d_dim) for p in parts], axis=0)
+    mean = s / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]
+    for j in range(comps.shape[1]):  # deterministic sign
+        if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
+            comps[:, j] = -comps[:, j]
+    mean_l, comps_l = mean.tolist(), comps.tolist()
+
+    @F.pandas_udf("array<double>")
+    def project(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        M = _np.asarray(comps_l)
+        mu = _np.asarray(mean_l)
+        return vs.map(lambda v: ((_np.asarray(v, dtype=_np.float64) - mu) @ M).tolist())
+
+    return df.select(F.col(id_col).alias("id"), project(vec_col).alias("pc"))

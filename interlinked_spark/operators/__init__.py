@@ -24,8 +24,10 @@ from .sorts import sort, top_k
 from .reshape import pivot_agg, unpivot_metrics, grouping_sets_agg
 from .sampling import hash_sample, hash_sample_sql, stratified_sample
 from .graph import connected_components
-from .windows import sessionize
-from .udfs import cogrouped_apply
+from .windows import sessionize, change_intervals
+from .udfs import cogrouped_apply, position_tokens_udtf
+from .timeseries import time_grid_fill
+from .merge import merge_upsert
 
 __all__ = [
     "equi_join", "broadcast_join", "semi_join", "anti_join", "cross_join",
@@ -38,4 +40,5 @@ __all__ = [
     "pivot_agg", "unpivot_metrics", "grouping_sets_agg",
     "hash_sample", "hash_sample_sql", "stratified_sample",
     "connected_components", "sessionize", "cogrouped_apply",
+    "change_intervals", "position_tokens_udtf", "time_grid_fill", "merge_upsert",
 ]

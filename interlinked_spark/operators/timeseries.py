@@ -1,0 +1,48 @@
+"""Time-series operators (SURVEY.md §2b-E extensions).
+
+``time_grid_fill`` is the distributed resample/gap-fill: aggregate to a
+time bucket, then densify each key's range so downstream windows and
+charts see an unbroken grid.  The grid is generated per key with
+``sequence`` + ``explode`` — row-local (narrow) generation, no driver
+loop, no cross join against a global calendar table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_grid_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    unit: str = "hour",
+    aggs: dict[str, Column] | None = None,
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Bucket ``ts_col`` by ``unit`` (``date_trunc`` granularity),
+    aggregate per (keys, bucket), then LEFT-join the aggregate onto the
+    dense per-key bucket grid spanning each key's min..max bucket.
+    Missing buckets appear with ``fill`` defaults (default 0 per agg).
+
+    Returns keys + ``bucket`` (timestamp) + agg columns."""
+    keys = list(keys)
+    aggs = aggs or {"n": F.count("*")}
+    fill = fill or {name: 0 for name in aggs}
+    step = F.expr(f"INTERVAL 1 {unit.upper()}")
+    bucketed = (
+        df.groupBy(*keys, F.date_trunc(unit, ts_col).alias("bucket"))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    grid = (
+        bucketed.groupBy(*keys)
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select(*keys, F.explode(F.sequence("__lo", "__hi", step)).alias("bucket"))
+    )
+    out = grid.join(bucketed, keys + ["bucket"], "left")
+    for name, default in fill.items():
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return out

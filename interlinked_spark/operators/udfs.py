@@ -81,3 +81,26 @@ def cogrouped_apply(
     shuffle per side on the keys; each cogroup must fit in executor
     memory."""
     return left.groupBy(*keys).cogroup(right.groupBy(*keys)).applyInPandas(fn, schema=schema)
+
+
+def position_tokens_udtf():
+    """Python UDTF (§2b-I tier 4b, Spark 3.5+): one input row -> N
+    output rows with full table-function semantics (vs mapInPandas,
+    which is batch-oriented).  Yields (pos, token) per whitespace token,
+    1-based.  Register then invoke via SQL LATERAL:
+
+        spark.udtf.register("tokens_udtf", position_tokens_udtf())
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs d, LATERAL tokens_udtf(d.text) t
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class PositionTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(" ".join(text.strip().lower().split()).split(" ")):
+                yield i + 1, tok
+
+    return PositionTokens

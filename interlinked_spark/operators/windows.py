@@ -109,3 +109,36 @@ def sessionize(
         session_col,
         F.sum(boundary).over(window_spec(keys, [ts_col], rows=(Window.unboundedPreceding, 0))),
     )
+
+
+def change_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_col: str,
+    tie_breaker: Optional[str] = None,
+) -> DataFrame:
+    """Gaps-and-islands / SCD2 interval builder: collapse CONSECUTIVE
+    rows with the same ``attr_col`` value per key into one validity
+    interval.  Boundary flag (lag change) + running sum assigns island
+    ids in one keyed shuffle; the island aggregate rides the same
+    partitioning.  Returns keys + attr + valid_from_s/valid_to_s (epoch
+    seconds) + n_events."""
+    keys = list(keys)
+    order = [ts_col] + ([tie_breaker] if tie_breaker else [])
+    w = window_spec(keys, order)
+    prev = F.lag(attr_col).over(w)
+    boundary = F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0)
+    islands = df.withColumn(
+        "__island",
+        F.sum(boundary).over(window_spec(keys, order, rows=(Window.unboundedPreceding, 0))),
+    )
+    return (
+        islands.groupBy(*keys, "__island", attr_col)
+        .agg(
+            F.min(F.col(ts_col).cast("long")).alias("valid_from_s"),
+            F.max(F.col(ts_col).cast("long")).alias("valid_to_s"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("__island")
+    )

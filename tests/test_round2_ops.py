@@ -102,3 +102,85 @@ def test_unpivot_round_trips_pivot(spark):
     }
     for k, v in direct.items():
         assert back[k] == v
+
+
+def test_pca_project_properties(spark):
+    """Pin the algebra: distributed covariance-method PCA must match
+    full-batch numpy PCA (up to the fixed sign), with decreasing
+    component variance and orthogonal loadings."""
+    import numpy as np
+
+    from interlinked_spark.llm.embeddings import pca_project
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    k = 4
+    got = {r.id: np.array(r.pc) for r in pca_project(e, k=k).collect()}
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    X = np.vstack([rows[i] for i in sorted(rows)])
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]
+    for j in range(k):
+        if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
+            comps[:, j] = -comps[:, j]
+    expected = (X - mu) @ comps
+    got_m = np.vstack([got[i] for i in sorted(rows)])
+    assert np.allclose(got_m, expected, atol=1e-6)
+    variances = got_m.var(axis=0, ddof=1)
+    assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(k - 1))
+
+
+def test_pca_project_input_validation(spark):
+    from interlinked_spark.llm.embeddings import pca_project
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        pca_project(e, k=0)
+    with pytest.raises(ValueError):
+        pca_project(e.limit(1), k=2)
+
+
+def test_merge_upsert_version_wins(spark):
+    from interlinked_spark.operators.merge import merge_upsert
+
+    current = spark.createDataFrame([(1, "a", 1), (2, "b", 5)], "k long, v string, ver long")
+    updates = spark.createDataFrame([(1, "a2", 2), (2, "old", 1), (3, "c", 1)], "k long, v string, ver long")
+    got = {(r.k, r.v, r.ver) for r in merge_upsert(current, updates, ["k"], version_col="ver").collect()}
+    # k=1: update has higher version; k=2: current keeps higher version;
+    # k=3: pure insert.
+    assert got == {(1, "a2", 2), (2, "b", 5), (3, "c", 1)}
+
+
+def test_time_grid_fill_dense_and_zero_filled(spark):
+    import datetime as dt
+
+    from interlinked_spark.operators.timeseries import time_grid_fill
+
+    t0 = dt.datetime(2026, 1, 1, 0, 30)
+    rows = [("a", t0), ("a", t0 + dt.timedelta(hours=3)), ("b", t0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {(r.k, r.bucket.hour, r.n) for r in time_grid_fill(df, ["k"], "ts", "hour").collect()}
+    assert out == {("a", 0, 1), ("a", 1, 0), ("a", 2, 0), ("a", 3, 1), ("b", 0, 1)}
+
+
+def test_change_intervals_collapses_runs(spark):
+    import datetime as dt
+
+    from interlinked_spark.operators.windows import change_intervals
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "x", t0, 1),
+        (1, "x", t0 + dt.timedelta(seconds=10), 2),
+        (1, "y", t0 + dt.timedelta(seconds=20), 3),
+        (1, "x", t0 + dt.timedelta(seconds=30), 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = sorted(
+        (r.event_type, r.n_events)
+        for r in change_intervals(df, ["user_id"], "ts", "event_type", "event_id").collect()
+    )
+    # x-run of 2, then y, then x again (NOT merged with the first x-run)
+    assert out == [("x", 1), ("x", 2), ("y", 1)]
