@@ -2068,3 +2068,35 @@ def q_embedding_pca(e: DataFrame) -> DataFrame:
 
     out = pca_project(e, "embedding", "vec_id", k=4)
     return out.select("id", *[F.round(F.element_at("pc", i + 1), 4).alias(f"pc{i+1}") for i in range(4)])
+
+
+@defq(
+    "sql_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_sql_revenue_by_nation(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Raw-SQL surface parity (§2b: `spark.sql` is a first-class entry
+    point next to the DataFrame API): identical text modulo dialect to
+    the DuckDB oracle; Catalyst still broadcasts the dims and prunes
+    columns — declarative is declarative in both APIs."""
+    for t in ("orders", "customer", "nation"):
+        spark.read.parquet(f"{base_dir}/{t}.parquet").createOrReplaceTempView(f"__sql_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM __sql_orders o
+        JOIN __sql_customer c ON o.o_custkey = c.c_custkey
+        JOIN __sql_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+        """
+    )

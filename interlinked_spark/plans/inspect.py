@@ -74,3 +74,16 @@ def lineage(wkf) -> dict:
             for child in children
         ],
     }
+
+
+def observed(df: DataFrame, name: str, metrics: dict):
+    """Attach named metrics to a plan via ``Observation`` (computed as
+    the action runs — zero extra passes, unlike ``df.count()``-style
+    probes).  Returns ``(df, observation)``; read
+    ``observation.get`` after the next action.  Pairs with the workflow
+    metrics hook for per-resource row counts at 100 TB, where a
+    separate counting job would double the scan."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs

@@ -184,3 +184,71 @@ def test_change_intervals_collapses_runs(spark):
     )
     # x-run of 2, then y, then x again (NOT merged with the first x-run)
     assert out == [("x", 1), ("x", 2), ("y", 1)]
+
+
+def test_round2_plan_pins(spark):
+    """100-TB plan posture for the round-2 operators, pinned:
+    grouping sets = ONE Expand + ONE shuffle (not a union of re-scans);
+    change_intervals = ONE shuffle (window and island aggregate share
+    the key partitioning); time_grid_fill joins on (keys, bucket) with
+    no cartesian/nested-loop."""
+    import re
+
+    from interlinked_spark.operators.reshape import grouping_sets_agg
+    from interlinked_spark.operators.timeseries import time_grid_fill
+    from interlinked_spark.operators.windows import change_intervals
+    from interlinked_spark.sources.readers import normalize_nanos
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    g = grouping_sets_agg(li, [["l_returnflag"], ["l_linestatus"], []], {"n": F.count("*")})
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1 and plan.count("Exchange") == 1
+
+    ev = normalize_nanos(spark.read.parquet(f"{SF}/events.parquet"))
+    ci = change_intervals(ev, ["user_id"], "ts", "event_type", "event_id")
+    plan = ci._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    tg = time_grid_fill(ev, ["event_type"], "ts", "hour", {"n": F.count("*")})
+    plan = tg._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_hash_sample_fractions_nest(spark):
+    """Threshold-prefix sampling makes samples NESTED: sample(0.05) is
+    a subset of sample(0.2) — the property that makes progressive
+    sampling cheap (seeded df.sample does not have it)."""
+    from interlinked_spark.operators.sampling import hash_sample
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    small = {r.c_custkey for r in hash_sample(c, "c_custkey", 0.05).select("c_custkey").collect()}
+    big = {r.c_custkey for r in hash_sample(c, "c_custkey", 0.2).select("c_custkey").collect()}
+    assert small and small <= big
+
+
+def test_text_sink_round_trips(spark, tmp_path):
+    """csv/json/orc sinks round-trip through the matching readers with
+    explicit schemas (§2b-A: schema inference is an extra full pass at
+    scale, so the read side always declares)."""
+    from interlinked_spark.sources import read_table
+    from interlinked_spark.sources.writers import write_table
+
+    src = spark.read.parquet(f"{SF}/nation.parquet").select("n_nationkey", "n_name")
+    expect = sorted(map(tuple, src.collect()))
+    schema = "n_nationkey bigint, n_name string"
+    for fmt, opts in [("csv", {"header": "true"}), ("json", {}), ("orc", {})]:
+        path = str(tmp_path / fmt)
+        write_table(src, path, fmt=fmt, **opts)
+        back = read_table(spark, path, fmt=fmt, schema=None if fmt == "orc" else schema, **opts)
+        assert sorted(map(tuple, back.collect())) == expect, fmt
+
+
+def test_observed_metrics_single_pass(spark):
+    from interlinked_spark.plans.inspect import observed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df, obs = observed(li, "li_metrics", {"rows": F.count(F.lit(1)), "qty": F.sum("l_quantity")})
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == li.count()
+    assert abs(got["qty"] - li.agg(F.sum("l_quantity")).first()[0]) < 1e-6
