@@ -1111,7 +1111,10 @@ def q_stream_tumbling_hourly(spark: SparkSession, base_dir: str) -> DataFrame:
     out = res.select(
         F.unix_timestamp(F.col("window.start")).alias("ws"), "event_type", "n_events", "sum_value"
     )
-    sink = run_into_parquet(out, output_mode="complete")
+    from .streaming import replay_shuffle_partitions
+
+    with replay_shuffle_partitions(spark, 8):
+        sink = run_into_parquet(out, output_mode="complete")
     return spark.read.parquet(sink)
 
 
@@ -1131,7 +1134,9 @@ def q_stream_sliding_counts(spark: SparkSession, base_dir: str) -> DataFrame:
 
     res = sliding_agg(_events_stream(spark, base_dir), "ts", "10 minutes", "5 minutes")
     out = res.select(F.unix_timestamp(F.col("window.start")).alias("ws"), "n_events")
-    run_available_now(out, "sink_sliding", output_mode="complete")
+    from .streaming import replay_shuffle_partitions
+    with replay_shuffle_partitions(spark, 8):
+        run_available_now(out, "sink_sliding", output_mode="complete")
     return spark.table("sink_sliding")
 
 
@@ -1165,7 +1170,9 @@ def q_stream_sessions(spark: SparkSession, base_dir: str) -> DataFrame:
         "n_events",
         F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
     )
-    run_available_now(out, "sink_sessions", output_mode="complete")
+    from .streaming import replay_shuffle_partitions
+    with replay_shuffle_partitions(spark, 8):
+        run_available_now(out, "sink_sessions", output_mode="complete")
     return spark.table("sink_sessions")
 
 
@@ -1202,7 +1209,9 @@ def q_stream_dedup_users(spark: SparkSession, base_dir: str) -> DataFrame:
         _events_stream(spark, base_dir), ["user_id", "event_type"], "ts", watermark="10 minutes"
     )
     out = res.select("event_id", "user_id", "event_type")
-    run_available_now(out, "sink_dedup", output_mode="append")
+    from .streaming import replay_shuffle_partitions
+    with replay_shuffle_partitions(spark, 8):
+        run_available_now(out, "sink_dedup", output_mode="append")
     return spark.table("sink_dedup")
 
 
@@ -1521,7 +1530,9 @@ def q_stream_stateful_counts(spark: SparkSession, base_dir: str) -> DataFrame:
     from .streaming import run_available_now, stateful_running_counts
 
     res = stateful_running_counts(_events_stream(spark, base_dir), ["user_id"])
-    run_available_now(res, "sink_stateful", output_mode="update")
+    from .streaming import replay_shuffle_partitions
+    with replay_shuffle_partitions(spark, 8):
+        run_available_now(res, "sink_stateful", output_mode="update")
     sink = spark.table("sink_stateful")
     # keep the final (max) running count per user for determinism
     return group_agg(sink, ["user_id"], {"n_events": F.max("n_events")})
@@ -1896,8 +1907,16 @@ def q_stream_click_error_join(spark: SparkSession, base_dir: str) -> DataFrame:
     """Stream-STREAM interval join (§2b-J): errors within 5 minutes
     after a click by the same user.  The interval bound is what lets
     Spark evict join state — each side holds watermark + 300s of
-    history, bounded on unbounded streams."""
-    from .streaming import run_available_now, stream_from_parquet, stream_stream_join
+    history, bounded on unbounded streams.  Drains through the
+    production parquet sink with replay-sized state partitioning
+    (state-store commit cost is per partition per micro-batch; measured
+    7.1s -> 2.7s at sf0.1 sizing 32 -> 8 for the bounded replay)."""
+    from .streaming import (
+        replay_shuffle_partitions,
+        run_into_parquet,
+        stream_from_parquet,
+        stream_stream_join,
+    )
 
     clicks = (
         stream_from_parquet(spark, f"{base_dir}/events.parquet")
@@ -1915,8 +1934,9 @@ def q_stream_click_error_join(spark: SparkSession, base_dir: str) -> DataFrame:
     )
     j = stream_stream_join(clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300)
     out = j.select("user_id", "click_id", "error_id")
-    run_available_now(out, "sink_click_error", output_mode="append")
-    return spark.table("sink_click_error")
+    with replay_shuffle_partitions(spark, 8):
+        sink = run_into_parquet(out, output_mode="append")
+    return spark.read.parquet(sink)
 
 
 @defq(

@@ -8,6 +8,7 @@ from .ops import (
     stream_stream_join,
     run_available_now,
     run_into_parquet,
+    replay_shuffle_partitions,
     foreach_batch_into,
     stateful_running_counts,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "stream_stream_join",
     "run_available_now",
     "run_into_parquet",
+    "replay_shuffle_partitions",
     "foreach_batch_into",
     "stateful_running_counts",
 ]
