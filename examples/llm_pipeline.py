@@ -1,0 +1,79 @@
+"""End-to-end LLM training-data pipeline as a workflow: quality filter
+-> exact dedup -> near-dup clustering -> canonical pick -> deterministic
+sample -> token accounting.  Every stage is a routed resource, so any
+intermediate is addressable (`run("docs.canonical")`) and memoized
+within a run.
+
+    PYTHONPATH=. python examples/llm_pipeline.py
+"""
+
+from pyspark.sql import functions as F
+
+from interlinked_spark import Workflow
+from interlinked_spark.llm import exact_text_dedup, near_dup_clusters, token_stats
+from interlinked_spark.llm.text import quality_scores
+from interlinked_spark.operators.sampling import hash_sample
+from interlinked_spark.session import get_spark
+
+wkf = Workflow("llm-pipeline", base_kw={"base_dir": "/root/testdata/sf0.001"})
+
+
+@wkf.provide("spark")
+def spark_session():
+    return get_spark("llm-pipeline-example")
+
+
+@wkf.depend(spark="spark")
+@wkf.provide("docs.raw")
+def raw(spark, base_dir):
+    return spark.read.parquet(f"{base_dir}/documents.parquet")
+
+
+@wkf.depend(d="docs.raw")
+@wkf.provide("docs.clean")
+def clean(d, min_tokens: int = 5, max_upper_ratio: float = 0.5):
+    q = quality_scores(d)
+    return q.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("upper_ratio") <= max_upper_ratio)
+    ).select(d.columns)
+
+
+@wkf.depend(d="docs.clean")
+@wkf.provide("docs.exact_deduped")
+def exact_deduped(d):
+    return exact_text_dedup(d)
+
+
+@wkf.depend(d="docs.exact_deduped")
+@wkf.provide("docs.canonical")
+def canonical(d, jaccard_threshold: float = 0.5):
+    """One document per near-dup cluster (the cluster's min doc id)."""
+    clusters = near_dup_clusters(d, threshold=jaccard_threshold)
+    return d.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"), "doc_id"
+    )
+
+
+@wkf.depend(d="docs.canonical")
+@wkf.provide("docs.sample.{pct:int}")
+def sample(d, pct):
+    return hash_sample(d, "doc_id", int(pct) / 100, salt="train-v1")
+
+
+@wkf.depend(d="docs.sample.20")
+@wkf.provide("report")
+def report(d):
+    stats = token_stats(d)
+    return stats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe_est").alias("total_bpe_est"),
+    )
+
+
+if __name__ == "__main__":
+    out = wkf.run("report")
+    row = out.first()
+    assert row.n_docs > 0 and row.total_tokens > row.n_docs
+    print(f"sampled {row.n_docs} canonical docs, ~{row.total_tokens} tokens "
+          f"(~{row.total_bpe_est} BPE-estimated)")

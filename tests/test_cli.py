@@ -84,7 +84,7 @@ def test_example_scripts_run():
     import os
 
     env = {**os.environ, "PYTHONPATH": REPO}
-    for script in ["examples/caching.py", "examples/multi_workflow.py"]:
+    for script in ["examples/caching.py", "examples/multi_workflow.py", "examples/llm_pipeline.py"]:
         out = subprocess.run(
             [sys.executable, script],
             capture_output=True,
