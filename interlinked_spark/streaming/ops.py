@@ -301,3 +301,61 @@ def replay_shuffle_partitions(spark: SparkSession, n: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def stateful_running_counts_tws(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`stateful_running_counts` — the successor stateful API
+    (typed state handles, timers, state schema evolution; requires the
+    RocksDB state store provider).
+
+    DEPENDENCY GATE: the TWS Python runner speaks a protobuf state
+    protocol, so ``google.protobuf`` must be importable on driver and
+    workers.  This sandbox ships without it — the import-try raises a
+    clear error here, and the functional test skips; the
+    ``applyInPandasWithState`` path above is the oracle-gated stateful
+    operator in this environment."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without protobuf
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's TWS state protocol); install protobuf or use "
+            "stateful_running_counts (applyInPandasWithState) instead"
+        ) from exc
+
+    import pandas as pd  # local: also needed on executors
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    keys = list(key_cols)
+    out_schema = ", ".join(f"{c} long" for c in keys) + ", n_events long"
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame([{**dict(zip(keys, key)), "n_events": n}])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark(watermark_col, watermark)
+        .groupBy(*keys)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

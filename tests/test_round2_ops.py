@@ -252,3 +252,105 @@ def test_observed_metrics_single_pass(spark):
     got = obs.get
     assert got["rows"] == li.count()
     assert abs(got["qty"] - li.agg(F.sum("l_quantity")).first()[0]) < 1e-6
+
+
+def test_hash_sample_invariant_to_partitioning(spark):
+    """The claim that distinguishes hash_sample from seeded df.sample:
+    the drawn ids do NOT change when the partition layout changes."""
+    from interlinked_spark.operators.sampling import hash_sample
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    base = sorted(r.c_custkey for r in hash_sample(c, "c_custkey", 0.3).select("c_custkey").collect())
+    for layout in (c.repartition(17), c.repartition(1), c.coalesce(2)):
+        again = sorted(r.c_custkey for r in hash_sample(layout, "c_custkey", 0.3).select("c_custkey").collect())
+        assert again == base
+
+
+def test_merge_upsert_idempotent(spark):
+    from interlinked_spark.operators.merge import merge_upsert
+
+    current = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    updates = current.limit(50).withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    once = merge_upsert(current, updates, ["o_orderkey"])
+    twice = merge_upsert(once, updates, ["o_orderkey"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b and len(a) == current.count()
+
+
+def test_stream_checkpoint_incremental_processing(spark, tmp_path):
+    """Exactly-once incremental replay: a second drain against the SAME
+    checkpoint processes only newly-arrived files — the contract that
+    makes the parquet drain restartable at scale."""
+    import shutil
+
+    from interlinked_spark.streaming import foreach_batch_into
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    shutil.copy(f"{SF}/nation.parquet", src / "batch1.parquet")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(src)).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        foreach_batch_into(
+            stream,
+            lambda b, _i: b.write.mode("append").parquet(str(sink)),
+            checkpoint=ckpt,
+            output_mode="append",
+        )
+
+    drain()
+    n1 = spark.read.parquet(str(sink)).count()
+    drain()  # no new files -> no new rows
+    assert spark.read.parquet(str(sink)).count() == n1
+    shutil.copy(f"{SF}/nation.parquet", src / "batch2.parquet")  # new file arrives
+    drain()
+    assert spark.read.parquet(str(sink)).count() == 2 * n1
+
+
+def test_tws_stateful_counts_or_documented_gate(spark):
+    """transformWithStateInPandas (Spark 4 stateful API): when protobuf
+    is available the final per-key state must equal batch counts;
+    without it (this sandbox) the operator must fail FAST with a clear
+    dependency error, not crash mid-stream."""
+    from interlinked_spark.streaming import (
+        replay_shuffle_partitions,
+        run_available_now,
+        stateful_running_counts_tws,
+        stream_from_parquet,
+    )
+
+    stream = stream_from_parquet(spark, f"{SF}/events.parquet")
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            stateful_running_counts_tws(stream, ["user_id"])
+        return
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stateful_running_counts_tws(stream, ["user_id"])
+        with replay_shuffle_partitions(spark, 8):
+            run_available_now(out, "sink_tws_test", output_mode="update")
+        got = {
+            (r.user_id, r.n)
+            for r in spark.table("sink_tws_test").groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+        }
+        batch = {
+            (r.user_id, r.n)
+            for r in spark.read.parquet(f"{SF}/events.parquet").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == batch
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
