@@ -354,3 +354,63 @@ def test_tws_stateful_counts_or_documented_gate(spark):
     finally:
         if old:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_whole_catalog_plan_audit(spark):
+    """Engine-wide plan guard over every batch catalog query: no
+    accidental CartesianProduct / BroadcastNestedLoopJoin (only the
+    deliberate cross-join and broadcast-theta range joins may nest
+    loops) and no row-at-a-time Python (BatchEvalPython) outside the
+    labeled escape-hatch demo."""
+    from interlinked_spark import catalog
+
+    allowed_nested_loop = {
+        "status_region_matrix",    # deliberate cross join
+        "price_band_join",         # broadcast theta range join
+        "click_attribution_asof",  # broadcast as-of fallback at tiny SF
+        "next_error_asof_fwd",
+        "banded_price_match",      # residual-band theta after equi-bucket
+        "similarity_cosine_topk",  # documented brute-force: broadcast query side
+        "similarity_ivf_topk",     # probe-list membership against broadcast centroids
+        "doc_tfidf_top_terms",     # broadcast ONE-ROW corpus-stats frame
+        "doc_bm25_query",          # broadcast ONE-ROW corpus-stats frame
+    }
+    # UDTF eval is row-based by API design — that IS the tier being demoed.
+    allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
+    skip_prefixes = ("stream_",)
+    skip = {"embedding_pca"}  # eager two-phase algorithm (collects partials)
+
+    offenders = []
+    for name in catalog.query_names():
+        if name.startswith(skip_prefixes) or name in skip:
+            continue
+        df = catalog.run_query(name, spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        nested = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+        if nested and name not in allowed_nested_loop:
+            offenders.append((name, "nested-loop join"))
+        if "BatchEvalPython" in plan and name not in allowed_row_udf:
+            offenders.append((name, "row-at-a-time Python"))
+    assert not offenders, offenders
+
+
+def test_round2_ops_empty_inputs(spark):
+    """Empty-input behavior: near-dup clustering, connected components
+    and time_grid_fill degrade to empty/identity, not errors."""
+    from interlinked_spark.llm.dedup import near_dup_clusters
+    from interlinked_spark.operators.graph import connected_components
+    from interlinked_spark.operators.timeseries import time_grid_fill
+
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(no_edges, "src", "dst").count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    # no pair clears the threshold -> every doc is its own cluster
+    got = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(docs, threshold=0.9).collect()}
+    assert got == {(1, 1), (2, 2)}
+
+    empty_ts = spark.createDataFrame([], "k string, ts timestamp")
+    assert time_grid_fill(empty_ts, ["k"], "ts", "hour").count() == 0
