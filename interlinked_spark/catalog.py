@@ -2120,3 +2120,27 @@ def q_sql_revenue_by_nation(spark: SparkSession, base_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@defq(
+    "nation_acctbal_corr",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n,
+           ROUND(corr(c_acctbal, o_totalprice), 4) AS corr_bal_price,
+           ROUND(covar_samp(c_acctbal, o_totalprice), 2) AS covar_bal_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    o="table.orders",
+    c="table.customer",
+)
+def q_nation_acctbal_corr(o: DataFrame, c: DataFrame) -> DataFrame:
+    """Bivariate statistical aggregates (§2b-D): Pearson correlation and
+    sample covariance per nation — single-pass JVM aggregates after the
+    fact-side join."""
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("c_acctbal", "o_totalprice"), 4).alias("corr_bal_price"),
+        F.round(F.covar_samp("c_acctbal", "o_totalprice"), 2).alias("covar_bal_price"),
+    )
