@@ -2144,3 +2144,29 @@ def q_nation_acctbal_corr(o: DataFrame, c: DataFrame) -> DataFrame:
         F.round(F.corr("c_acctbal", "o_totalprice"), 4).alias("corr_bal_price"),
         F.round(F.covar_samp("c_acctbal", "o_totalprice"), 2).alias("covar_bal_price"),
     )
+
+
+@defq(
+    "user_trailing_hour_value",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id
+             ORDER BY floor(epoch(CAST(ts AS TIMESTAMP)))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h_value
+    FROM events
+    """,
+)
+def q_user_trailing_hour_value(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Time-RANGE window frame (§2b-E): trailing 1-hour per-user value
+    sum — rangeBetween on epoch seconds, the frame type rows-frames
+    can't express when events are irregularly spaced."""
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select("event_id", F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"))
