@@ -2026,8 +2026,8 @@ def q_orders_merge_upsert(o: DataFrame) -> DataFrame:
     "customer_balance_quartiles",
     oracle="""
     SELECT c_custkey,
-           ROUND(percent_rank() OVER w, 6) AS pr,
-           ROUND(cume_dist() OVER w, 6) AS cd,
+           CAST(floor(percent_rank() OVER w * 1e6) AS BIGINT) AS pr_micros,
+           CAST(floor(cume_dist() OVER w * 1e6) AS BIGINT) AS cd_micros,
            ntile(4) OVER w AS quartile,
            first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
            nth_value(c_custkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second
@@ -2038,13 +2038,17 @@ def q_orders_merge_upsert(o: DataFrame) -> DataFrame:
 def q_customer_balance_quartiles(c: DataFrame) -> DataFrame:
     """Distribution window functions (§2b-E): percent_rank, cume_dist,
     ntile, first/nth_value over a TOTAL order (unique tie-breaker keeps
-    every function deterministic)."""
+    every function deterministic).  Ratios ship as floor-micros
+    integers: percent_rank/cume_dist are small-integer fractions that
+    land EXACTLY on .5 at any decimal rounding, where Spark (HALF_UP)
+    and other engines (half-even) legitimately disagree — floor of the
+    identical IEEE double is engine-independent."""
     wo = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     full = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(wo), 6).alias("pr"),
-        F.round(F.cume_dist().over(wo), 6).alias("cd"),
+        F.floor(F.percent_rank().over(wo) * 1e6).alias("pr_micros"),
+        F.floor(F.cume_dist().over(wo) * 1e6).alias("cd_micros"),
         F.ntile(4).over(wo).alias("quartile"),
         F.first("c_custkey").over(full).alias("poorest"),
         F.nth_value("c_custkey", 2).over(full).alias("second"),

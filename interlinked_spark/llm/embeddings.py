@@ -40,6 +40,8 @@ def pca_project(
 
     def partials(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             yield pd.DataFrame(
                 [{"n": len(X), "s": X.sum(axis=0).tolist(), "g": (X.T @ X).ravel().tolist()}]
