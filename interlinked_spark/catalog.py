@@ -2174,3 +2174,24 @@ def q_user_trailing_hour_value(spark: SparkSession, base_dir: str) -> DataFrame:
         .rangeBetween(-3600, 0)
     )
     return ev.select("event_id", F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"))
+
+
+@defq(
+    "totalprice_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bin,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    o="table.orders",
+)
+def q_totalprice_histogram(o: DataFrame) -> DataFrame:
+    """Fixed-width histogram via width_bucket (§2b-D binning): one hash
+    aggregate over computed bins (oracle spells out the same floor
+    arithmetic — DuckDB 1.0 has no width_bucket)."""
+    bins = F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12))
+    return o.groupBy(bins.alias("bin")).agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
