@@ -14,6 +14,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def merge_upsert(
@@ -26,13 +27,24 @@ def merge_upsert(
     both resolve to the update (or, with ``version_col``, to the highest
     version, updates winning ties).  Schemas must match by name.
     Implemented as union + per-key row_number — ONE shuffle, no
-    driver-side diffing."""
+    driver-side diffing.
+
+    When ``updates`` carries several rows for one key with no (or equal)
+    ``version_col``, the survivor is made deterministic by a final
+    tie-break on a stable hash of the whole row, so reruns and
+    repartitionings pick the same row."""
     tagged = current.withColumn("__src", F.lit(0)).unionByName(
         updates.withColumn("__src", F.lit(1))
     )
     order = [F.desc("__src")]
     if version_col is not None:
         order.insert(0, F.desc(version_col))
+    # Deterministic last resort: hash every hashable payload column
+    # (xxhash64 rejects MapType).
+    hashable = [
+        f.name for f in current.schema.fields if not isinstance(f.dataType, MapType)
+    ]
+    order.append(F.xxhash64(*[F.col(c) for c in hashable]).asc())
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))

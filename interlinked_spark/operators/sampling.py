@@ -30,6 +30,10 @@ def hash_sample(
     draw independent samples."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        # format(16**8, '08x') is 9 chars; an 8-char prefix compared
+        # against it lexicographically would keep only ~6% of rows.
+        return df
     threshold = format(int(fraction * _HEX_SPACE), "08x")
     prefix = F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
     return df.filter(prefix < F.lit(threshold))
@@ -37,6 +41,8 @@ def hash_sample(
 
 def hash_sample_sql(key_col: str, fraction: float, salt: str = "") -> str:
     """The equivalent ANSI-SQL predicate (oracle parity helper)."""
+    if fraction >= 1.0:
+        return "1 = 1"
     threshold = format(int(fraction * _HEX_SPACE), "08x")
     return f"substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < '{threshold}'"
 

@@ -1,0 +1,89 @@
+"""Round-3 operator additions and ADVICE-fix regressions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_full_fraction_keeps_everything(spark):
+    """ADVICE r2 (medium): fraction=1.0 used to compare the 8-char md5
+    prefix against the 9-char '100000000' and silently keep ~6%."""
+    from interlinked_spark.operators.sampling import hash_sample, hash_sample_sql
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    assert hash_sample(c, "c_custkey", 1.0).count() == c.count()
+    assert hash_sample_sql("c_custkey", 1.0) == "1 = 1"
+
+
+def test_hash_sample_sql_matches_engine_at_full_fraction(spark):
+    import duckdb
+
+    from interlinked_spark.operators.sampling import hash_sample_sql
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/customer.parquet') "
+        f"WHERE {hash_sample_sql('c_custkey', 1.0)}"
+    ).fetchone()[0]
+    total = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchone()[0]
+    assert n == total
+
+
+def test_merge_upsert_duplicate_updates_deterministic(spark):
+    """ADVICE r2 (low): with duplicate update rows per key and no
+    version, the survivor must be identical across runs/partitionings."""
+    from interlinked_spark.operators.merge import merge_upsert
+
+    current = spark.createDataFrame([(1, "cur")], "k long, v string")
+    dup_rows = [(1, f"u{i}") for i in range(8)] + [(2, f"w{i}") for i in range(8)]
+    results = set()
+    for nparts in (1, 3, 16):
+        updates = spark.createDataFrame(dup_rows, "k long, v string").repartition(nparts)
+        got = tuple(
+            sorted((r.k, r.v) for r in merge_upsert(current, updates, ["k"]).collect())
+        )
+        results.add(got)
+    assert len(results) == 1, f"nondeterministic survivors: {results}"
+    ks = [k for k, _ in next(iter(results))]
+    assert ks == [1, 2]
+
+
+def test_merge_upsert_handles_map_columns(spark):
+    """The deterministic tie-breaker hashes only hashable columns —
+    MapType payloads must not break the operator."""
+    from interlinked_spark.operators.merge import merge_upsert
+
+    current = spark.createDataFrame(
+        [(1, {"a": 1})], "k long, m map<string,int>"
+    )
+    updates = spark.createDataFrame(
+        [(1, {"b": 2}), (2, {"c": 3})], "k long, m map<string,int>"
+    )
+    got = {r.k: dict(r.m) for r in merge_upsert(current, updates, ["k"]).collect()}
+    assert got[2] == {"c": 3}
+    assert got[1] in ({"b": 2},)  # update wins
+
+
+def test_query_names_orders_driver_ungated_first():
+    """The driver CORRECTNESS gate records a bounded number of rows per
+    round — names it has never verified must enumerate first."""
+    import json
+    from pathlib import Path
+
+    from interlinked_spark import catalog
+
+    names = catalog.query_names()
+    assert sorted(names) == sorted(catalog._QUERY_NAMES)
+    seen: set[str] = set()
+    for p in Path("/root/repo").glob("CORRECTNESS_r*.json"):
+        seen |= set(json.loads(p.read_text()))
+    seen &= set(names)
+    if seen and len(seen) < len(names):
+        first_gated = min(names.index(n) for n in seen)
+        last_ungated = max(i for i, n in enumerate(names) if n not in seen)
+        assert last_ungated < first_gated
