@@ -1770,7 +1770,8 @@ def q_customer_hash_sample(c: DataFrame) -> DataFrame:
       FROM documents
     ), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
-    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+              HAVING COUNT(DISTINCT doc_id) <= 100000),
     scored AS (
       SELECT doc_id, term, tf, tf * (ln((n_docs + 1) / (df + 1)) + 1) AS tfidf
       FROM tf JOIN dfreq USING (term) CROSS JOIN nd
@@ -1785,10 +1786,12 @@ def q_customer_hash_sample(c: DataFrame) -> DataFrame:
 def q_doc_tfidf_top_terms(d: DataFrame) -> DataFrame:
     """Smoothed TF-IDF, top-3 terms per document (§2b-K ranking): one
     explode + two hash aggregates + a term-keyed join, all JVM-side;
-    ranking via WindowGroupLimit-eligible row_number."""
+    ranking via WindowGroupLimit-eligible row_number.  The
+    ``max_term_df`` cap (mirrored in the oracle's HAVING) keeps the
+    term-keyed join skew-free on Zipf stopwords at corpus scale."""
     from .llm.ranking import tf_idf
 
-    t = tf_idf(d)
+    t = tf_idf(d, max_term_df=100_000)
     top = top_k_per_group(t, ["id"], [F.desc("tfidf"), F.asc("term")], 3)
     return top.select(
         F.col("id").alias("doc_id"), "term", "tf", F.round("tfidf", 6).alias("tfidf")

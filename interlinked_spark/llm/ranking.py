@@ -34,6 +34,7 @@ def tf_idf(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_term_df: int | None = None,
 ) -> DataFrame:
     """Smoothed TF-IDF per (document, term):
     ``tfidf = tf * (ln((N + 1) / (df + 1)) + 1)``.
@@ -44,10 +45,20 @@ def tf_idf(
     aggregate and the scoring join; A/B-tested leaving the recompute in
     place vs localCheckpoint — the checkpoint LOST (5.4s -> 8.8s at
     sf0.1): both branches partial-aggregate below the exchange, so the
-    recompute is cheaper than materializing the full postings table."""
+    recompute is cheaper than materializing the full postings table.
+
+    ``max_term_df`` drops terms appearing in more than that many
+    documents BEFORE the term-keyed scoring join (inner join against the
+    capped df table).  At corpus scale the term key is Zipf-skewed —
+    stopwords like 'the' appear in ~every document and would funnel a
+    huge fraction of the postings through a handful of reducers; the cap
+    removes those hot keys deterministically (they carry near-zero idf
+    anyway), the same trade as ``max_shingle_df`` in dedup."""
     postings = _postings(df, text_col, id_col)
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     doc_freq = postings.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    if max_term_df is not None:
+        doc_freq = doc_freq.filter(F.col("df") <= max_term_df)
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
     return (
         postings.join(doc_freq, "term")

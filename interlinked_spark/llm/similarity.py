@@ -130,6 +130,25 @@ def embedding_near_dup_pairs(
     )
 
 
+def bounded_fit_sample(
+    df: DataFrame,
+    key_col: str,
+    target_rows: int,
+    n_total: int | None = None,
+) -> DataFrame:
+    """A deterministic ~``target_rows``-row sample for model fitting
+    (md5-hash keyed, so reproducible across runs/partitionings).  At
+    100 TB a coarse quantizer's centroids stop improving after ~1e5
+    training rows — fitting on the full corpus is pure waste.  The
+    row count is one column-pruned scan; pass ``n_total`` to skip it."""
+    from ..operators.sampling import hash_sample
+
+    n = df.count() if n_total is None else n_total
+    if n <= target_rows:
+        return df
+    return hash_sample(df, key_col, target_rows / n, salt="fit")
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -139,6 +158,7 @@ def ivf_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
     assigns every corpus vector to a centroid; each query searches only
@@ -148,6 +168,12 @@ def ivf_top_k(
     file), queries broadcast to their probed partitions — a 1000x
     corpus only grows the per-list scan, not the all-pairs product.
     Recall is tunable via ``n_probe`` (= n_clusters -> exact).
+
+    The quantizer fits on a deterministic hash sample capped at
+    ``fit_sample_rows`` (floored at ``10 * n_clusters``) — centroid
+    quality saturates long before that, and a full-corpus ``KMeans.fit``
+    would iterate over all 100 TB per Lloyd round.  Assignment
+    (``transform``) still covers the full corpus.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -158,7 +184,10 @@ def ivf_top_k(
         array_to_vector(F.col(vec_col)).alias("features"),
     )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="centroid")
-    model = km.fit(prep)
+    fit_df = bounded_fit_sample(
+        prep, "neighbor_id", max(fit_sample_rows, 10 * n_clusters)
+    )
+    model = km.fit(fit_df)
     assigned = model.transform(prep).select("neighbor_id", "__cv", "centroid")
 
     # Broadcastable centroid table: (centroid id, centroid vector)

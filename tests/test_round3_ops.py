@@ -69,6 +69,57 @@ def test_merge_upsert_handles_map_columns(spark):
     assert got[1] in ({"b": 2},)  # update wins
 
 
+def test_bounded_fit_sample_caps_rows(spark):
+    """VERDICT r2 #2: the IVF coarse quantizer must never fit on the
+    full corpus — the fit input is a deterministic bounded sample."""
+    from interlinked_spark.llm.similarity import bounded_fit_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    s = bounded_fit_sample(df, "k", 2_000)
+    n = s.count()
+    assert 800 < n < 4_000, n
+    # Deterministic: same rows every time.
+    assert s.count() == n
+    # Under the cap -> unchanged.
+    assert bounded_fit_sample(df, "k", 50_000).count() == 20_000
+
+
+def test_ivf_probe_all_exact_with_sampled_fit(spark):
+    """Probe-all IVF == brute-force top-k regardless of where the
+    centroids came from (the sampled fit must not change exactness)."""
+    from interlinked_spark.llm.similarity import cosine_top_k, ivf_top_k
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_clusters = 4
+    ivf = ivf_top_k(
+        e, e.limit(10), k=3, n_clusters=n_clusters, n_probe=n_clusters,
+        fit_sample_rows=50,
+    )
+    brute = cosine_top_k(e, e.limit(10), k=3)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    assert got == want
+
+
+def test_tf_idf_max_term_df_drops_hot_terms(spark):
+    """VERDICT r2 #3: a Zipf-hot term (df == corpus size) must be
+    droppable before the term-keyed join."""
+    from interlinked_spark.llm.ranking import tf_idf
+
+    docs = [(i, f"the unique{i} word{i % 3}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = tf_idf(df, max_term_df=10)
+    terms = {r.term for r in capped.select("term").distinct().collect()}
+    assert "the" not in terms            # df=20 > cap
+    assert "word0" in terms              # df~7 <= cap
+    # Surviving scores identical to the uncapped run.
+    uncapped = tf_idf(df)
+    cap_scores = {(r.id, r.term): r.tfidf for r in capped.collect()}
+    unc_scores = {(r.id, r.term): r.tfidf for r in uncapped.collect()}
+    for key, v in cap_scores.items():
+        assert abs(unc_scores[key] - v) < 1e-9
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
