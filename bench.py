@@ -55,6 +55,8 @@ HEADLINE = [
     # groups at sf0.1) — that is the §2b-I tier's inherent cost, demoed
     # and oracle-gated at sf0.01, not a plan regression to track.
     "stream_click_error_join",
+    # round 3 additions
+    "nation_ols_slope",
 ]
 
 
@@ -85,14 +87,19 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    prev_files = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
-    if prev_files:
+    root = Path(__file__).resolve().parent
+    prev_files = sorted(root.glob("BENCH_r*.json"))
+
+    def _round_queries(p: Path) -> dict:
         try:
-            doc = json.loads(prev_files[-1].read_text())
+            doc = json.loads(p.read_text())
             # Driver records wrap our JSON line under "parsed".
-            prev = doc.get("parsed", doc).get("queries", {})
+            return doc.get("parsed", doc).get("queries", {}) or {}
         except (json.JSONDecodeError, OSError, AttributeError):
-            prev = {}
+            return {}
+
+    if prev_files:
+        prev = _round_queries(prev_files[-1])
         ratios = {
             n: round(t / prev[n], 2)
             for n, t in timings.items()
@@ -100,9 +107,32 @@ def main() -> None:
         }
         if ratios:
             payload["vs_prev"] = {"round": prev_files[-1].stem, "ratio": ratios}
-            for n, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+
+    # Floor tracking: per-query best time across ALL recorded rounds
+    # (persisted to BENCH_FLOOR.json) — a slow creep can't hide behind
+    # round-over-round ratios.
+    floor_file = root / "BENCH_FLOOR.json"
+    try:
+        floor: dict[str, float] = json.loads(floor_file.read_text())
+    except (json.JSONDecodeError, OSError):
+        floor = {}
+    for p in prev_files:
+        for n, t in _round_queries(p).items():
+            if isinstance(t, (int, float)) and (n not in floor or t < floor[n]):
+                floor[n] = t
+    if floor:
+        try:
+            floor_file.write_text(json.dumps(floor, indent=1, sort_keys=True) + "\n")
+        except OSError:
+            pass
+        vs_floor = {
+            n: round(t / floor[n], 2) for n, t in timings.items() if floor.get(n)
+        }
+        if vs_floor:
+            payload["vs_floor"] = vs_floor
+            for n, r in sorted(vs_floor.items(), key=lambda kv: -kv[1]):
                 if r > 1.5:
-                    print(f"REGRESSION {n}: {r}x vs {prev_files[-1].stem}", file=sys.stderr)
+                    print(f"REGRESSION {n}: {r}x vs floor ({floor[n]}s)", file=sys.stderr)
 
     print(json.dumps(payload))
     spark.stop()

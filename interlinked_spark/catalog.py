@@ -1926,6 +1926,54 @@ def q_customer_events_cogroup(spark: SparkSession, base_dir: str) -> DataFrame:
 
 
 @defq(
+    "nation_ols_slope",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*)                                        AS n,
+           ROUND(regr_slope(c_acctbal, c_custkey), 6)      AS slope,
+           ROUND(regr_intercept(c_acctbal, c_custkey), 6)  AS intercept
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    c="table.customer",
+)
+def q_nation_ols_slope(c: DataFrame) -> DataFrame:
+    """Grouped-map applyInPandas (§2b-I tier 3a): per-nation OLS fit of
+    acctbal on custkey — genuinely per-group Python (a model fit per
+    group, à la the reference's MLflow train loop,
+    ``/root/reference/examples/ml-flow.py:61-79``), one Arrow batch per
+    nation.  Oracle: DuckDB ``regr_slope`` / ``regr_intercept``."""
+    import pandas as pd
+
+    from .operators.udfs import grouped_apply
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["c_custkey"].to_numpy(dtype="float64")
+        y = pdf["c_acctbal"].to_numpy(dtype="float64")
+        mx, my = x.mean(), y.mean()
+        var = ((x - mx) ** 2).sum()
+        slope = float(((x - mx) * (y - my)).sum() / var) if var > 0 else None
+        intercept = my - slope * mx if slope is not None else None
+        return pd.DataFrame(
+            [
+                {
+                    "c_nationkey": pdf["c_nationkey"].iloc[0],
+                    "n": len(pdf),
+                    "slope": round(slope, 6) if slope is not None else None,
+                    "intercept": round(intercept, 6) if intercept is not None else None,
+                }
+            ]
+        )
+
+    return grouped_apply(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        fit,
+        "c_nationkey int, n long, slope double, intercept double",
+    )
+
+
+@defq(
     "stream_click_error_join",
     oracle="""
     SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id
