@@ -1974,6 +1974,84 @@ def q_nation_ols_slope(c: DataFrame) -> DataFrame:
 
 
 @defq(
+    "skewed_flag_totals",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                          AS n,
+           ROUND(SUM(l_quantity), 2)         AS sum_qty,
+           ROUND(AVG(l_extendedprice), 6)    AS avg_price,
+           ROUND(MAX(l_extendedprice), 2)    AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    li="table.lineitem",
+)
+def q_skewed_flag_totals(li: DataFrame) -> DataFrame:
+    """Salted two-phase aggregation (§2b-D skew path): ``l_returnflag``
+    has ~3 values over the whole fact table — the textbook skewed GROUP
+    BY where every row of a hot key lands on one reducer.  Partials
+    aggregate on ``key + salt`` first, so a hot key spreads over 16
+    buckets; sums/counts/min/max combine losslessly, avg combines via
+    sum+count partials.  The result is salt-invariant, so the oracle is
+    the plain GROUP BY."""
+    from .operators.skew import salted_group_agg
+
+    out = salted_group_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("count", F.count("*")),
+            "sum_qty": ("sum", F.sum("l_quantity")),
+            "avg_price": ("avg", F.col("l_extendedprice")),
+            "max_price": ("max", F.max("l_extendedprice")),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("avg_price", 6).alias("avg_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@defq(
+    "skewed_flag_join",
+    oracle="""
+    SELECT d.flag_label,
+           COUNT(*)                                              AS n,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('A', 'returned-accepted'),
+                 ('N', 'not-returned'),
+                 ('R', 'returned')) d(l_returnflag, flag_label)
+      ON l.l_returnflag = d.l_returnflag
+    GROUP BY d.flag_label
+    """,
+    li="table.lineitem",
+)
+def q_skewed_flag_join(li: DataFrame, spark: SparkSession) -> DataFrame:
+    """Salted join (§2b-C skew path): the fact side is keyed on a
+    3-value column — every key is hot, so even AQE's split partitions
+    each hold one key.  The dimension side explodes to all 16 salt
+    values (3 x 16 rows — nothing), the fact side salts randomly, and
+    the hot keys spread across ``salt_buckets`` reducers.  Aggregating
+    after the join makes the result salt-invariant for the oracle."""
+    from .operators.skew import salted_join
+
+    dim = spark.createDataFrame(
+        [("A", "returned-accepted"), ("N", "not-returned"), ("R", "returned")],
+        "l_returnflag string, flag_label string",
+    )
+    joined = salted_join(li, dim, on=["l_returnflag"], salt_buckets=16)
+    return group_agg(
+        joined,
+        ["flag_label"],
+        {"n": F.count("*"), "revenue": F.round(F.sum(_rev()), 2)},
+    )
+
+
+@defq(
     "stream_click_error_join",
     oracle="""
     SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id

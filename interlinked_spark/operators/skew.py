@@ -64,16 +64,26 @@ def salted_group_agg(
 
     ``aggs`` maps output name -> (combine_fn_name, partial Column);
     supported combine fns: sum, min, max, count (count combines via
-    sum).  Example::
+    sum), and avg.  For ``avg`` pass the RAW value column (not an
+    aggregate) — the partial phase computes sum+count and the final
+    phase divides, so the mean is exact across salt buckets.  Example::
 
         salted_group_agg(df, ["k"], {"total": ("sum", F.sum("v")),
-                                     "n": ("count", F.count("*"))})
+                                     "n": ("count", F.count("*")),
+                                     "mean": ("avg", F.col("v"))})
     """
     keys = list(keys)
+    partial_cols = []
+    for name, (fn, col) in aggs.items():
+        if fn == "avg":
+            partial_cols.append(F.sum(col).alias(f"__p_{name}__sum"))
+            partial_cols.append(F.count(col).alias(f"__p_{name}__cnt"))
+        else:
+            partial_cols.append(col.alias(f"__p_{name}"))
     partial = (
         df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
         .groupBy(*keys, "__salt")
-        .agg(*[col.alias(f"__p_{name}") for name, (_fn, col) in aggs.items()])
+        .agg(*partial_cols)
     )
     combine = {
         "sum": F.sum,
@@ -81,6 +91,12 @@ def salted_group_agg(
         "min": F.min,
         "max": F.max,
     }
-    return partial.groupBy(*keys).agg(
-        *[combine[fn](f"__p_{name}").alias(name) for name, (fn, _col) in aggs.items()]
-    )
+    final_cols = []
+    for name, (fn, _col) in aggs.items():
+        if fn == "avg":
+            final_cols.append(
+                (F.sum(f"__p_{name}__sum") / F.sum(f"__p_{name}__cnt")).alias(name)
+            )
+        else:
+            final_cols.append(combine[fn](f"__p_{name}").alias(name))
+    return partial.groupBy(*keys).agg(*final_cols)

@@ -120,6 +120,30 @@ def test_tf_idf_max_term_df_drops_hot_terms(spark):
         assert abs(unc_scores[key] - v) < 1e-9
 
 
+def test_salted_group_agg_avg_combiner(spark):
+    """VERDICT r2 #8: avg must combine exactly via sum+count partials
+    (a naive avg-of-partial-avgs would weight buckets equally)."""
+    from interlinked_spark.operators.skew import salted_group_agg
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.n, round(r.mean_qty, 9))
+        for r in salted_group_agg(
+            li,
+            ["l_returnflag"],
+            {"n": ("count", F.count("*")), "mean_qty": ("avg", F.col("l_quantity"))},
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.n, round(r.mean_qty, 9))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.avg("l_quantity").alias("mean_qty"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
