@@ -2354,3 +2354,378 @@ def q_totalprice_histogram(o: DataFrame) -> DataFrame:
     return o.groupBy(bins.alias("bin")).agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )
+
+
+# =====================================================================
+# Round 3 — CDC, funnels, audits, conditional aggs, vector math,
+# set-ops-by-name, SQL subqueries, streaming upsert, PII scrub,
+# distribution windows, sketches
+# =====================================================================
+
+
+@defq(
+    "events_dedup_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           ROUND(value, 2) AS last_value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_events_dedup_latest(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Keep-latest CDC compaction (§2b-D dedup family): one surviving
+    row per (user, event_type) ranked by recency with an id tie-break —
+    the standard change-log -> current-state collapse.  Window
+    group-limit keeps the per-key top-1 below the exchange."""
+    from .operators.merge import keep_latest
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    out = keep_latest(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@defq(
+    "click_purchase_funnel",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, MIN(ts) AS fc FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), converted AS (
+      SELECT DISTINCT f.user_id
+      FROM first_click f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts >= f.fc AND e.ts <= f.fc + INTERVAL 1 HOUR
+    )
+    SELECT (SELECT COUNT(*) FROM first_click) AS n_clickers,
+           (SELECT COUNT(*) FROM converted)   AS n_converted,
+           ROUND((SELECT COUNT(*) FROM converted) * 1.0
+                 / (SELECT COUNT(*) FROM first_click), 6) AS conversion
+    """,
+)
+def q_click_purchase_funnel(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Conversion funnel (§2b pipeline analytics): first click per user,
+    then a purchase by the same user within 1 hour.  Shape: one
+    aggregate for stage 1, a key-equi time-range join for stage 2 —
+    both shuffle only on user_id, no cross product."""
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    converted = (
+        first_click.join(purchases, "user_id")
+        .filter(
+            (F.col("pts") >= F.col("fc"))
+            & (F.col("pts") <= F.col("fc") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_click = first_click.agg(F.count("*").alias("n_clickers"))
+    n_conv = converted.agg(F.count("*").alias("n_converted"))
+    return (
+        n_click.crossJoin(n_conv)
+        .withColumn(
+            "conversion",
+            F.round(F.col("n_converted") / F.col("n_clickers"), 6),
+        )
+    )
+
+
+@defq(
+    "referential_audit",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AS customers_without_orders
+    """,
+    li="table.lineitem",
+    o="table.orders",
+    c="table.customer",
+)
+def q_referential_audit(li: DataFrame, o: DataFrame, c: DataFrame) -> DataFrame:
+    """Data-quality audit (§2b-C anti-join application): orphaned fact
+    rows + dimension rows without facts, three anti-joins folded into
+    one result row.  The anti-join is the scalable NOT EXISTS: no
+    driver-side key sets, broadcast where the right side is small."""
+    orphan_li = anti_join(li, o, li.l_orderkey == o.o_orderkey).agg(
+        F.count("*").alias("orphan_lineitems")
+    )
+    orphan_o = anti_join(o, c, o.o_custkey == c.c_custkey).agg(
+        F.count("*").alias("orphan_orders")
+    )
+    cust_no_orders = anti_join(c, o, c.c_custkey == o.o_custkey).agg(
+        F.count("*").alias("customers_without_orders")
+    )
+    return orphan_li.crossJoin(orphan_o).crossJoin(cust_no_orders)
+
+
+@defq(
+    "conditional_order_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                            AS n,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000)       AS n_big,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+                                                               AS n_f_custs,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+                                                               AS open_total,
+           ROUND(AVG(CASE WHEN o_totalprice > 200000 THEN o_totalprice END), 2)
+                                                               AS avg_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    o="table.orders",
+)
+def q_conditional_order_aggs(o: DataFrame) -> DataFrame:
+    """Conditional aggregation family (§2b-D/H): count_if, filtered
+    distinct count, filtered sum, conditional avg — all single-pass
+    JVM aggregates (the FILTER clause family), no self-joins."""
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("n_f_custs"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("open_total"),
+        F.round(
+            F.avg(F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))), 2
+        ).alias("avg_big"),
+    )
+
+
+@defq(
+    "embedding_vector_math",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_dot_product(emb, list_reverse(emb)), 4)  AS self_rev_dot,
+           ROUND(sqrt(list_sum(list_transform(emb, x -> x * x))), 4) AS l2_norm,
+           ROUND(list_sum(emb), 4)                             AS comp_sum,
+           ROUND(list_max(list_transform(emb, x -> abs(x))), 4) AS max_abs
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings)
+    """,
+    e="table.embeddings",
+)
+def q_embedding_vector_math(e: DataFrame) -> DataFrame:
+    """JVM array/vector math (§2b-K embeddings): zip_with dot product
+    against the reversed vector, aggregate-lambda L2 norm, component
+    sum, max |x| — the building blocks of every similarity kernel, all
+    Catalyst higher-order functions (no Python in the row path)."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_rev = F.aggregate(
+        F.zip_with(emb, F.reverse(emb), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    l2 = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x))
+    comp_sum = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x)
+    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    return e.select(
+        "vec_id",
+        F.round(dot_rev, 4).alias("self_rev_dot"),
+        F.round(l2, 4).alias("l2_norm"),
+        F.round(comp_sum, 4).alias("comp_sum"),
+        F.round(max_abs, 4).alias("max_abs"),
+    )
+
+
+@defq(
+    "orders_union_by_name",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_orderdate
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT COALESCE(o_orderpriority, 'none') AS priority,
+           COUNT(*) AS n,
+           COUNT(o_orderdate) AS with_date,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM unioned GROUP BY 1
+    """,
+    o="table.orders",
+)
+def q_orders_union_by_name(o: DataFrame) -> DataFrame:
+    """Schema-evolving union (§2b-G): two projections with different
+    column sets combined by NAME with missing columns null-filled
+    (``allowMissingColumns``) — the union you need when appending files
+    of drifting schemas; resolved at plan time, zero runtime cost."""
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce("o_orderpriority", F.lit("none")).alias("priority")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count("o_orderdate").alias("with_date"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@defq(
+    "customer_exists_subquery",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_above_avg
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    c="table.customer",
+    o="table.orders",
+)
+def q_customer_exists_subquery(
+    c: DataFrame, o: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """Correlated subqueries through the SQL surface (§2b-B/C):
+    correlated scalar subquery (above the per-nation average) + EXISTS
+    semi-join, decorrelated by Catalyst into aggregates + joins — the
+    declarative path for analysts who write SQL against the engine."""
+    c.createOrReplaceTempView("v_customer")
+    o.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_above_avg
+        FROM v_customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM v_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@defq(
+    "stream_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ROUND(value, 2) AS last_value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_stream_upsert_latest(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming CDC upsert (§2b-J sinks): the events change stream
+    maintains a keep-latest-per-user parquet table via foreachBatch
+    merge — batch-compact each micro-batch, then MERGE into the target.
+    The final materialized table must equal the batch keep-latest
+    answer regardless of micro-batch boundaries."""
+    from .streaming import replay_shuffle_partitions, run_upsert_into_parquet
+
+    with replay_shuffle_partitions(spark, 8):
+        path = run_upsert_into_parquet(
+            _events_stream(spark, base_dir), ["user_id"], ["ts", "event_id"]
+        )
+    out = spark.read.parquet(path)
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@defq(
+    "doc_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           substr(scrubbed, 1, 80) AS scrub_prefix,
+           CAST(len(string_split_regex(scrubbed, '<EMAIL>|<NUM>')) - 1 AS INTEGER)
+             AS n_redacted
+    FROM (SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+          FROM documents)
+    """,
+    d="table.documents",
+)
+def q_doc_pii_scrub(d: DataFrame) -> DataFrame:
+    """Corpus PII redaction (§2b-K text pipeline): typed placeholder
+    substitution (emails, long digit runs) + a per-doc redaction count
+    for audit — pure regexp_replace, patterns restricted to the
+    Java-regex/RE2 common subset so the oracle mirrors them verbatim."""
+    from .llm.text import scrub_pii
+
+    out = scrub_pii(d, "text")
+    return out.select(
+        "doc_id",
+        F.substring("scrubbed", 1, 80).alias("scrub_prefix"),
+        F.col("n_redacted"),
+    )
+
+
+@defq(
+    "customer_balance_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)    AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+    c="table.customer",
+)
+def q_customer_balance_distribution(c: DataFrame) -> DataFrame:
+    """Distribution window functions (§2b-E): percent_rank + cume_dist
+    per segment — rank-normalized features (SQL-standard tie
+    semantics, so engine-independent), one shuffle on the segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@defq("nation_hll_distinct", oracle=None, o="table.orders")
+def q_nation_hll_distinct(o: DataFrame) -> DataFrame:
+    """Mergeable HLL sketches (§2b-D approx family): per-priority
+    Datasketches HLL of distinct customers — sketches merge across
+    partitions (and across days, at 100 TB) without re-scanning, unlike
+    exact countDistinct.  Estimates are engine-specific -> rows-only
+    driver check; the suite pins estimate-vs-exact error locally."""
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("o_custkey"))
+            ).alias("approx_custs")
+        )
+        .select("o_orderpriority", "approx_custs")
+    )

@@ -106,3 +106,27 @@ def fingerprints(df: DataFrame, text_col: str = "text", out_col: str = "fingerpr
     return df.withColumn(
         out_col, F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
     )
+
+
+#: PII patterns safe in BOTH Java regex (Spark) and RE2 (DuckDB):
+#: plain character classes, no lookaround, no backreferences.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{7,}", "<NUM>"),  # long digit runs: phones, ids, cards
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    """Training-corpus PII redaction: emails then long digit runs
+    replaced with typed placeholder tokens, plus a redaction count
+    (tokens matched) for corpus audit.  Pure JVM ``regexp_replace`` —
+    no Python in the row path; the patterns avoid every construct that
+    differs between Java regex and RE2, so the oracle can mirror them
+    verbatim."""
+    scrubbed = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    n_redacted = (
+        F.size(F.split(scrubbed, "<EMAIL>|<NUM>", -1)) - 1
+    ).cast("int")
+    return df.withColumn(out_col, scrubbed).withColumn("n_redacted", n_redacted)

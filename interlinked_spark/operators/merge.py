@@ -17,6 +17,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import MapType
 
 
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style compaction: keep ONE row per key — the one ranked first
+    by ``order_cols`` descending (e.g. ``["ts", "event_id"]`` = latest
+    event, id-tiebroken).  One shuffle on the keys; window group-limit
+    pushes the per-key top-1 below the exchange, so only survivors-per-
+    partition shuffle at scale."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def merge_upsert(
     current: DataFrame,
     updates: DataFrame,

@@ -189,6 +189,56 @@ def run_into_parquet(
     return path
 
 
+def run_upsert_into_parquet(
+    stream: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    path: Optional[str] = None,
+    timeout_s: int = 300,
+) -> str:
+    """Streaming CDC upsert (§2b-J sinks + §2b-A merge): each
+    micro-batch is compacted to its latest row per key
+    (:func:`~interlinked_spark.operators.merge.keep_latest`), then
+    MERGEd into the parquet target with
+    :func:`~interlinked_spark.operators.merge.merge_upsert` — the
+    foreachBatch pattern for maintaining a keep-latest materialized
+    table off a change stream.  ``order_cols`` (e.g. ``["ts",
+    "event_id"]``) define recency, id-tiebroken, so replays are
+    deterministic.
+
+    The parquet rewrite is full-table here; on a real 100-TB target the
+    same handler body runs against a Delta/Iceberg MERGE (partitioned
+    rewrite) — the streaming topology is identical.  Returns the target
+    directory."""
+    from ..operators.merge import keep_latest, merge_upsert
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+    path = path or tempfile.mkdtemp(prefix="stream_upsert_")
+    spark = stream.sparkSession
+
+    def upsert_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_latest = keep_latest(batch_df, keys, order_cols).withColumn(
+            "__ver", F.struct(*order_cols)
+        )
+        try:
+            current = spark.read.parquet(path)
+        except Exception:
+            current = None
+        if current is None or not current.columns:
+            merged = batch_latest
+        else:
+            merged = merge_upsert(current, batch_latest, keys, version_col="__ver")
+        # Materialize before overwriting the directory being read.
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(path)
+        merged.unpersist()
+
+    foreach_batch_into(stream, upsert_batch, timeout_s=timeout_s, output_mode="append")
+    return path
+
+
 def stateful_running_counts(
     stream: DataFrame,
     key_cols: Sequence[str],

@@ -374,6 +374,8 @@ def test_whole_catalog_plan_audit(spark):
         "similarity_ivf_topk",     # probe-list membership against broadcast centroids
         "doc_tfidf_top_terms",     # broadcast ONE-ROW corpus-stats frame
         "doc_bm25_query",          # broadcast ONE-ROW corpus-stats frame
+        "referential_audit",       # cross join of three ONE-ROW audit counts
+        "click_purchase_funnel",   # cross join of two ONE-ROW funnel counts
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}

@@ -144,6 +144,84 @@ def test_salted_group_agg_avg_combiner(spark):
     assert got == want
 
 
+def test_keep_latest_tie_break(spark):
+    from interlinked_spark.operators.merge import keep_latest
+
+    rows = [(1, 10, "a"), (1, 10, "b"), (1, 9, "z"), (2, 5, "c")]
+    df = spark.createDataFrame(rows, "k long, ts long, tag string")
+    got = {(r.k, r.ts, r.tag) for r in keep_latest(df, ["k"], ["ts", "tag"]).collect()}
+    assert got == {(1, 10, "b"), (2, 5, "c")}
+
+
+def test_scrub_pii_actually_redacts(spark):
+    """The oracle-paired corpus query proves regex parity; this pins
+    that the patterns really catch emails and long digit runs."""
+    from interlinked_spark.llm.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+spam@example.co.uk or call 5551234567 now"),
+            (2, "no pii here, just 123 little numbers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.scrubbed, r.n_redacted) for r in scrub_pii(df).collect()}
+    assert got[1] == ("contact <EMAIL> or call <NUM> now", 2)
+    assert got[2] == ("no pii here, just 123 little numbers", 0)
+
+
+def test_hll_sketch_estimate_close_to_exact(spark):
+    """nation_hll_distinct is rows-only at the driver; pin the estimate
+    quality locally: HLL within 5% of exact distinct."""
+    from interlinked_spark import catalog
+
+    approx = {
+        r.o_orderpriority: r.approx_custs
+        for r in catalog.run_query("nation_hll_distinct", spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_stream_upsert_multi_batch_deterministic(spark, tmp_path):
+    """The CDC upsert must converge to batch keep-latest even when the
+    stream replays as MULTIPLE micro-batches (maxFilesPerTrigger=1 over
+    a multi-file copy forces real incremental merges)."""
+    from interlinked_spark.operators.merge import keep_latest
+    from interlinked_spark.sources.readers import normalize_nanos
+    from interlinked_spark.streaming import run_upsert_into_parquet
+
+    src = str(tmp_path / "ev_src")
+    ev = normalize_nanos(spark.read.parquet(f"{SF}/events.parquet"))
+    ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    path = run_upsert_into_parquet(stream, ["user_id"], ["ts", "event_id"])
+    got = {
+        r.user_id: r.event_id
+        for r in spark.read.parquet(path).select("user_id", "event_id").collect()
+    }
+    want = {
+        r.user_id: r.event_id
+        for r in keep_latest(ev, ["user_id"], ["ts", "event_id"])
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
