@@ -57,6 +57,15 @@ HEADLINE = [
     "stream_click_error_join",
     # round 3 additions
     "nation_ols_slope",
+    "skewed_flag_totals",
+    "skewed_flag_join",
+    "events_dedup_latest",
+    "conditional_order_aggs",
+    "customer_balance_distribution",
+    "doc_pii_scrub",
+    "embedding_vector_math",
+    "click_purchase_funnel",
+    "stream_upsert_latest",
 ]
 
 
