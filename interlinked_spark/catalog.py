@@ -2729,3 +2729,50 @@ def q_nation_hll_distinct(o: DataFrame) -> DataFrame:
         )
         .select("o_orderpriority", "approx_custs")
     )
+
+
+@defq(
+    "hourly_value_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             ROUND(AVG(value), 6) AS avg_v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    joined AS (
+      SELECT g.event_type AS event_type, g.h AS h, avg_v
+      FROM grid g LEFT JOIN hourly USING (event_type, h)
+    )
+    SELECT event_type,
+           CAST(floor(epoch(h)) AS BIGINT) AS hour_s,
+           last_value(avg_v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_ff
+    FROM joined
+    """,
+)
+def q_hourly_value_locf(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Forward-fill imputation (§2b-E time series): densify the hourly
+    grid with NULL gaps, then LOCF via ``last(..., ignorenulls=True)``
+    over an unbounded-preceding frame — grid densify and fill share the
+    same per-key shuffle."""
+    from .operators.timeseries import forward_fill, time_grid_fill
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    grid = time_grid_fill(
+        ev,
+        ["event_type"],
+        "ts",
+        "hour",
+        {"avg_v": F.round(F.avg("value"), 6)},
+        fill={},
+    )
+    filled = forward_fill(grid, ["event_type"], "bucket", ["avg_v"])
+    return filled.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("hour_s"),
+        F.col("avg_v_ff"),
+    )

@@ -26,12 +26,15 @@ def time_grid_fill(
     """Bucket ``ts_col`` by ``unit`` (``date_trunc`` granularity),
     aggregate per (keys, bucket), then LEFT-join the aggregate onto the
     dense per-key bucket grid spanning each key's min..max bucket.
-    Missing buckets appear with ``fill`` defaults (default 0 per agg).
+    Missing buckets appear with ``fill`` defaults (default 0 per agg;
+    pass ``fill={}`` to keep gap buckets NULL, e.g. for
+    :func:`forward_fill`).
 
     Returns keys + ``bucket`` (timestamp) + agg columns."""
     keys = list(keys)
     aggs = aggs or {"n": F.count("*")}
-    fill = fill or {name: 0 for name in aggs}
+    if fill is None:
+        fill = {name: 0 for name in aggs}
     step = F.expr(f"INTERVAL 1 {unit.upper()}")
     bucketed = (
         df.groupBy(*keys, F.date_trunc(unit, ts_col).alias("bucket"))
@@ -45,4 +48,29 @@ def time_grid_fill(
     out = grid.join(bucketed, keys + ["bucket"], "left")
     for name, default in fill.items():
         out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+    suffix: str = "_ff",
+) -> DataFrame:
+    """LOCF (last-observation-carried-forward) imputation: each NULL in
+    ``cols`` takes the latest non-null value at or before the row in
+    the per-key ``order_col`` order — ``last(..., ignorenulls=True)``
+    over an unbounded-preceding frame, one shuffle on the keys (shared
+    with the grid densify when chained after :func:`time_grid_fill`)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
     return out

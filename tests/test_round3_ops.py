@@ -222,6 +222,28 @@ def test_stream_upsert_multi_batch_deterministic(spark, tmp_path):
     assert got == want
 
 
+def test_forward_fill_locf(spark):
+    from interlinked_spark.operators.timeseries import forward_fill
+
+    rows = [
+        ("a", 1, 10.0),
+        ("a", 2, None),
+        ("a", 3, None),
+        ("a", 4, 40.0),
+        ("b", 1, None),  # no prior observation -> stays null
+        ("b", 2, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r.k, r.t): r.v_ff
+        for r in forward_fill(df, ["k"], "t", ["v"]).collect()
+    }
+    assert got == {
+        ("a", 1): 10.0, ("a", 2): 10.0, ("a", 3): 10.0, ("a", 4): 40.0,
+        ("b", 1): None, ("b", 2): 5.0,
+    }
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
