@@ -81,3 +81,60 @@ def test_compiled_routes_never_crash_on_match(text):
     for p in ("a.{xx}", "b.{yy:int}", "c/{zz:path}", "{ww:identifier}.end"):
         router.add(p, p)
     router.match(text)  # must never raise, whatever the input
+
+
+# --- round 3: deterministic hash sampling (pure predicate logic) ---
+
+import hashlib
+
+fractions = st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
+
+
+def _py_keep(key: int, fraction: float, salt: str = "") -> bool:
+    """Reference implementation of the hash_sample predicate."""
+    if fraction >= 1.0:
+        return True
+    threshold = format(int(fraction * 16**8), "08x")
+    prefix = hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8]
+    return prefix < threshold
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True),
+    f1=fractions,
+    f2=fractions,
+)
+@settings(max_examples=50)
+def test_hash_sample_fractions_nest_property(keys, f1, f2):
+    """Smaller fraction always yields a subset: the property that makes
+    hash samples reusable across pipeline stages."""
+    lo, hi = sorted((f1, f2))
+    small = {k for k in keys if _py_keep(k, lo)}
+    big = {k for k in keys if _py_keep(k, hi)}
+    assert small <= big
+    assert {k for k in keys if _py_keep(k, 1.0)} == set(keys)
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=25, unique=True),
+    fraction=fractions,
+)
+@settings(max_examples=25, deadline=None)
+def test_hash_sample_sql_matches_python_reference(keys, fraction):
+    """The SQL predicate emitted for the oracle keeps EXACTLY the same
+    keys as the engine-side md5 logic (no off-by-one at the threshold)."""
+    import duckdb
+
+    from interlinked_spark.operators.sampling import hash_sample_sql
+
+    con = duckdb.connect()
+    values = ", ".join(f"({k})" for k in keys)
+    pred = hash_sample_sql("k", fraction)
+    got = {
+        r[0]
+        for r in con.execute(
+            f"SELECT k FROM (VALUES {values}) t(k) WHERE {pred}"
+        ).fetchall()
+    }
+    want = {k for k in keys if _py_keep(k, fraction)}
+    assert got == want
