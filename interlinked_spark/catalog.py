@@ -2776,3 +2776,81 @@ def q_hourly_value_locf(spark: SparkSession, base_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("hour_s"),
         F.col("avg_v_ff"),
     )
+
+
+@defq(
+    "corpus_quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens
+    FROM s
+    WHERE len(toks) >= 24
+      AND CAST(len(list_filter(toks, t -> lower(t) IN ('the','and','of'))) AS DOUBLE)
+          / len(toks) >= 0.01
+    """,
+    d="table.documents",
+)
+def q_corpus_quality_filter(d: DataFrame) -> DataFrame:
+    """C4-style corpus quality gate (§2b-K): minimum length + minimum
+    stopword density — the keep/drop decision every pretraining corpus
+    applies before dedup.  Composes token_stats + quality_scores; both
+    signals are JVM column expressions, so the filter pushes into one
+    scan-side stage."""
+    from .llm.text import quality_scores, token_stats
+
+    scored = quality_scores(token_stats(d))
+    return scored.filter(
+        (F.col("n_tokens") >= 24) & (F.col("stopword_ratio") >= 0.01)
+    ).select("doc_id", "lang", "n_tokens")
+
+
+@defq(
+    "dedup_kept_corpus",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS l, b.doc_id AS r
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT l AS a, r AS b FROM pairs UNION SELECT r, l FROM pairs
+    ), reach(v, c) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.c FROM edges e JOIN reach r ON e.a = r.v
+    ), clusters AS (
+      SELECT d.doc_id AS doc_id, COALESCE(m.c, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN (SELECT v, MIN(c) AS c FROM reach GROUP BY v) m
+      ON d.doc_id = m.v
+    )
+    SELECT c.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+    d="table.documents",
+)
+def q_dedup_kept_corpus(d: DataFrame) -> DataFrame:
+    """End-to-end near-dup dedup DELIVERABLE (§2b-K): cluster near-dups
+    (Jaccard >= 0.5 -> connected components), keep each cluster's
+    canonical representative (min doc id), return the surviving corpus.
+    This is the query a pipeline actually ships — pairs and clusters are
+    its intermediate stages."""
+    from .llm.dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(d, threshold=0.5)
+    kept = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return kept.join(d, "doc_id").select("doc_id", "lang", "n_chars")
