@@ -2810,7 +2810,7 @@ def q_corpus_quality_filter(d: DataFrame) -> DataFrame:
 
 @defq(
     "dedup_kept_corpus",
-    oracle="""
+    oracle=r"""
     WITH RECURSIVE sh AS (
       SELECT doc_id,
              list_distinct(list_filter(
