@@ -66,6 +66,9 @@ HEADLINE = [
     "embedding_vector_math",
     "click_purchase_funnel",
     "stream_upsert_latest",
+    "hourly_value_locf",
+    "corpus_quality_filter",
+    "dedup_kept_corpus",
 ]
 
 
