@@ -2854,3 +2854,45 @@ def q_dedup_kept_corpus(d: DataFrame) -> DataFrame:
     clusters = near_dup_clusters(d, threshold=0.5)
     kept = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     return kept.join(d, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@defq(
+    "dedup_incremental_matches",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, doc_id % 4 = 0 AS is_new,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS match_id,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM sh a JOIN sh b
+        ON (NOT b.is_new AND b.doc_id != a.doc_id)
+        OR (b.is_new AND b.doc_id < a.doc_id)
+      WHERE a.is_new AND len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT new_id, match_id,
+           ROUND(common / (la + lb - common), 6) AS jaccard
+    FROM pairs
+    WHERE common / (la + lb - common) >= 0.05
+    """,
+    d="table.documents",
+)
+def q_dedup_incremental_matches(d: DataFrame) -> DataFrame:
+    """Incremental dedup (§2b-K, the daily-maintenance shape): every
+    4th document plays the NEW batch, matched against the accepted
+    corpus + earlier new docs — never corpus x corpus.  The join
+    anchors on the new batch's postings; the corpus inverted index
+    streams through one shingle-keyed shuffle."""
+    from .llm.dedup import ngram_jaccard_incremental
+
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    return ngram_jaccard_incremental(corpus, new, threshold=0.05)

@@ -382,6 +382,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Incremental dedup — the production shape of daily corpus
+    maintenance: match each NEW document against the already-accepted
+    ``corpus`` plus earlier new documents (smaller id), never corpus ×
+    corpus.  Returns ``(new_id, match_id, jaccard)``.
+
+    The scale property vs :func:`ngram_jaccard_pairs`: the join is
+    anchored on the (small) new batch's postings, so cost is
+    O(|new postings| x bucket), not O(|corpus postings|^2) — the
+    inverted index of the accepted corpus streams through one shuffle
+    keyed on shingle.  Hot-shingle df is capped over BOTH sides, so a
+    viral shingle in the historical corpus can't resurrect the
+    quadratic blowup."""
+    c = _with_shingles(corpus, text_col, id_col, n).withColumn("__new", F.lit(0))
+    a = _with_shingles(new, text_col, id_col, n).withColumn("__new", F.lit(1))
+    sizes = (
+        c.unionByName(a)
+        .select("id", "__new", F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
+    )
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        sizes = (
+            sizes.withColumn("__df", F.count("*").over(Window.partitionBy("s")))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    sizes = sizes.localCheckpoint(eager=False)
+    left = (
+        sizes.filter(F.col("__new") == 1)
+        .select("s", F.col("id").alias("new_id"), F.col("nsh").alias("lns"))
+    )
+    right = sizes.select(
+        "s", F.col("id").alias("match_id"), F.col("nsh").alias("rns"), "__new"
+    )
+    pair_common = (
+        left.join(right, "s")
+        # match earlier material only: corpus docs (id-collision-safe),
+        # or earlier new docs
+        .filter(
+            ((F.col("__new") == 0) & (F.col("match_id") != F.col("new_id")))
+            | ((F.col("__new") == 1) & (F.col("match_id") < F.col("new_id")))
+        )
+        .groupBy("new_id", "match_id", "lns", "rns")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("lns") + F.col("rns") - F.col("common"))
+    return (
+        pair_common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "match_id", "jaccard")
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     text_col: str = "text",

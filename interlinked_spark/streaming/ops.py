@@ -221,9 +221,11 @@ def run_upsert_into_parquet(
         batch_latest = keep_latest(batch_df, keys, order_cols).withColumn(
             "__ver", F.struct(*order_cols)
         )
+        from pyspark.errors import AnalysisException
+
         try:
             current = spark.read.parquet(path)
-        except Exception:
+        except AnalysisException:  # first batch: target doesn't exist yet
             current = None
         if current is None or not current.columns:
             merged = batch_latest

@@ -244,6 +244,31 @@ def test_forward_fill_locf(spark):
     }
 
 
+def test_incremental_dedup_never_matches_corpus_pairs(spark):
+    """ngram_jaccard_incremental must anchor on the new batch: corpus x
+    corpus duplicates are NOT re-reported, new docs match corpus and
+    earlier new docs only."""
+    from interlinked_spark.llm.dedup import ngram_jaccard_incremental
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),              # corpus dup pair (1,2) — must NOT appear
+        (2, base),
+        (3, "totally different words appear in this document here"),
+        (10, base),             # new: dups corpus 1,2
+        (11, base),             # new: dups corpus + new 10
+        (12, "unrelated fresh content nothing shared with others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+    got = {
+        (r.new_id, r.match_id)
+        for r in ngram_jaccard_incremental(corpus, new, threshold=0.5).collect()
+    }
+    assert got == {(10, 1), (10, 2), (11, 1), (11, 2), (11, 10)}
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
