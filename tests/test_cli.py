@@ -84,13 +84,18 @@ def test_example_scripts_run():
     import os
 
     env = {**os.environ, "PYTHONPATH": REPO}
-    for script in ["examples/caching.py", "examples/multi_workflow.py", "examples/llm_pipeline.py"]:
+    for script in [
+        "examples/caching.py",
+        "examples/multi_workflow.py",
+        "examples/llm_pipeline.py",
+        "examples/cdc_pipeline.py",
+    ]:
         out = subprocess.run(
             [sys.executable, script],
             capture_output=True,
             text=True,
             cwd=REPO,
             env=env,
-            timeout=120,
+            timeout=240,
         )
         assert out.returncode == 0, (script, out.stderr[-500:])
