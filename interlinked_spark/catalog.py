@@ -2896,3 +2896,70 @@ def q_dedup_incremental_matches(d: DataFrame) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 4 != 0)
     new = d.filter(F.col("doc_id") % 4 == 0)
     return ngram_jaccard_incremental(corpus, new, threshold=0.05)
+
+
+@defq(
+    "csv_roundtrip_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    li="table.lineitem",
+)
+def q_csv_roundtrip_agg(li: DataFrame, spark: SparkSession) -> DataFrame:
+    """CSV sink + source round-trip (§2b-A), driver-gated: project to
+    csv-safe columns, write with header, read back with an explicit
+    schema (never inferSchema at scale — schema inference is a second
+    full scan), aggregate.  The aggregate must equal the parquet-direct
+    oracle, proving the text codec path is lossless for these types."""
+    import tempfile
+
+    from .sources.readers import read_table
+    from .sources.writers import write_table
+
+    path = tempfile.mkdtemp(prefix="csv_rt_")
+    write_table(
+        li.select("l_orderkey", "l_returnflag", "l_quantity"),
+        path,
+        fmt="csv",
+        header="true",
+    )
+    back = read_table(
+        spark,
+        path,
+        fmt="csv",
+        header="true",
+        schema="l_orderkey long, l_returnflag string, l_quantity double",
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@defq(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    o="table.orders",
+    c="table.customer",
+)
+def q_bucketed_join_revenue(o: DataFrame, c: DataFrame, spark: SparkSession) -> DataFrame:
+    """Bucketed co-located join (§2b-A scale notes), driver-gated: both
+    sides land as bucketed managed tables on the join key, so the
+    equi-join runs WITHOUT a shuffle exchange — the layout investment
+    that pays for every subsequent join at 100 TB.  (Bucket count kept
+    small here; real tables use hundreds.)"""
+    from .sources.writers import write_bucketed
+
+    write_bucketed(o.select("o_custkey", "o_totalprice"), "b3_orders", ["o_custkey"], 8)
+    write_bucketed(c.select("c_custkey", "c_nationkey"), "b3_customer", ["c_custkey"], 8)
+    bo = spark.table("b3_orders")
+    bc = spark.table("b3_customer")
+    j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -49,6 +49,20 @@ def write_bucketed(
     sees compatible output partitioning.  Hive-style bucketing requires
     ``saveAsTable`` (a path-based write cannot record bucket metadata).
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A fresh session's metastore may not know the table while its
+        # warehouse directory survives from an earlier session —
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS.  Drop
+        # both the catalog entry and any orphaned location.
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        local = urlparse(warehouse).path or warehouse
+        shutil.rmtree(os.path.join(local, table.lower()), ignore_errors=True)
     writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -269,6 +269,24 @@ def test_incremental_dedup_never_matches_corpus_pairs(spark):
     assert got == {(10, 1), (10, 2), (11, 1), (11, 2), (11, 10)}
 
 
+def test_bucketed_join_revenue_single_exchange(spark):
+    """The bucketed-join catalog query must join WITHOUT a shuffle:
+    with broadcast disabled (tiny SF would otherwise broadcast — also a
+    fine plan), the bucketed layout gives a shuffle-free SortMergeJoin
+    and the only Exchange is the post-join aggregation."""
+    from interlinked_spark import catalog
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = catalog.run_query("bucketed_join_revenue", spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
