@@ -2963,3 +2963,64 @@ def q_bucketed_join_revenue(o: DataFrame, c: DataFrame, spark: SparkSession) -> 
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@defq(
+    "jdbc_roundtrip_nations",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    n="table.nation",
+)
+def q_jdbc_roundtrip_nations(n: DataFrame, spark: SparkSession) -> DataFrame:
+    """JDBC source/sink round-trip (§2b-A), driver-gated: write nation
+    to the Derby EMBEDDED driver bundled in Spark's own jars (no
+    network — exactly local mode), read it back, aggregate.  Result
+    must equal the parquet-direct oracle, proving the jdbc option
+    plumbing end-to-end."""
+    import tempfile
+
+    from .sources.readers import read_table
+    from .sources.writers import write_table
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='jdbc_')}/db;create=true"
+    opts = {
+        "url": url,
+        "dbtable": "nations",
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+    }
+    src = n.select("n_nationkey", "n_name", "n_regionkey")
+    write_table(src, path="", fmt="jdbc", mode="overwrite", **opts)
+    back = read_table(spark, path="", fmt="jdbc", **opts)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"), F.min("n_name").alias("first_name")
+    )
+
+
+@defq(
+    "partitioned_scan_agg",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    o="table.orders",
+)
+def q_partitioned_scan_agg(o: DataFrame, spark: SparkSession) -> DataFrame:
+    """Partitioned sink + pruned scan (§2b-A), driver-gated: write
+    orders hive-partitioned by status, read back filtered to ONE
+    partition — the filter prunes at the directory level
+    (PartitionFilters, zero data files of other partitions touched),
+    the layout move that turns a 100-TB scan into a 3-TB one."""
+    import tempfile
+
+    from .sources.writers import write_table
+
+    path = tempfile.mkdtemp(prefix="part_scan_")
+    write_table(o, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
