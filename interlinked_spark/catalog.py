@@ -3024,3 +3024,36 @@ def q_partitioned_scan_agg(o: DataFrame, spark: SparkSession) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )
+
+
+@WKF.provide("events.after.{cutoff:datetime}")
+def _events_after(spark: SparkSession, base_dir: str, cutoff: str) -> DataFrame:
+    """Datetime route param -> pushed-down time predicate (§2b-B): the
+    resource name carries an ISO-8601 instant (the reference's
+    ``datetime`` placeholder, ``router.py:23-27``); the engine casts it
+    and pushes the filter into the scan.  Param arrives as a STRING
+    (reference parity: typed placeholders are lexical classes, not
+    casts) — the cast happens at the predicate."""
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    return ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+
+
+@defq(
+    "route_datetime_filter",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12T00:00:00'
+    GROUP BY event_type
+    """,
+    res="events.after.2024-01-12T00:00:00",
+)
+def q_route_datetime_filter(res: DataFrame) -> DataFrame:
+    """Depends on the datetime-parameterized resource: the route name
+    IS the time predicate — the engine's signature move applied to the
+    reference's `datetime` placeholder type."""
+    return group_agg(
+        res, ["event_type"], {"n": F.count("*"), "sum_value": F.round(F.sum("value"), 2)}
+    )
