@@ -3057,3 +3057,29 @@ def q_route_datetime_filter(res: DataFrame) -> DataFrame:
     return group_agg(
         res, ["event_type"], {"n": F.count("*"), "sum_value": F.round(F.sum("value"), 2)}
     )
+
+
+@defq(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    c="table.customer",
+)
+def q_orc_roundtrip_agg(c: DataFrame, spark: SparkSession) -> DataFrame:
+    """ORC sink + source round-trip (§2b-A), driver-gated: the second
+    columnar codec in the source matrix (schema preserved natively —
+    unlike csv there is no re-declare step), aggregate must equal the
+    parquet-direct oracle."""
+    import tempfile
+
+    from .sources.readers import read_table
+    from .sources.writers import write_table
+
+    path = tempfile.mkdtemp(prefix="orc_rt_")
+    write_table(c.select("c_custkey", "c_mktsegment", "c_acctbal"), path, fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+    )

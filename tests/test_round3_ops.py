@@ -287,6 +287,46 @@ def test_bucketed_join_revenue_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_round3_ops_empty_inputs(spark):
+    """Empty-input degradation: no errors, sensible empties."""
+    from interlinked_spark.llm.dedup import ngram_jaccard_incremental
+    from interlinked_spark.operators.merge import keep_latest, merge_upsert
+    from interlinked_spark.operators.timeseries import forward_fill
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert ngram_jaccard_incremental(docs, empty_docs).count() == 0
+    assert ngram_jaccard_incremental(empty_docs, docs).count() == 0
+
+    empty_kv = spark.createDataFrame([], "k long, ts long, v string")
+    assert keep_latest(empty_kv, ["k"], ["ts"]).count() == 0
+    got = merge_upsert(empty_kv, empty_kv, ["k"]).count()
+    assert got == 0
+
+    empty_ts = spark.createDataFrame([], "k string, t int, v double")
+    assert forward_fill(empty_ts, ["k"], "t", ["v"]).count() == 0
+
+
+def test_salted_avg_ignores_nulls_like_builtin(spark):
+    """avg over salted partials must match built-in avg null semantics
+    (nulls excluded from both sum and count)."""
+    from interlinked_spark.operators.skew import salted_group_agg
+
+    rows = [("a", 1.0), ("a", None), ("a", 3.0), ("b", None), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: r.mean
+        for r in salted_group_agg(
+            df, ["k"], {"mean": ("avg", F.col("v"))}, salt_buckets=4
+        ).collect()
+    }
+    want = {
+        r.k: r.mean
+        for r in df.groupBy("k").agg(F.avg("v").alias("mean")).collect()
+    }
+    assert got == want  # {'a': 2.0, 'b': None, 'c': 5.0}
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
