@@ -3083,3 +3083,68 @@ def q_orc_roundtrip_agg(c: DataFrame, spark: SparkSession) -> DataFrame:
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
     )
+
+
+@defq(
+    "json_roundtrip_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_roundtrip_agg(spark: SparkSession, base_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip (§2b-A), driver-gated: write
+    events as ndjson, read back with an explicit schema (schema-on-read
+    without the inference scan), aggregate == parquet-direct oracle.
+    Timestamps ride as epoch longs — the lossless way through a text
+    codec."""
+    import tempfile
+
+    from .sources.readers import normalize_nanos, read_table
+    from .sources.writers import write_table
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    path = tempfile.mkdtemp(prefix="json_rt_")
+    write_table(
+        ev.select("event_id", "event_type", "value", F.col("ts").cast("long").alias("ts_s")),
+        path,
+        fmt="json",
+    )
+    back = read_table(
+        spark, path, fmt="json",
+        schema="event_id long, event_type string, value double, ts_s long",
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@defq(
+    "text_source_tokens",
+    oracle="""
+    SELECT CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_lines
+    FROM documents
+    """,
+    d="table.documents",
+)
+def q_text_source_tokens(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Text sink + source (§2b-A): one string column per line — the
+    format raw corpus dumps arrive in.  Write document bodies as text,
+    read back, count lines + whitespace tokens == computing directly on
+    the table."""
+    import tempfile
+
+    from .sources.writers import write_table
+
+    path = tempfile.mkdtemp(prefix="text_rt_")
+    # newlines inside a document would split lines: encode them away
+    write_table(
+        d.select(F.regexp_replace("text", r"\n", " ").alias("value")), path, fmt="text"
+    )
+    back = spark.read.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return back.agg(
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        F.count("*").alias("n_lines"),
+    )
