@@ -3148,3 +3148,19 @@ def q_text_source_tokens(d: DataFrame, spark: SparkSession) -> DataFrame:
         F.sum(F.size(toks)).cast("long").alias("total_tokens"),
         F.count("*").alias("n_lines"),
     )
+
+
+@defq("customer_stratified_sample", oracle=None, c="table.customer")
+def q_customer_stratified_sample(c: DataFrame) -> DataFrame:
+    """Stratified sampling (§2b-B): per-segment fractions via seeded
+    ``sampleBy`` — one pass, no shuffle.  Seeded sampling is
+    partition-layout-dependent (NOT cross-engine reproducible — that is
+    what ``hash_sample`` is for), so this is a rows-only driver check;
+    the suite pins per-stratum proportions instead."""
+    from .operators.sampling import stratified_sample
+
+    s = stratified_sample(
+        c, "c_mktsegment",
+        {"AUTOMOBILE": 0.5, "BUILDING": 0.2, "FURNITURE": 0.1},
+    )
+    return group_agg(s, ["c_mktsegment"], {"n_sampled": F.count("*")})

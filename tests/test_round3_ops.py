@@ -327,6 +327,24 @@ def test_salted_avg_ignores_nulls_like_builtin(spark):
     assert got == want  # {'a': 2.0, 'b': None, 'c': 5.0}
 
 
+def test_stratified_sample_proportions(spark):
+    """Seeded sampleBy keeps roughly the requested per-stratum
+    fractions (exact counts are layout-dependent; proportions are the
+    contract)."""
+    from interlinked_spark.operators.sampling import stratified_sample
+
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    totals = {r.c_mktsegment: r.n for r in c.groupBy("c_mktsegment")
+              .agg(F.count("*").alias("n")).collect()}
+    fracs = {"AUTOMOBILE": 0.5, "BUILDING": 0.2}
+    s = stratified_sample(c, "c_mktsegment", fracs)
+    got = {r.c_mktsegment: r.n for r in s.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n")).collect()}
+    for seg, f in fracs.items():
+        assert abs(got.get(seg, 0) / totals[seg] - f) < 0.15, (seg, got)
+    assert set(got) <= set(fracs)  # unlisted strata fully dropped
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
