@@ -3033,10 +3033,30 @@ def _events_after(spark: SparkSession, base_dir: str, cutoff: str) -> DataFrame:
     ``datetime`` placeholder, ``router.py:23-27``); the engine casts it
     and pushes the filter into the scan.  Param arrives as a STRING
     (reference parity: typed placeholders are lexical classes, not
-    casts) — the cast happens at the predicate."""
+    casts).
+
+    Pushdown shape: the predicate is applied to the RAW nanos long
+    BEFORE ``normalize_nanos`` — a filter on the derived timestamp
+    column cannot reach the parquet scan (measured: PushedFilters []),
+    while the long comparison pushes down and prunes row groups on
+    min/max stats — the difference between a 100-TB scan and a pruned
+    one.  The cutoff converts to nanos with integer arithmetic (a
+    float round-trip loses precision above 2^53)."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql.types import LongType
+
     from .sources.readers import normalize_nanos
 
-    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        dt = datetime.fromisoformat(cutoff)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        cutoff_nanos = int((dt - epoch) / timedelta(microseconds=1)) * 1000
+        ev = ev.filter(F.col("ts") >= F.lit(cutoff_nanos))
+        return normalize_nanos(ev)
     return ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
 
 

@@ -345,6 +345,18 @@ def test_stratified_sample_proportions(spark):
     assert set(got) <= set(fracs)  # unlisted strata fully dropped
 
 
+def test_route_datetime_filter_pushes_to_scan(spark):
+    """The datetime route param must reach the parquet scan as a raw
+    nanos-long comparison (a filter on the normalized timestamp column
+    does NOT push down — measured PushedFilters [])."""
+    from interlinked_spark import catalog
+
+    df = catalog.run_query("route_datetime_filter", spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.split("\n") if "FileScan" in l][0]
+    assert "GreaterThanOrEqual(ts," in scan, scan
+
+
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
     round — names it has never verified must enumerate first."""
