@@ -798,10 +798,13 @@ def q_embedding_norms(e: DataFrame) -> DataFrame:
 @WKF.provide("orders.status.{status:identifier}")
 def _orders_by_status(o: DataFrame, status: str) -> DataFrame:
     """Route param -> pushed-down filter (§2b-B): the resource name
-    ``orders.status.f`` selects the filter value, the engine casts and
-    pushes it into the scan."""
+    ``orders.status.f`` selects the filter value; the PARAM is
+    normalized to the data's canonical (uppercase) form so the
+    predicate stays a plain column equality — wrapping the COLUMN in
+    upper() would block parquet pushdown (measured: PushedFilters
+    collapses to IsNotNull) and force a full scan at 100 TB."""
     return group_agg(
-        o.filter(F.upper(F.col("o_orderstatus")) == status.upper()),
+        o.filter(F.col("o_orderstatus") == status.upper()),
         ["o_orderpriority"],
         {"n": F.count("*"), "total": F.round(F.sum("o_totalprice"), 2)},
     )
@@ -811,7 +814,7 @@ def _orders_by_status(o: DataFrame, status: str) -> DataFrame:
     "route_param_filter",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders WHERE UPPER(o_orderstatus) = 'F' GROUP BY 1
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
     """,
     res="orders.status.f",
 )
