@@ -114,7 +114,10 @@ def test_route_param_becomes_pushed_filter(spark):
 
     df = catalog.run_query("route_param_filter", spark, SF)
     plan = plan_of(df)
-    assert "PushedFilters: [IsNotNull(o_orderstatus)]" in plan, plan
+    # The route param itself must reach the scan as an EqualTo (r3: the
+    # param is normalized instead of wrapping the column in upper(),
+    # which used to collapse pushdown to bare IsNotNull).
+    assert "EqualTo(o_orderstatus,F)" in plan, plan
 
 
 def test_broadcast_join_planned_for_dims(spark):
