@@ -3187,3 +3187,70 @@ def q_customer_stratified_sample(c: DataFrame) -> DataFrame:
         {"AUTOMOBILE": 0.5, "BUILDING": 0.2, "FURNITURE": 0.1},
     )
     return group_agg(s, ["c_mktsegment"], {"n_sampled": F.count("*")})
+
+
+@defq(
+    "heavy_hitter_terms",
+    oracle="""
+    SELECT term, n FROM (
+      SELECT term, COUNT(*) AS n,
+             row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term
+    ) WHERE rk <= 10
+    """,
+    d="table.documents",
+)
+def q_heavy_hitter_terms(d: DataFrame) -> DataFrame:
+    """Heavy hitters via the frequent-items sketch (§2b-D approx
+    family): ``approx_top_k`` tracks a bounded item set per partition
+    and MERGES across partitions — at 100 TB this replaces the full
+    groupBy-then-top-k shuffle with one sketch per partition.  With
+    ``maxItemsTracked`` >= the live vocabulary the counts are exact, so
+    this one IS oracle-checkable (ties re-broken deterministically)."""
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).alias("term")
+    # over-fetch from the sketch (its internal tie order is
+    # unspecified), then re-rank deterministically and cut to 10
+    sk = d.select(toks).agg(
+        F.expr("approx_top_k(term, 1000, 100000)").alias("top")
+    )
+    out = sk.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("term"), F.col("e.count").alias("n")
+    )
+    from .operators.windows import top_k_per_group
+
+    # deterministic tie-break to match the oracle ordering
+    ranked = out.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("term").asc())
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 10).select("term", "n")
+
+
+@defq(
+    "xml_roundtrip_agg",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    n="table.nation",
+)
+def q_xml_roundtrip_agg(n: DataFrame, spark: SparkSession) -> DataFrame:
+    """XML sink + source round-trip (§2b-A, Spark 4 native XML):
+    rowTag-framed records, schema-on-read, aggregate == parquet-direct
+    oracle — the last cell of the source-format matrix (parquet / csv /
+    json / orc / text / jdbc / xml all driver-gated)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="xml_rt_") + "/nation"
+    src = n.select("n_nationkey", "n_name", "n_regionkey")
+    src.write.format("xml").option("rowTag", "nation").mode("overwrite").save(path)
+    back = spark.read.format("xml").option("rowTag", "nation").load(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"), F.min("n_name").alias("first_name")
+    )
