@@ -72,9 +72,26 @@ HEADLINE = [
 ]
 
 
+def _settle(max_wait_s: int = 60) -> None:
+    """Wait (bounded) for trailing machine load to drain: back-to-back
+    runs on local[32] skew individual query times 1.5-2.5x when a prior
+    job's executors are still winding down."""
+    deadline = time.monotonic() + max_wait_s
+    cpus = os.cpu_count() or 1
+    while time.monotonic() < deadline:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return
+        if load1 < cpus * 0.25:
+            return
+        time.sleep(5)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _settle()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
