@@ -3254,3 +3254,25 @@ def q_xml_roundtrip_agg(n: DataFrame, spark: SparkSession) -> DataFrame:
     return back.groupBy("n_regionkey").agg(
         F.count("*").alias("n"), F.min("n_name").alias("first_name")
     )
+
+
+@defq(
+    "part_name_all_tokens",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER) AS n_words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), '-') AS joined
+    FROM part
+    """,
+    p="table.part",
+)
+def q_part_name_all_tokens(p: DataFrame) -> DataFrame:
+    """``regexp_extract_all`` (§2b-H string family): every match, not
+    just the first — the multi-capture primitive behind tokenizers and
+    log parsers; JVM-side, Java/RE2-common pattern."""
+    toks = F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0)
+    return p.select(
+        "p_partkey",
+        F.size(toks).alias("n_words"),
+        F.array_join(toks, "-").alias("joined"),
+    )
