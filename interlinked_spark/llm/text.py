@@ -1,14 +1,23 @@
 """Text-analysis operators (SURVEY.md §2b-K): token stats, quality
-scoring, language ID, document fingerprinting.
+scoring, language ID, document fingerprinting, repetition signals,
+benchmark decontamination.
 
-All JVM-side column expressions (split / regexp / higher-order array
-fns) — these run inside whole-stage codegen over 100 TB of documents
-without a single Python round-trip.  Every computation here is also
-expressible in ANSI SQL, which is what the DuckDB oracles check.
+JVM-side column expressions (split / regexp / higher-order array fns)
+wherever possible — those run inside whole-stage codegen over 100 TB of
+documents without a Python round-trip.  The two exceptions
+(:func:`repetition_signals`, :func:`flag_contaminated`'s shingler) use
+Arrow-batched pandas UDFs, the measured-faster path for HOF-heavy
+string kernels (see ``dedup._with_shingles``).  Every computation here
+is also expressible in ANSI SQL, which is what the DuckDB oracles
+check.
 """
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 #: Tiny per-language stopword marker sets for the n-gram/stopword
@@ -105,6 +114,107 @@ def fingerprints(df: DataFrame, text_col: str = "text", out_col: str = "fingerpr
     )
     return df.withColumn(
         out_col, F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document: the
+    fraction of word ``n``-grams that are repeats and the fraction of
+    (normalized) characters covered by the single most frequent
+    ``n``-gram.  High values flag boilerplate / spam before pretraining.
+
+    Computed in ONE Arrow pass per partition (struct-returning
+    ``pandas_udf``) — per-document signals need no cross-document
+    state, so the operator is shuffle-free and scales linearly to
+    100 TB.  (The explode → groupBy → window-top-1 formulation computes
+    the same thing with two shuffles; measured slower even at sf0.01.)
+    Tie-break for the top gram: highest count, then lexicographically
+    smallest — mirrored by the oracle's ``ORDER BY cnt DESC, gram``.
+
+    Documents with fewer than ``n`` tokens produce no signals and are
+    filtered out (no grams to measure).
+    """
+
+    @F.pandas_udf(
+        "struct<n_grams:long, dup_gram_frac:double, top_gram:string, "
+        "top_gram_count:long, top_gram_char_frac:double>"
+    )
+    def rep_udf(texts: pd.Series) -> pd.DataFrame:
+        ws = re.compile(r"\s+")
+
+        def sig(t: str):
+            norm = ws.sub(" ", t.strip().lower())
+            toks = norm.split(" ")
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            counts = Counter(grams)
+            top_gram, top_count = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            return (
+                len(grams),
+                round(1.0 - len(counts) / len(grams), 6),
+                top_gram,
+                top_count,
+                round(top_count * len(top_gram) / len(norm), 6),
+            )
+
+        return pd.DataFrame(
+            texts.map(sig).tolist(),
+            columns=[
+                "n_grams",
+                "dup_gram_frac",
+                "top_gram",
+                "top_gram_count",
+                "top_gram_char_frac",
+            ],
+            index=texts.index,
+        )
+
+    toks = _TOKENS(text_col)
+    return (
+        df.filter(F.size(toks) >= n)
+        .withColumn("__sig", rep_udf(F.col(text_col)))
+        .select(id_col, "__sig.*")
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection: return ``(doc_id,
+    n_hit_grams)`` for every training document sharing at least one
+    word-``n``-gram with the held-out ``benchmark`` corpus — the
+    decontamination step every pretraining pipeline runs before an eval
+    is trustworthy.
+
+    100-TB shape: the benchmark n-gram set is tiny (eval suites are
+    MB-scale) → ``broadcast`` inner join, so the 100-TB side is one
+    scan + explode + per-doc count with NO big-table shuffle (the
+    count aggregates on ``doc_id``, which pre-aggregates map-side).
+    Long grams (default 5) keep natural-language collisions near zero;
+    hits mean real overlap.
+    """
+    from .dedup import _with_shingles
+
+    bench_grams = (
+        _with_shingles(benchmark, text_col, id_col, n, out="sh")
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    doc_grams = _with_shingles(docs, text_col, id_col, n, out="sh").select(
+        F.col("id").alias(id_col), F.explode("sh").alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
     )
 
 
