@@ -48,9 +48,37 @@ def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _driver_verified_rounds() -> dict[str, int]:
+    """name -> earliest round with a driver CORRECTNESS row, scanned
+    from CORRECTNESS_r*.json next to this file.  The driver gate
+    records a bounded number of rows per round, so queries it has never
+    verified must enumerate first or they never get a row.  This is
+    driver-harness logic, so it lives here — the library never reads
+    the driver's artifacts."""
+    import json
+    import re
+
+    seen: dict[str, int] = {}
+    root = Path(__file__).resolve().parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            seen.setdefault(name, rnd)
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2b."""
-    return {name: _runner(name) for name in catalog.query_names()}
+    """One entry per implemented operator from SURVEY.md §2b,
+    never-driver-verified names first."""
+    names = catalog.query_names(_driver_verified_rounds())
+    return {name: _runner(name) for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -30,7 +30,7 @@ def user_state(spark, base_dir):
     stream: each micro-batch compacts, then MERGEs into parquet."""
     stream = stream_from_parquet(spark, f"{base_dir}/events.parquet")
     path = run_upsert_into_parquet(stream, ["user_id"], ["ts", "event_id"])
-    return spark.read.parquet(path).drop("__ver")
+    return spark.read.parquet(path)
 
 
 @wkf.depend(spark="spark")

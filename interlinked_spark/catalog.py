@@ -73,38 +73,17 @@ def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     return WKF.run(f"q.{name}", spark=spark, base_dir=sf_dir)
 
 
-def _driver_verified_rounds() -> dict[str, int]:
-    """name -> earliest round with a driver CORRECTNESS row, scanned from
-    CORRECTNESS_r*.json at the repo root.  Used only to *order* the
-    catalog: the driver gate historically records a bounded number of
-    rows per round, so queries it has never verified must enumerate
-    first or they never get a row."""
-    import json
-    import re
-    from pathlib import Path
-
-    seen: dict[str, int] = {}
-    root = Path(__file__).resolve().parent.parent
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", p.name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            rows = json.loads(p.read_text())
-        except (OSError, ValueError):
-            continue
-        for name in rows:
-            seen.setdefault(name, rnd)
-    return seen
-
-
-def query_names() -> list[str]:
-    """Catalog names, never-driver-verified first (then oldest-verified
-    first), stable by insertion order within each tier."""
-    seen = _driver_verified_rounds()
+def query_names(verified: dict[str, int] | None = None) -> list[str]:
+    """Catalog names in insertion order.  Pass ``verified`` (name ->
+    earliest round an external correctness harness recorded a row) to
+    enumerate never-verified names first, then oldest-verified first,
+    stable by insertion order within each tier — the harness itself
+    owns reading its artifacts (see ``__spark_entry__``); the library
+    does no repo-root I/O."""
+    if not verified:
+        return list(_QUERY_NAMES)
     order = {n: i for i, n in enumerate(_QUERY_NAMES)}
-    return sorted(_QUERY_NAMES, key=lambda n: (seen.get(n, -1), order[n]))
+    return sorted(_QUERY_NAMES, key=lambda n: (verified.get(n, -1), order[n]))
 
 
 def _rev():
@@ -3057,7 +3036,7 @@ def _events_after(spark: SparkSession, base_dir: str, cutoff: str) -> DataFrame:
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
-        cutoff_nanos = int((dt - epoch) / timedelta(microseconds=1)) * 1000
+        cutoff_nanos = ((dt - epoch) // timedelta(microseconds=1)) * 1000
         ev = ev.filter(F.col("ts") >= F.lit(cutoff_nanos))
         return normalize_nanos(ev)
     return ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))

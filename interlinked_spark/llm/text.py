@@ -137,7 +137,12 @@ def repetition_signals(
     smallest — mirrored by the oracle's ``ORDER BY cnt DESC, gram``.
 
     Documents with fewer than ``n`` tokens produce no signals and are
-    filtered out (no grams to measure).
+    filtered out (no grams to measure).  The JVM prefilter tokenizes
+    slightly differently from Python (Spark ``trim`` strips only
+    spaces; ``split`` keeps trailing empties), so a doc like
+    ``'word\\n'`` can pass the size gate yet yield zero Python
+    n-grams — the UDF therefore guards the empty case with nulls,
+    which are dropped after.
     """
 
     @F.pandas_udf(
@@ -149,8 +154,10 @@ def repetition_signals(
 
         def sig(t: str):
             norm = ws.sub(" ", t.strip().lower())
-            toks = norm.split(" ")
+            toks = [tok for tok in norm.split(" ") if tok]
             grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if not grams:
+                return (None, None, None, None, None)
             counts = Counter(grams)
             top_gram, top_count = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             return (
@@ -178,6 +185,7 @@ def repetition_signals(
         df.filter(F.size(toks) >= n)
         .withColumn("__sig", rep_udf(F.col(text_col)))
         .select(id_col, "__sig.*")
+        .filter(F.col("n_grams").isNotNull())
     )
 
 

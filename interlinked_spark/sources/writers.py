@@ -54,15 +54,37 @@ def write_bucketed(
         # A fresh session's metastore may not know the table while its
         # warehouse directory survives from an earlier session —
         # saveAsTable then fails with LOCATION_ALREADY_EXISTS.  Drop
-        # both the catalog entry and any orphaned location.
+        # both the catalog entry and any orphaned location.  Each
+        # qualifier part is quoted separately (`db`.`tbl`), and the
+        # location comes from the catalog when the table is known —
+        # never reconstructed for a registered table.
         import os
         import shutil
         from urllib.parse import urlparse
 
-        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        local = urlparse(warehouse).path or warehouse
-        shutil.rmtree(os.path.join(local, table.lower()), ignore_errors=True)
+        quoted = ".".join(f"`{part}`" for part in table.split("."))
+        location: Optional[str] = None
+        try:
+            for row in spark.sql(f"DESCRIBE TABLE EXTENDED {quoted}").collect():
+                if row.col_name == "Location":
+                    location = row.data_type
+                    break
+        except Exception:
+            pass  # table unknown to this metastore
+        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        if location is None:
+            # Orphaned-directory case: reconstruct the default managed
+            # location for the table's database.
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            parts = table.split(".")
+            db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase()
+            base = urlparse(warehouse).path or warehouse
+            if db != "default":
+                base = os.path.join(base, f"{db.lower()}.db")
+            location = os.path.join(base, parts[-1].lower())
+        else:
+            location = urlparse(location).path or location
+        shutil.rmtree(location, ignore_errors=True)
     writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

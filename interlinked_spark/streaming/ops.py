@@ -230,12 +230,17 @@ def run_upsert_into_parquet(
         if current is None or not current.columns:
             merged = batch_latest
         else:
+            # __ver is never persisted — re-derive it from the order
+            # columns (it is redundant with them), keeping the
+            # consumer-visible schema free of internals.
+            current = current.withColumn("__ver", F.struct(*order_cols))
             merged = merge_upsert(current, batch_latest, keys, version_col="__ver")
-        # Materialize before overwriting the directory being read.
-        merged.persist()
-        merged.count()
+        # Break lineage from the files about to be overwritten: a cache
+        # is not a durability guarantee (eviction / executor loss would
+        # recompute from files the overwrite has already deleted), so
+        # materialize with an eager localCheckpoint instead.
+        merged = merged.drop("__ver").localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(path)
-        merged.unpersist()
 
     foreach_batch_into(stream, upsert_batch, timeout_s=timeout_s, output_mode="append")
     return path

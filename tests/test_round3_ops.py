@@ -359,14 +359,18 @@ def test_route_datetime_filter_pushes_to_scan(spark):
 
 def test_query_names_orders_driver_ungated_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
-    round — names it has never verified must enumerate first."""
+    round — names it has never verified must enumerate first.  The
+    artifact scan lives in __spark_entry__ (harness logic), not the
+    library: catalog.query_names() itself does no repo-root I/O."""
     import json
     from pathlib import Path
 
+    import __spark_entry__ as entrymod
     from interlinked_spark import catalog
 
-    names = catalog.query_names()
+    names = list(entrymod.queries())
     assert sorted(names) == sorted(catalog._QUERY_NAMES)
+    assert catalog.query_names() == list(catalog._QUERY_NAMES)  # pure
     seen: set[str] = set()
     for p in Path("/root/repo").glob("CORRECTNESS_r*.json"):
         seen |= set(json.loads(p.read_text()))

@@ -1,0 +1,95 @@
+"""Round-4 additions: ADVICE-item regression tests + new operators.
+
+Reference parity notes cite b12consulting/interlinked files where the
+behavior under test mirrors the reference workflow surface; the engine
+operators here are Spark-native additions with no reference twin.
+"""
+
+import pyspark.sql.functions as F
+
+from .conftest import SF_SMOKE as SF
+
+
+# ---------------------------------------------------------------- ADVICE r3
+
+
+def test_repetition_signals_degenerate_docs(spark):
+    """Docs that pass the JVM size>=n gate but tokenize to zero Python
+    n-grams ('word\\n' once Spark trim keeps the newline; '\\n\\n'
+    whitespace-only) must be dropped, not crash the job (ADVICE r3)."""
+    from interlinked_spark.llm.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "word\n"),  # JVM split: ['word',''] -> size 2 passes gate
+            (2, "\n\n"),  # whitespace-only
+            (3, "a b a b a b"),  # real doc: 5 bigrams, 'a b' x3
+            (4, "x"),  # fails the gate outright
+        ],
+        "doc_id int, text string",
+    )
+    out = repetition_signals(df, n=2).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [3]
+    r = out[0]
+    assert r.n_grams == 5
+    assert r.top_gram == "a b"
+    assert r.top_gram_count == 3
+    assert abs(r.dup_gram_frac - (1.0 - 2 / 5)) < 1e-9
+
+
+def test_repetition_signals_tie_break(spark):
+    """Equal-count top grams break lexicographically smallest."""
+    from interlinked_spark.llm.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "b a b a")], "doc_id int, text string")
+    r = repetition_signals(df, n=2).collect()[0]
+    # grams: 'b a','a b','b a' -> top ('b a',2)
+    assert (r.top_gram, r.top_gram_count) == ("b a", 2)
+
+
+def test_stream_upsert_target_schema_clean(spark, tmp_path):
+    """The streaming-upsert parquet target must not leak the internal
+    __ver struct into the consumer-visible schema (ADVICE r3)."""
+    from interlinked_spark.sources.readers import normalize_nanos
+    from interlinked_spark.streaming import run_upsert_into_parquet
+
+    src = str(tmp_path / "ev_src")
+    ev = normalize_nanos(spark.read.parquet(f"{SF}/events.parquet")).limit(200)
+    ev.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    path = run_upsert_into_parquet(stream, ["user_id"], ["ts", "event_id"])
+    cols = spark.read.parquet(path).columns
+    assert "__ver" not in cols
+    assert set(spark.read.parquet(src).columns) == set(cols)
+
+
+def test_write_bucketed_db_qualified_overwrite(spark):
+    """db-qualified bucketed overwrite must drop the real table (each
+    qualifier part quoted separately) and clean the catalog-resolved
+    location — twice in a row (ADVICE r3)."""
+    from interlinked_spark.sources.writers import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS r4db")
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    write_bucketed(nat, "r4db.nat_b", ["n_nationkey"], num_buckets=4)
+    # Second overwrite exercises DESCRIBE->DROP->rmtree on a live table.
+    write_bucketed(nat.limit(10), "r4db.nat_b", ["n_nationkey"], num_buckets=4)
+    assert spark.table("r4db.nat_b").count() == 10
+    spark.sql("DROP TABLE r4db.nat_b")
+    spark.sql("DROP DATABASE r4db")
+
+
+def test_events_after_cutoff_integer_nanos():
+    """Cutoff-nanos arithmetic must stay integral end-to-end — a float
+    round-trip loses precision above 2**53 (ADVICE r3)."""
+    from datetime import datetime, timedelta, timezone
+
+    dt = datetime(2262, 4, 11, 23, 47, 16, 854775, tzinfo=timezone.utc)
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    exact = ((dt - epoch) // timedelta(microseconds=1)) * 1000
+    assert isinstance(exact, int)
+    assert exact == 9223372036854775000  # near int64 max, > 2**53
