@@ -100,12 +100,26 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        df = catalog.run_query(name, spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    # Median of REPS interleaved passes: one round-robin sweep over the
+    # whole headline set per pass (so slow machine-load drift spreads
+    # evenly across queries instead of biasing whichever query ran
+    # during the spike), then the per-query median.  n=1 round-3 numbers
+    # regressed 1.1-1.4x purely from load noise.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            start = time.perf_counter()
+            df = catalog.run_query(name, spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - start)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
 
     # Regression tracking vs the latest recorded round (BENCH_r<N>.json):
     # per-query ratio, with >1.5x slowdowns called out on stderr.
@@ -113,7 +127,9 @@ def main() -> None:
         "metric": "catalog_headline_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "stat": f"median_of_{reps}",
         "queries": timings,
+        "min": {name: round(min(xs), 3) for name, xs in samples.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     root = Path(__file__).resolve().parent

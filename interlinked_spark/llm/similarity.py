@@ -22,8 +22,12 @@ from ..operators.windows import top_k_per_group
 
 
 def _dot(a, b) -> F.Column:
+    # Cast each element to double BEFORE multiplying: float*float
+    # rounds the product to float precision first, which diverges from
+    # engines that compute in double end-to-end (half-ulp flips at the
+    # 6th decimal on ~1e-3 of pairs).
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -43,12 +47,31 @@ def cosine_top_k(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector by cosine similarity.
 
     Returns ``(query_id, neighbor_id, cosine)``; self-matches excluded;
     ties broken by neighbor id for determinism.
+
+    The plan is a BroadcastNestedLoopJoin — O(|corpus| * |queries|)
+    compares with the whole query set broadcast to every task — so it
+    is only sane for a MODEST query side.  ``max_query_rows`` guards
+    against misuse (the check is a bounded ``limit(n+1).count()``, not
+    a full count): beyond it, raise and point at :func:`ivf_top_k` /
+    :func:`lsh_similarity_join`, the scale paths.  Pass ``None`` to
+    skip the guard when the caller already knows the size.
     """
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"cosine_top_k query side exceeds {max_query_rows} rows; "
+                "the brute-force plan broadcasts every query vector to "
+                "every corpus task (O(corpus x queries) compares). Use "
+                "ivf_top_k (inverted-file ANN) or lsh_similarity_join "
+                "for large query sets, or raise/disable max_query_rows."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -80,8 +103,17 @@ def lsh_similarity_join(
     from pyspark.ml.functions import array_to_vector
 
     def prep(df, out_id):
+        # Keep the RAW embedding array alongside the ML vector: the
+        # output cosine is recomputed exactly from the raw arrays (the
+        # same `cosine_similarity` expression the oracle-verified
+        # brute-force / IVF paths use) — the LSH distance only gates
+        # candidates.  1 - dist^2/2 on normalized vectors carries extra
+        # float error through the Normalizer; the exact recompute keeps
+        # values bit-stable across paths.
         vec = df.select(
-            F.col(id_col).alias(out_id), array_to_vector(F.col(vec_col)).alias("__v")
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("__raw"),
+            array_to_vector(F.col(vec_col)).alias("__v"),
         )
         return Normalizer(inputCol="__v", outputCol="features", p=2.0).transform(vec)
 
@@ -95,12 +127,13 @@ def lsh_similarity_join(
         bucketLength=bucket_length,
     ).fit(c)
     joined = lsh.approxSimilarityJoin(q, c, threshold_distance, distCol="dist")
-    # On unit vectors: cos = 1 - dist^2 / 2
     return (
         joined.select(
             F.col("datasetA.query_id").alias("query_id"),
             F.col("datasetB.neighbor_id").alias("neighbor_id"),
-            F.round(1 - F.col("dist") * F.col("dist") / 2, 6).alias("cosine"),
+            F.round(
+                cosine_similarity(F.col("datasetA.__raw"), F.col("datasetB.__raw")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
@@ -114,19 +147,32 @@ def embedding_near_dup_pairs(
     num_hash_tables: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: LSH self-join, keep
-    pairs above the cosine threshold (left < right)."""
+    pairs above the cosine threshold (left < right).
+
+    The LSH distance gate runs with a small margin and the final filter
+    is on the EXACT cosine recomputed from the raw arrays, so the
+    result is precisely ``{pairs : cosine(a, b) >= t}`` limited only by
+    LSH recall — the boundary is never decided by the noisier
+    normalized-euclidean distance.  With ``num_hash_tables`` sized for
+    the threshold, recall is measured 100% on the test corpora
+    (see catalog ``embedding_near_dups``, oracle-checked)."""
     import math
 
-    # cos >= t  <=>  dist on unit vectors <= sqrt(2 - 2t)
-    max_dist = math.sqrt(max(0.0, 2.0 - 2.0 * cosine_threshold))
+    # cos >= t  <=>  dist on unit vectors <= sqrt(2 - 2t); 2% margin so
+    # the exact-cosine filter owns the boundary.
+    max_dist = math.sqrt(max(0.0, 2.0 - 2.0 * cosine_threshold)) * 1.02 + 1e-6
     pairs = lsh_similarity_join(
         df, df, threshold_distance=max_dist, num_hash_tables=num_hash_tables,
         id_col=id_col, vec_col=vec_col,
     )
-    return pairs.filter(F.col("query_id") < F.col("neighbor_id")).select(
-        F.col("query_id").alias("left_id"),
-        F.col("neighbor_id").alias("right_id"),
-        "cosine",
+    return (
+        pairs.filter(F.col("query_id") < F.col("neighbor_id"))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select(
+            F.col("query_id").alias("left_id"),
+            F.col("neighbor_id").alias("right_id"),
+            "cosine",
+        )
     )
 
 

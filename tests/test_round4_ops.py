@@ -83,6 +83,44 @@ def test_write_bucketed_db_qualified_overwrite(spark):
     spark.sql("DROP DATABASE r4db")
 
 
+def test_cosine_top_k_guards_large_query_side(spark):
+    """Brute-force cosine is O(|corpus| x |queries|) with the query set
+    broadcast — a big query side must raise and point at the scale
+    paths (VERDICT r3 #7)."""
+    import pytest
+
+    from interlinked_spark.llm.similarity import cosine_top_k
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="ivf_top_k"):
+        cosine_top_k(emb, emb, k=2, max_query_rows=10)
+    # Guard off -> runs fine.
+    assert cosine_top_k(emb, emb.limit(2), k=2, max_query_rows=None).count() > 0
+
+
+def test_lsh_join_cosine_is_exact_recompute(spark):
+    """lsh_similarity_join output cosine must equal the exact
+    brute-force cosine for the same pair (raw-array recompute, not the
+    normalized-euclidean back-derivation)."""
+    from interlinked_spark.llm.similarity import (
+        cosine_similarity,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(emb, cosine_threshold=0.3, num_hash_tables=12)
+    a = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("vb"))
+    joined = (
+        pairs.join(a, "left_id")
+        .join(b, "right_id")
+        .withColumn("exact", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+    )
+    assert joined.filter(F.col("cosine") != F.col("exact")).count() == 0
+    # Exact filter owns the boundary: nothing below the threshold leaks.
+    assert joined.filter(F.col("cosine") < 0.3).count() == 0
+
+
 def test_events_after_cutoff_integer_nanos():
     """Cutoff-nanos arithmetic must stay integral end-to-end — a float
     round-trip loses precision above 2**53 (ADVICE r3)."""
