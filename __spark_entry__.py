@@ -36,6 +36,11 @@ def _prepare(spark: SparkSession) -> None:
     from interlinked_spark.session import ship_package
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Driver-created sessions must also read micros-NTZ parquet as plain
+    # TIMESTAMP (session tz is UTC, values unchanged) — watermarks and
+    # epoch casts require the LTZ type.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ship_package(spark)
 
 

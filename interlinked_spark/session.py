@@ -29,6 +29,12 @@ ENGINE_CONF: dict[str, str] = {
     # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no nanos
     # type); sources convert to microsecond timestamps explicitly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read micros-NTZ parquet (isAdjustedToUTC=false) as plain TIMESTAMP,
+    # not TIMESTAMP_NTZ: with the session tz pinned UTC the values are
+    # identical, and watermarks / epoch casts require the LTZ type.
+    # normalize_nanos() also converts any NTZ column that slips through
+    # (e.g. a session created before this conf was applied).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

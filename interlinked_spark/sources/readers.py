@@ -51,15 +51,27 @@ def scan_path(spark: SparkSession, base_dir: str, name: str, fmt: str = "parquet
 
 
 def normalize_nanos(df: DataFrame, cols: Sequence[str] = ("ts",)) -> DataFrame:
-    """Convert TIMESTAMP(NANOS)-read-as-long columns (see the
-    ``nanosAsLong`` session conf) to microsecond timestamps, matching
-    what engines with native nanos support (DuckDB) see after their own
-    micros truncation."""
+    """Normalize timestamp columns to plain TIMESTAMP (LTZ) regardless of
+    how the parquet writer encoded them:
+
+    * TIMESTAMP(NANOS) read as long (see the ``nanosAsLong`` session
+      conf) -> exact floor-division to micros, matching what engines
+      with native nanos support (DuckDB) see after their own truncation.
+    * TIMESTAMP_NTZ (micros with ``isAdjustedToUTC=false``, which
+      Spark 4 infers as ``TimestampNTZType``) -> cast to TIMESTAMP.
+      The session timezone is pinned UTC (``session.ENGINE_CONF``), so
+      the cast reinterprets the wall-clock instant with zero value
+      change; every downstream watermark / ``cast(ts as bigint)`` /
+      window-range consumer requires the LTZ type.
+    """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for c in cols:
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             # Exact integer floor division.  floor(col/1000) evaluates as
             # DOUBLE division: epoch nanos (~1.7e18) exceed double's 2^53
             # mantissa, skewing ~12% of rows by 1us.  `div` truncates
@@ -68,6 +80,8 @@ def normalize_nanos(df: DataFrame, cols: Sequence[str] = ("ts",)) -> DataFrame:
             q = F.expr(f"`{c}` div 1000")
             micros = F.when((F.col(c) < 0) & (F.col(c) % 1000 != 0), q - 1).otherwise(q)
             df = df.withColumn(c, F.timestamp_micros(micros))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
