@@ -136,3 +136,69 @@ def test_pushed_filters_helper(spark):
     df = spark.read.parquet(f"{SF}/orders.parquet").filter("o_custkey = 7").select("o_orderkey")
     assert any("o_custkey" in f for f in pushed_filters(df))
     assert read_schema(df) and "o_orderkey" in read_schema(df)[0]
+
+
+def test_timestamp_encoding_matrix(spark, tmp_path):
+    """Every events-path operator must analyze and run regardless of how
+    the parquet writer encoded ``ts``: micros-UTC (isAdjustedToUTC=1,
+    Spark reads TIMESTAMP), micros-NTZ (isAdjustedToUTC=0, Spark 4
+    infers TIMESTAMP_NTZ unless inferTimestampNTZ is off), and
+    TIMESTAMP(NANOS) (read as long under ``nanosAsLong``).  Guards
+    against testdata regeneration silently switching encodings (the r4
+    round-killer)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from interlinked_spark.operators.windows import change_intervals, sessionize
+    from interlinked_spark.sources.readers import normalize_nanos
+    from interlinked_spark.streaming.ops import (
+        run_available_now,
+        stream_from_parquet,
+        tumbling_agg,
+    )
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = {
+        "event_id": list(range(8)),
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 2],
+        "event_type": ["a", "a", "b", "b"] * 2,
+        "ts": [base + datetime.timedelta(minutes=20 * i) for i in range(8)],
+    }
+    encodings = {
+        "micros_utc": pa.timestamp("us", tz="UTC"),
+        "micros_ntz": pa.timestamp("us"),
+        "nanos": pa.timestamp("ns"),
+    }
+    expected_epochs = sorted(int((t - base).total_seconds()) + int(base.timestamp()) for t in rows["ts"])
+
+    for name, ts_type in encodings.items():
+        ts_vals = rows["ts"] if ts_type.tz else [t.replace(tzinfo=None) for t in rows["ts"]]
+        table = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "ts": pa.array(ts_vals, ts_type),
+            }
+        )
+        path = str(tmp_path / name)
+        pq.write_table(table, f"{path}.parquet", coerce_timestamps=None)
+
+        df = normalize_nanos(spark.read.parquet(f"{path}.parquet"))
+        assert df.schema["ts"].dataType.typeName() == "timestamp", (name, df.schema)
+
+        # identical instants whichever encoding was written
+        epochs = sorted(r[0] for r in df.select(F.col("ts").cast("long")).collect())
+        assert epochs == expected_epochs, (name, epochs)
+
+        # batch time operators: sessionization + gaps-and-islands
+        assert sessionize(df, ["user_id"], "ts", gap_seconds=1800).count() == 8
+        assert change_intervals(df, ["user_id"], "ts", "event_type").count() == 4
+
+        # streaming: watermark + tumbling window must analyze AND drain
+        stream = stream_from_parquet(spark, f"{path}.parquet")
+        result = tumbling_agg(stream, "ts", "1 hour", keys=["user_id"])
+        run_available_now(result, f"ts_matrix_{name}", output_mode="complete")
+        assert spark.table(f"ts_matrix_{name}").count() > 0, name
