@@ -271,14 +271,39 @@ def q_order_percentiles(o: DataFrame) -> DataFrame:
     )
 
 
-@defq("approx_distinct_parts", oracle=None, li="table.lineitem")
+@defq(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY 1
+    """,
+    li="table.lineitem",
+)
 def q_approx_distinct_parts(li: DataFrame) -> DataFrame:
-    """HLL++ distinct estimate — algorithm-specific values, rows-only
-    check (the exact-distinct twin is oracle-checked in
-    ``nation_segments``)."""
+    """HLL++ distinct estimate (§2b-D approx family).  The estimate
+    itself is algorithm-specific, so the oracle-checkable output is the
+    derived assertion: the exact distinct count (SQL-matchable) plus
+    ``within_bound`` — |estimate - exact| / exact within 3x the
+    requested rsd (0.05), a deterministic property of HLL++ on a fixed
+    dataset.  A wrong estimate flips the boolean and fails the hash
+    compare."""
     from .operators import approx_distinct
 
-    return approx_distinct(li, ["l_returnflag"], "l_partkey")
+    approx = approx_distinct(li, ["l_returnflag"], "l_partkey")
+    exact = group_agg(
+        li, ["l_returnflag"], {"n_exact": F.countDistinct("l_partkey").cast("long")}
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("approx_distinct_l_partkey") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.15
+        ).alias("within_bound"),
+    )
 
 
 # =====================================================================
@@ -953,10 +978,44 @@ def q_dedup_ngram_jaccard(d: DataFrame) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.05)
 
 
-@defq("dedup_simhash_pairs", oracle=None, d="table.documents")
+@defq(
+    "dedup_simhash_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(regexp_replace(
+               lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))), '\s+', ' ', 'g'), ' '))) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END)::UBIGINT AS uw
+      FROM bits GROUP BY doc_id
+    )
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           CAST(bit_count(xor(l.uw, r.uw)) AS INTEGER) AS hamming
+    FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.uw, r.uw)) <= 16
+      AND ((l.uw >> 0) & 65535 = (r.uw >> 0) & 65535
+        OR (l.uw >> 16) & 65535 = (r.uw >> 16) & 65535
+        OR (l.uw >> 32) & 65535 = (r.uw >> 32) & 65535
+        OR (l.uw >> 48) & 65535 = (r.uw >> 48) & 65535)
+    """,
+    d="table.documents",
+)
 def q_dedup_simhash_pairs(d: DataFrame) -> DataFrame:
-    """SimHash banded near-dup pairs (§2b-K); xxhash64-based signature
-    is engine-specific -> rows-only."""
+    """SimHash banded near-dup pairs (§2b-K).  Token hashes are the
+    first 8 bytes of md5, so the oracle recomputes the 64-bit signature
+    bit-for-bit in SQL (per-bit vote sum over distinct tokens), applies
+    the same 4x16-bit pigeonhole band gate, and verifies exact Hamming
+    distance with bit_count(xor)."""
     from .llm.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(d, max_hamming=16, bands=4)
@@ -987,13 +1046,31 @@ def q_similarity_cosine_topk(e: DataFrame) -> DataFrame:
     return cosine_top_k(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
-@defq("similarity_lsh_pairs", oracle=None, e="table.embeddings")
+@defq(
+    "similarity_lsh_pairs",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 8
+      AND ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.2
+    """,
+    e="table.embeddings",
+)
 def q_similarity_lsh_pairs(e: DataFrame) -> DataFrame:
-    """Approximate LSH similarity join (§2b-K scale path): random
-    projections are seed-specific -> rows-only."""
+    """Approximate LSH similarity join (§2b-K scale path).  The LSH
+    distance gate (1.3 on unit vectors ~ cosine 0.155) runs with margin
+    under the exact-cosine final filter (0.2 ~ dist 1.265), so the
+    result is exactly ``{pairs : cosine >= 0.2}`` — SQL-expressible,
+    limited only by LSH recall, which the hash-table count is sized to
+    make total on the test corpora (same technique as
+    ``embedding_near_dups``)."""
     from .llm.similarity import lsh_similarity_join
 
-    return lsh_similarity_join(e, e.filter(F.col("vec_id") < 8), threshold_distance=1.3)
+    pairs = lsh_similarity_join(
+        e, e.filter(F.col("vec_id") < 8), threshold_distance=1.3, num_hash_tables=12
+    )
+    return pairs.filter(F.col("cosine") >= 0.2)
 
 
 @defq(
@@ -1575,15 +1652,35 @@ def q_doc_content_hashes(d: DataFrame) -> DataFrame:
     )
 
 
-@defq("text_ml_pipeline", oracle=None, d="table.documents")
+_ML_PIPELINE_STOPWORDS = ["the", "and", "of", "a", "to", "in", "is"]
+
+
+@defq(
+    "text_ml_pipeline",
+    oracle=r"""
+    SELECT doc_id, CAST(GREATEST(len(kept) - 1, 0) AS INTEGER) AS n_bigrams
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> length(t) >= 1
+                              AND t NOT IN ('the','and','of','a','to','in','is')) AS kept
+      FROM documents
+    )
+    """,
+    d="table.documents",
+)
 def q_text_ml_pipeline(d: DataFrame) -> DataFrame:
     """pyspark.ml feature pipeline (§2b-K): RegexTokenizer ->
-    StopWordsRemover -> NGram -> per-doc bigram count.  ML transformer
-    surface; rows-only (transformer internals are impl-specific)."""
+    StopWordsRemover -> NGram -> per-doc bigram count.  The transformers
+    are deterministic string ops (lowercase whitespace split, min token
+    length 1, explicit stopword list, n-1 bigrams), so the result is
+    fully SQL-expressible."""
     from pyspark.ml.feature import NGram, RegexTokenizer, StopWordsRemover
 
     tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
-    stop = StopWordsRemover(inputCol="toks", outputCol="kept")
+    stop = StopWordsRemover(
+        inputCol="toks", outputCol="kept", stopWords=_ML_PIPELINE_STOPWORDS
+    )
     ngram = NGram(n=2, inputCol="kept", outputCol="bigrams")
     out = ngram.transform(stop.transform(tok.transform(d)))
     return out.select("doc_id", F.size("bigrams").alias("n_bigrams"))
@@ -2757,21 +2854,37 @@ def q_customer_balance_distribution(c: DataFrame) -> DataFrame:
     )
 
 
-@defq("nation_hll_distinct", oracle=None, o="table.orders")
+@defq(
+    "nation_hll_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM orders GROUP BY 1
+    """,
+    o="table.orders",
+)
 def q_nation_hll_distinct(o: DataFrame) -> DataFrame:
     """Mergeable HLL sketches (§2b-D approx family): per-priority
     Datasketches HLL of distinct customers — sketches merge across
     partitions (and across days, at 100 TB) without re-scanning, unlike
-    exact countDistinct.  Estimates are engine-specific -> rows-only
-    driver check; the suite pins estimate-vs-exact error locally."""
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_sketch_agg(F.col("o_custkey"))
-            ).alias("approx_custs")
-        )
-        .select("o_orderpriority", "approx_custs")
+    exact countDistinct.  Sketch estimates are engine-specific, so the
+    oracle checks the derived assertion instead: exact count
+    (SQL-matchable) + ``within_bound`` — estimate within 5% of exact
+    (lgConfigK=12 default => rsd ~1.6%; 3x margin), deterministic for a
+    fixed dataset."""
+    sketch = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("o_custkey"))).alias("approx_custs")
+    )
+    exact = group_agg(
+        o, ["o_orderpriority"], {"n_exact": F.countDistinct("o_custkey").cast("long")}
+    )
+    return exact.join(sketch, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        (
+            F.abs(F.col("approx_custs") - F.col("n_exact")) / F.col("n_exact") <= 0.05
+        ).alias("within_bound"),
     )
 
 
@@ -3214,18 +3327,32 @@ def q_text_source_tokens(d: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
-@defq("customer_stratified_sample", oracle=None, c="table.customer")
+@defq(
+    "customer_stratified_sample",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_sampled
+    FROM customer
+    WHERE substr(md5('st' || CAST(c_custkey AS VARCHAR)), 1, 8) <
+          CASE c_mktsegment WHEN 'AUTOMOBILE' THEN '80000000'
+                            WHEN 'BUILDING'   THEN '33333333'
+                            WHEN 'FURNITURE'  THEN '19999999' END
+    GROUP BY 1
+    """,
+    c="table.customer",
+)
 def q_customer_stratified_sample(c: DataFrame) -> DataFrame:
-    """Stratified sampling (§2b-B): per-segment fractions via seeded
-    ``sampleBy`` — one pass, no shuffle.  Seeded sampling is
-    partition-layout-dependent (NOT cross-engine reproducible — that is
-    what ``hash_sample`` is for), so this is a rows-only driver check;
-    the suite pins per-stratum proportions instead."""
-    from .operators.sampling import stratified_sample
+    """Stratified sampling (§2b-B): per-segment fractions via the
+    deterministic md5 hash predicate (one pass, no shuffle) —
+    reproducible across runs/engines/partitionings, unlike seeded
+    ``sampleBy`` (kept as :func:`stratified_sample` for the
+    partition-stable case).  Hex thresholds in the oracle are
+    ``format(int(f * 16**8), '08x')``."""
+    from .operators.sampling import stratified_hash_sample
 
-    s = stratified_sample(
-        c, "c_mktsegment",
+    s = stratified_hash_sample(
+        c, "c_mktsegment", "c_custkey",
         {"AUTOMOBILE": 0.5, "BUILDING": 0.2, "FURNITURE": 0.1},
+        salt="st",
     )
     return group_agg(s, ["c_mktsegment"], {"n_sampled": F.count("*")})
 

@@ -243,10 +243,12 @@ def simhash_signatures(
     hashes (vote_i = sum over tokens of +/-1 by bit i; bit set iff
     vote > 0).
 
-    Arrow-vectorized: stable blake2b token hashes + one numpy bit-matrix
-    fold per document.  (The pure-Column formulation — 64 interpreted
-    ``aggregate`` folds over a hash array — is the same 10x+ slowdown
-    class as the shingle HOF kernel; see :func:`_with_shingles`.)"""
+    Arrow-vectorized: stable token hashes (first 8 bytes of md5, so any
+    engine with md5 — including the DuckDB oracle — can recompute the
+    exact signature) + one numpy bit-matrix fold per document.  (The
+    pure-Column formulation — 64 interpreted ``aggregate`` folds over a
+    hash array — is the same 10x+ slowdown class as the shingle HOF
+    kernel; see :func:`_with_shingles`.)"""
     import hashlib
 
     import numpy as np
@@ -264,9 +266,7 @@ def simhash_signatures(
                 return 0
             hs = np.array(
                 [
-                    int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                    )
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
                     for tok in toks
                 ],
                 dtype=np.uint64,

@@ -55,5 +55,42 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum sampling via ``sampleBy`` (seeded, one pass).
     Reproducible only for a fixed partitioning — for cross-run
-    reproducibility at scale prefer :func:`hash_sample` per stratum."""
+    reproducibility at scale prefer :func:`stratified_hash_sample`."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum fraction applied
+    via the :func:`hash_sample` md5 predicate (one pass, no shuffle,
+    reproducible across runs/engines/partitionings).  Strata absent
+    from ``fractions`` are dropped, matching ``sampleBy``."""
+    for frac in fractions.values():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {frac}")
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+    threshold = None
+    for stratum, frac in fractions.items():
+        hexcap = F.lit("g" if frac >= 1.0 else format(int(frac * _HEX_SPACE), "08x"))
+        branch = F.when(F.col(strata_col) == stratum, hexcap)
+        threshold = branch if threshold is None else threshold.when(F.col(strata_col) == stratum, hexcap)
+    return df.filter(prefix < threshold)
+
+
+def stratified_hash_sample_sql(
+    strata_col: str, key_col: str, fractions: dict, salt: str = ""
+) -> str:
+    """The equivalent ANSI-SQL predicate (oracle parity helper)."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{'g' if f >= 1.0 else format(int(f * _HEX_SPACE), '08x')}'"
+        for s, f in fractions.items()
+    )
+    return (
+        f"substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < "
+        f"CASE {strata_col} {cases} END"
+    )

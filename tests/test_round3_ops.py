@@ -171,14 +171,13 @@ def test_scrub_pii_actually_redacts(spark):
 
 
 def test_hll_sketch_estimate_close_to_exact(spark):
-    """nation_hll_distinct is rows-only at the driver; pin the estimate
-    quality locally: HLL within 5% of exact distinct."""
+    """nation_hll_distinct now emits the derived assertion itself
+    (n_exact + within_bound, oracle-checkable); pin both sides locally:
+    the exact counts match a recomputed countDistinct and every
+    sketch-estimate bound check passed."""
     from interlinked_spark import catalog
 
-    approx = {
-        r.o_orderpriority: r.approx_custs
-        for r in catalog.run_query("nation_hll_distinct", spark, SF).collect()
-    }
+    rows = catalog.run_query("nation_hll_distinct", spark, SF).collect()
     o = spark.read.parquet(f"{SF}/orders.parquet")
     exact = {
         r.o_orderpriority: r.n
@@ -186,9 +185,10 @@ def test_hll_sketch_estimate_close_to_exact(spark):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+    assert {r.o_orderpriority for r in rows} == set(exact)
+    for r in rows:
+        assert r.n_exact == exact[r.o_orderpriority], r
+        assert r.within_bound is True, r
 
 
 def test_stream_upsert_multi_batch_deterministic(spark, tmp_path):
@@ -343,6 +343,29 @@ def test_stratified_sample_proportions(spark):
     for seg, f in fracs.items():
         assert abs(got.get(seg, 0) / totals[seg] - f) < 0.15, (seg, got)
     assert set(got) <= set(fracs)  # unlisted strata fully dropped
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    """The md5-keyed stratified sample is exactly reproducible (same
+    rows on re-run and after a repartition) and respects per-stratum
+    fractions; unlisted strata drop entirely."""
+    from interlinked_spark.operators.sampling import stratified_hash_sample
+
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    fracs = {"AUTOMOBILE": 0.5, "BUILDING": 0.2}
+    a = set(r.c_custkey for r in stratified_hash_sample(
+        c, "c_mktsegment", "c_custkey", fracs, salt="t").collect())
+    b = set(r.c_custkey for r in stratified_hash_sample(
+        c.repartition(7), "c_mktsegment", "c_custkey", fracs, salt="t").collect())
+    assert a == b and a  # layout-independent
+    totals = {r.c_mktsegment: r.n for r in c.groupBy("c_mktsegment")
+              .agg(F.count("*").alias("n")).collect()}
+    s = stratified_hash_sample(c, "c_mktsegment", "c_custkey", fracs, salt="t")
+    got = {r.c_mktsegment: r.n for r in s.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(fracs)
+    for seg, f in fracs.items():
+        assert abs(got.get(seg, 0) / totals[seg] - f) < 0.15, (seg, got)
 
 
 def test_route_datetime_filter_pushes_to_scan(spark):
