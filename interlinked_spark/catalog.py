@@ -2382,16 +2382,77 @@ def q_doc_tokens_udtf(spark: SparkSession, base_dir: str) -> DataFrame:
     )
 
 
-@defq("embedding_pca", oracle=None, e="table.embeddings")
+@defq(
+    "embedding_pca",
+    oracle="""
+    WITH dims AS (
+      SELECT unnest(embedding::DOUBLE[]) AS val,
+             unnest(generate_series(1, len(embedding))) AS idx
+      FROM embeddings
+    ),
+    tv AS (SELECT ROUND(SUM(v), 4) AS total_var
+           FROM (SELECT var_samp(val) AS v FROM dims GROUP BY idx))
+    SELECT CAST(c.component AS INTEGER) AS component, tv.total_var,
+           TRUE AS explained_ok, TRUE AS centered_ok, TRUE AS ortho_ok
+    FROM tv CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS component) c
+    """,
+    e="table.embeddings",
+)
 def q_embedding_pca(e: DataFrame) -> DataFrame:
     """Distributed PCA (§2b-K): covariance-method partials in one Arrow
-    pass, d x d eigh on the driver, broadcast projection.  Numeric
-    results depend on float reduction order -> rows-only gate; algebraic
-    properties are pinned in tests/test_round2_ops.py."""
-    from .llm.embeddings import pca_project
+    pass, d x d eigh on the driver, broadcast projection.  Raw
+    projections depend on float reduction order, so the oracle checks
+    derived invariants instead: per component, the sample variance of
+    the projections equals the eigenvalue, projections are centered and
+    mutually orthogonal (booleans a wrong PCA flips), plus the
+    SQL-matchable total variance (trace of the covariance = sum of
+    per-dimension sample variances).  The two crossJoins are single-row
+    scalar combines."""
+    import itertools
 
-    out = pca_project(e, "embedding", "vec_id", k=4)
-    return out.select("id", *[F.round(F.element_at("pc", i + 1), 4).alias(f"pc{i+1}") for i in range(4)])
+    from .llm.embeddings import pca_fit, pca_project
+
+    k = 4
+    fit = pca_fit(e, "embedding", k=k)
+    _mean, _comps, eigvals, _n = fit
+    proj = pca_project(e, "embedding", "vec_id", k=k, fit=fit)
+
+    spark = e.sparkSession
+    total_var = (
+        e.select(F.posexplode("embedding").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.var_samp("val").alias("v"))
+        .agg(F.round(F.sum("v"), 4).alias("total_var"))
+    )
+    per_comp = (
+        proj.select(F.posexplode("pc").alias("cidx", "val"))
+        .groupBy("cidx")
+        .agg(F.var_samp("val").alias("v"), F.avg("val").alias("m"))
+    )
+    eig = spark.createDataFrame(
+        [(i, float(eigvals[i])) for i in range(k)], "cidx int, eig double"
+    )
+    ortho = proj.agg(
+        F.greatest(
+            *[
+                F.abs(F.covar_samp(F.element_at("pc", i + 1), F.element_at("pc", j + 1)))
+                / F.lit(float((eigvals[i] * eigvals[j]) ** 0.5))
+                for i, j in itertools.combinations(range(k), 2)
+            ]
+        ).alias("max_ortho")
+    )
+    return (
+        per_comp.join(F.broadcast(eig), "cidx")
+        .crossJoin(total_var)
+        .crossJoin(ortho)
+        .select(
+            (F.col("cidx") + 1).cast("int").alias("component"),
+            "total_var",
+            (F.abs(F.col("v") - F.col("eig")) / F.col("eig") <= 1e-6).alias("explained_ok"),
+            (F.abs(F.col("m")) <= 1e-9).alias("centered_ok"),
+            (F.col("max_ortho") <= 1e-6).alias("ortho_ok"),
+        )
+    )
 
 
 @defq(

@@ -21,19 +21,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pca_project(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 8,
-) -> DataFrame:
-    """Project each vector onto the top-``k`` principal components of
-    the column's covariance.  Returns ``(id, pc: array<double>)``."""
+def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8):
+    """Fit the covariance-method PCA: one Arrow partials pass, driver
+    ``eigh`` on the d x d reduction.  Returns ``(mean, components,
+    eigenvalues, n_rows)`` as plain Python lists/ints — the fit state a
+    projection (or a verification query) broadcasts."""
     import numpy as np
 
     first = df.select(vec_col).first()
     if first is None:
-        raise ValueError("pca_project on an empty DataFrame")
+        raise ValueError("pca_fit on an empty DataFrame")
     d_dim = len(first[0])
     if not 1 <= k <= d_dim:
         raise ValueError(f"k must be in [1, {d_dim}], got {k}")
@@ -50,7 +47,7 @@ def pca_project(
     parts = df.select(vec_col).mapInPandas(partials, "n long, s array<double>, g array<double>").collect()
     n = sum(p.n for p in parts)
     if n < 2:
-        raise ValueError("pca_project needs at least 2 rows")
+        raise ValueError("pca_fit needs at least 2 rows")
     s = np.sum([np.asarray(p.s) for p in parts], axis=0)
     gram = np.sum([np.asarray(p.g).reshape(d_dim, d_dim) for p in parts], axis=0)
     mean = s / n
@@ -61,7 +58,21 @@ def pca_project(
     for j in range(comps.shape[1]):  # deterministic sign
         if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
             comps[:, j] = -comps[:, j]
-    mean_l, comps_l = mean.tolist(), comps.tolist()
+    return mean.tolist(), comps.tolist(), vals[order].tolist(), n
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    fit=None,
+) -> DataFrame:
+    """Project each vector onto the top-``k`` principal components of
+    the column's covariance.  Returns ``(id, pc: array<double>)``.
+    Pass a precomputed :func:`pca_fit` result to skip the partials
+    pass."""
+    mean_l, comps_l, _vals, _n = fit if fit is not None else pca_fit(df, vec_col, k)
 
     @F.pandas_udf("array<double>")
     def project(vs: pd.Series) -> pd.Series:
