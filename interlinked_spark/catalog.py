@@ -1181,15 +1181,38 @@ def q_multimodal_payload(d: DataFrame) -> DataFrame:
     return extract_features(assets).select("asset_id", "media_type", "payload_bytes")
 
 
-@defq("multimodal_features", oracle=None, d="table.documents")
+@defq(
+    "multimodal_features",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, i % 8 AS bucket,
+             ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS byte
+      FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                   unnest(range(0, octet_length(encode(text)))) AS i
+            FROM documents)
+    ),
+    buckets AS (
+      SELECT doc_id, bucket, ((SUM(byte) % 997) / 997.0)::FLOAT::DOUBLE AS v
+      FROM bytes GROUP BY 1, 2
+    )
+    SELECT d.doc_id AS asset_id, ROUND(COALESCE(SUM(v), 0), 6) AS feature_sum
+    FROM documents d LEFT JOIN buckets b ON d.doc_id = b.doc_id
+    GROUP BY 1
+    """,
+    d="table.documents",
+)
 def q_multimodal_features(d: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas (§2b-K; deterministic stub decoder -> rows-only)."""
+    mapInPandas (§2b-K).  The stub decoder is a deterministic byte fold
+    (per-bucket byte sums mod 997, scaled to float32), so the oracle
+    recomputes the features independently from the utf-8 payload bytes
+    (hex-string byte access) — the mapInPandas plumbing is verified
+    end-to-end, not just counted."""
     from .llm.multimodal import attach_binary_payload, extract_features
 
     feats = extract_features(attach_binary_payload(d, "text", "doc_id"))
     return feats.select(
-        "asset_id", F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 6).alias("feature_sum")
+        "asset_id", F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + double(x))"), 6).alias("feature_sum")
     )
 
 
@@ -1595,17 +1618,47 @@ def q_similarity_ivf_topk(e: DataFrame) -> DataFrame:
     return ivf_top_k(e, e.filter(F.col("vec_id") < 5), k=5, n_clusters=8, n_probe=8)
 
 
-@defq("multimodal_transform", oracle=None, d="table.documents")
+@defq(
+    "multimodal_transform",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, i % 64 AS cell,
+             ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS byte
+      FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                   unnest(range(0, octet_length(encode(text)))) AS i
+            FROM documents)
+    ),
+    cells AS (
+      SELECT doc_id, cell, SUM(byte) % 256 AS v FROM bytes GROUP BY 1, 2
+    )
+    SELECT d.doc_id AS asset_id,
+           64 AS resized_bytes,
+           4 AS n_frames,
+           CAST(COALESCE(SUM(v), 0) AS BIGINT) AS resized_sum
+    FROM documents d LEFT JOIN cells c ON d.doc_id = c.doc_id
+    GROUP BY 1
+    """,
+    d="table.documents",
+)
 def q_multimodal_transform(d: DataFrame) -> DataFrame:
     """Resize + frame-sample plumbing over binary payloads (§2b-K
-    multimodal; stub codecs -> rows-only)."""
+    multimodal).  The stub resize is a deterministic fold of payload
+    bytes into an 8x8 grid (per-cell sums mod 256), so the oracle
+    recomputes the grid checksum from the raw bytes in SQL — the
+    transform's actual output bytes are verified, not just their
+    shape."""
     from .llm.multimodal import attach_binary_payload, transform_assets
+
+    @F.pandas_udf("long")
+    def byte_sum(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: 0 if x is None else sum(x))
 
     out = transform_assets(attach_binary_payload(d, "text", "doc_id"))
     return out.select(
         "asset_id",
         F.octet_length("resized").alias("resized_bytes"),
         F.size("frames").alias("n_frames"),
+        byte_sum("resized").alias("resized_sum"),
     )
 
 
