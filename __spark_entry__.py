@@ -54,16 +54,19 @@ def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _driver_verified_rounds() -> dict[str, int]:
-    """name -> earliest round with a driver CORRECTNESS row, scanned
-    from CORRECTNESS_r*.json next to this file.  The driver gate
-    records a bounded number of rows per round, so queries it has never
-    verified must enumerate first or they never get a row.  This is
-    driver-harness logic, so it lives here — the library never reads
-    the driver's artifacts."""
+    """name -> latest round with a fully GREEN driver CORRECTNESS row
+    (hash_match true), scanned from CORRECTNESS_r*.json next to this
+    file.  The driver gate records a bounded number of rows per round,
+    so enumeration order decides what gets re-verified: names never
+    value-verified (only rows-only/err rows, or no row at all) first,
+    then least-recently-green — stale greens (e.g. predating a testdata
+    regeneration or an oracle upgrade) re-sample before fresh ones.
+    This is driver-harness logic, so it lives here — the library never
+    reads the driver's artifacts."""
     import json
     import re
 
-    seen: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     root = Path(__file__).resolve().parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
@@ -74,9 +77,10 @@ def _driver_verified_rounds() -> dict[str, int]:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        for name in rows:
-            seen.setdefault(name, rnd)
-    return seen
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                last_green[name] = max(last_green.get(name, rnd), rnd)
+    return last_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

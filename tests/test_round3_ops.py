@@ -380,11 +380,13 @@ def test_route_datetime_filter_pushes_to_scan(spark):
     assert "GreaterThanOrEqual(ts," in scan, scan
 
 
-def test_query_names_orders_driver_ungated_first():
+def test_query_names_orders_driver_unverified_first():
     """The driver CORRECTNESS gate records a bounded number of rows per
-    round — names it has never verified must enumerate first.  The
-    artifact scan lives in __spark_entry__ (harness logic), not the
-    library: catalog.query_names() itself does no repo-root I/O."""
+    round — names never value-verified (hash_match green) must
+    enumerate before ever-green ones, and greens re-sample
+    least-recently-green first.  The artifact scan lives in
+    __spark_entry__ (harness logic), not the library:
+    catalog.query_names() itself does no repo-root I/O."""
     import json
     from pathlib import Path
 
@@ -394,11 +396,17 @@ def test_query_names_orders_driver_ungated_first():
     names = list(entrymod.queries())
     assert sorted(names) == sorted(catalog._QUERY_NAMES)
     assert catalog.query_names() == list(catalog._QUERY_NAMES)  # pure
-    seen: set[str] = set()
+    green: dict[str, int] = {}
     for p in Path("/root/repo").glob("CORRECTNESS_r*.json"):
-        seen |= set(json.loads(p.read_text()))
-    seen &= set(names)
-    if seen and len(seen) < len(names):
-        first_gated = min(names.index(n) for n in seen)
-        last_ungated = max(i for i, n in enumerate(names) if n not in seen)
-        assert last_ungated < first_gated
+        rnd = int(p.stem.split("_r")[1])
+        for name, row in json.loads(p.read_text()).items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green[name] = max(green.get(name, rnd), rnd)
+    green = {n: r for n, r in green.items() if n in set(names)}
+    if green and len(green) < len(names):
+        first_green = min(names.index(n) for n in green)
+        last_nongreen = max(i for i, n in enumerate(names) if n not in green)
+        assert last_nongreen < first_green
+        # within greens: non-decreasing last-green round
+        rounds = [green[n] for n in names if n in green]
+        assert rounds == sorted(rounds)
