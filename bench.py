@@ -69,6 +69,14 @@ HEADLINE = [
     "hourly_value_locf",
     "corpus_quality_filter",
     "dedup_kept_corpus",
+    # round 5 additions — the newly fully-oracled ops with real weight:
+    # SimHash banding, the ids-only LSH similarity join (both shapes),
+    # PCA invariants, and the multimodal mapInPandas tier.
+    "dedup_simhash_pairs",
+    "similarity_lsh_pairs",
+    "embedding_near_dups",
+    "embedding_pca",
+    "multimodal_features",
 ]
 
 
