@@ -3297,6 +3297,40 @@ def q_partitioned_scan_agg(o: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
+@defq(
+    "clustered_scan_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-04-01'
+    GROUP BY 1
+    """,
+    li="table.lineitem",
+)
+def q_clustered_scan_agg(li: DataFrame, spark: SparkSession) -> DataFrame:
+    """Sort-clustered sink + skipping scan (§2b-A), driver-gated: write
+    lineitem range-clustered on l_shipdate, read back filtered to one
+    quarter — files/row groups outside the window are skipped on their
+    min/max stats (the single-dimension Z-order move; file-level
+    disjointness pinned in tests/test_round5_ops.py).  At 100 TB this
+    is the layout for time-range queries on fact tables."""
+    import tempfile
+
+    from .sources.writers import write_clustered
+
+    path = tempfile.mkdtemp(prefix="clustered_scan_")
+    write_clustered(li, path, ["l_shipdate"], n_files=8)
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
 @WKF.provide("events.after.{cutoff:datetime}")
 def _events_after(spark: SparkSession, base_dir: str, cutoff: str) -> DataFrame:
     """Datetime route param -> pushed-down time predicate (§2b-B): the

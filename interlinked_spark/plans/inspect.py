@@ -39,9 +39,11 @@ def pushed_filters(df: DataFrame) -> list[str]:
     territory) — empty means the scan reads everything."""
     plan = physical_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+    # The plan string truncates long field lists ("..., ..." with no
+    # closing bracket), so accept either terminator.
+    for m in re.finditer(r"PushedFilters: \[(.*?)(?:\]|\.\.\.)", plan):
         if m.group(1):
-            out.extend(s.strip() for s in m.group(1).split(","))
+            out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
     return out
 
 

@@ -35,6 +35,12 @@ ENGINE_CONF: dict[str, str] = {
     # normalize_nanos() also converts any NTZ column that slips through
     # (e.g. a session created before this conf was applied).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Never write INT96 timestamps (the Spark default): INT96 columns
+    # carry NO min/max statistics and get NO filter pushdown, which
+    # silently disables row-group/file skipping on every timestamp-
+    # clustered table the engine writes.  Micros is the modern,
+    # stats-bearing encoding every reader understands.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

@@ -34,6 +34,29 @@ def write_table(
         getattr(writer, fmt)(path)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Sort-clustered layout for data skipping (§2b-A scale notes):
+    ``repartitionByRange`` on the cluster columns gives each output
+    file a NARROW, largely disjoint value range, and the within-file
+    sort tightens row-group min/max stats — so a pushed-down range
+    predicate skips whole files and row groups instead of scanning
+    them.  The single-dimension counterpart of Z-ordering: at 100 TB
+    this is the layout move for time-range queries on fact tables
+    (cluster by event time), turning a full scan into reading only the
+    files whose stats intersect the predicate.  One range shuffle at
+    write time, amortized over every subsequent scan."""
+    out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(*cluster_cols)
+    write_table(out, path, fmt=fmt, mode=mode, **options)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -1,0 +1,94 @@
+"""Round-5 operators: sort-clustered writes (data-skipping layout) and
+the timestamp-robust scan path they ride on."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _file_ranges(path, col):
+    """(min, max) of ``col`` per parquet data file, from footer stats."""
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(col)
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    return ranges
+
+
+def test_clustered_write_skips_files(spark, tmp_path):
+    """The point of write_clustered: file-level min/max ranges are
+    narrow and largely disjoint, so a range predicate intersects only a
+    few files (Spark skips the rest on footer stats).  An unclustered
+    copy of the same data has every file spanning the whole value
+    range — nothing can be skipped."""
+    from interlinked_spark.sources.writers import write_clustered, write_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    clustered = str(tmp_path / "clustered")
+    unclustered = str(tmp_path / "unclustered")
+    write_clustered(li, clustered, ["l_shipdate"], n_files=8)
+    write_table(li.repartition(8), unclustered)
+
+    import datetime
+
+    utc = datetime.timezone.utc
+    lo = datetime.datetime(1998, 1, 1, tzinfo=utc)
+    hi = datetime.datetime(1998, 4, 1, tzinfo=utc)
+
+    def hits(path):
+        rngs = _file_ranges(path, "l_shipdate")
+        assert rngs, path
+        return sum(1 for a, b in rngs if a < hi and b >= lo), len(rngs)
+
+    c_hit, c_total = hits(clustered)
+    u_hit, u_total = hits(unclustered)
+    assert u_hit == u_total  # every random-layout file spans the window
+    assert c_hit <= max(2, c_total // 4), (c_hit, c_total)  # skipping works
+
+    # and the predicate actually reaches the scan
+    back = spark.read.parquet(clustered).filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    from interlinked_spark.plans import pushed_filters
+
+    assert any("l_shipdate" in f for f in pushed_filters(back))
+
+
+def test_clustered_scan_agg_matches_direct(spark):
+    """The catalog round-trip equals the direct filter+agg (the DuckDB
+    oracle's shape), clustering being a pure layout change."""
+    from interlinked_spark import catalog
+
+    got = {
+        r.l_returnflag: (r.n, r.revenue)
+        for r in catalog.run_query("clustered_scan_agg", spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    want = {
+        r.l_returnflag: (r.n, r.revenue)
+        for r in li.filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and got
