@@ -1114,6 +1114,57 @@ def q_doc_quality(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "doc_repetition_signals",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))),
+                            '\s+', ' ', 'g') AS nrm
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, nrm,
+             list_filter(string_split(nrm, ' '), x -> length(x) >= 1) AS t
+      FROM norm
+    ),
+    g AS (
+      SELECT doc_id, nrm, len(t) - 1 AS n_grams,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks WHERE len(t) >= 2
+    ),
+    gc AS (
+      SELECT doc_id, any_value(nrm) AS nrm, any_value(n_grams) AS n_grams,
+             gram, COUNT(*) AS c
+      FROM g GROUP BY doc_id, gram
+    ),
+    top AS (
+      SELECT doc_id, nrm, n_grams, gram, c,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rk
+      FROM gc
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           ROUND(1 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_gram_frac,
+           gram AS top_gram,
+           CAST(c AS BIGINT) AS top_gram_count,
+           ROUND(c * length(gram) / CAST(length(nrm) AS DOUBLE), 6) AS top_gram_char_frac
+    FROM top WHERE rk = 1
+    """,
+    d="table.documents",
+)
+def q_doc_repetition_signals(d: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (§2b-K): duplicate-bigram
+    fraction + top-bigram character coverage per document, one
+    shuffle-free Arrow pass.  The oracle recomputes gram counts from the
+    same normalization and mirrors the (count desc, gram asc)
+    tie-break."""
+    from .llm.text import repetition_signals
+
+    return repetition_signals(d, n=2)
+
+
+@defq(
     "doc_language_id",
     oracle="""
     WITH scored AS (

@@ -160,12 +160,15 @@ def repetition_signals(
                 return (None, None, None, None, None)
             counts = Counter(grams)
             top_gram, top_count = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            # No rounding here: Python round() is half-to-even, which
+            # diverges from SQL engines' half-up on exact halves (e.g.
+            # 10/256 = 0.0390625) — the caller rounds with F.round.
             return (
                 len(grams),
-                round(1.0 - len(counts) / len(grams), 6),
+                1.0 - len(counts) / len(grams),
                 top_gram,
                 top_count,
-                round(top_count * len(top_gram) / len(norm), 6),
+                top_count * len(top_gram) / len(norm),
             )
 
         return pd.DataFrame(
@@ -186,6 +189,8 @@ def repetition_signals(
         .withColumn("__sig", rep_udf(F.col(text_col)))
         .select(id_col, "__sig.*")
         .filter(F.col("n_grams").isNotNull())
+        .withColumn("dup_gram_frac", F.round("dup_gram_frac", 6))
+        .withColumn("top_gram_char_frac", F.round("top_gram_char_frac", 6))
     )
 
 
