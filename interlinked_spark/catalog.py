@@ -1165,6 +1165,45 @@ def q_doc_repetition_signals(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "doc_contamination_flags",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))),
+                            '\s+', ' ', 'g') AS nrm
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(nrm, ' '), x -> length(x) >= 1) AS t
+      FROM norm
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 3), i ->
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS gram
+      FROM toks WHERE len(t) >= 5
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+    FROM grams g JOIN bench USING (gram)
+    WHERE g.doc_id % 50 != 0
+    GROUP BY 1
+    """,
+    d="table.documents",
+)
+def q_doc_contamination_flags(d: DataFrame) -> DataFrame:
+    """Benchmark-contamination detection (§2b-K): every 50th document
+    plays the held-out eval corpus; training docs sharing any word
+    5-gram with it are flagged with their hit count.  Broadcast
+    benchmark-gram join — the 100-TB side never shuffles."""
+    from .llm.text import flag_contaminated
+
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return flag_contaminated(train, bench, n=5)
+
+
+@defq(
     "doc_language_id",
     oracle="""
     WITH scored AS (

@@ -92,3 +92,23 @@ def test_clustered_scan_agg_matches_direct(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_flag_contaminated_hand_case(spark):
+    """Docs sharing a 5-gram with the benchmark are flagged with the
+    distinct-gram hit count; clean docs are absent."""
+    from interlinked_spark.llm.text import flag_contaminated
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta epsilon zeta yy"),  # 2 shared 5-grams
+            (2, "totally different words here now ok"),        # clean
+            (3, "alpha beta gamma delta epsilon"),             # one shared gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hit_grams for r in flag_contaminated(docs, bench, n=5).collect()}
+    assert got == {1: 2, 3: 1}, got
