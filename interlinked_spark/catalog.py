@@ -312,6 +312,52 @@ def q_approx_distinct_parts(li: DataFrame) -> DataFrame:
 
 
 @defq(
+    "approx_order_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           TRUE AS within_bound
+    FROM orders GROUP BY 1
+    """,
+    o="table.orders",
+)
+def q_approx_order_percentiles(o: DataFrame) -> DataFrame:
+    """Greenwald-Khanna sketch percentiles (§2b-D approx family):
+    mergeable, bounded-memory — the 100-TB quantile path.  Sketch
+    values are algorithm-specific, so the oracle checks the derived
+    assertion: exact interpolated percentiles (SQL-matchable) plus
+    ``within_bound`` — each sketch value lies between the exact
+    quantiles at p ± 0.01, a 100x margin over the sketch's 1e-4 rank
+    error, deterministic for fixed data."""
+    from .operators import approx_quantiles
+
+    sketch = approx_quantiles(o, ["o_orderpriority"], "o_totalprice", [0.5, 0.9])
+    exact = group_agg(
+        o,
+        ["o_orderpriority"],
+        {
+            "p50": F.round(F.expr("percentile(o_totalprice, 0.5)"), 4),
+            "p90": F.round(F.expr("percentile(o_totalprice, 0.9)"), 4),
+            "lo50": F.expr("percentile(o_totalprice, 0.49)"),
+            "hi50": F.expr("percentile(o_totalprice, 0.51)"),
+            "lo90": F.expr("percentile(o_totalprice, 0.89)"),
+            "hi90": F.expr("percentile(o_totalprice, 0.91)"),
+        },
+    )
+    ap = F.col("approx_percentiles_o_totalprice")
+    return exact.join(sketch, "o_orderpriority").select(
+        "o_orderpriority",
+        "p50",
+        "p90",
+        (
+            ap[0].between(F.col("lo50"), F.col("hi50"))
+            & ap[1].between(F.col("lo90"), F.col("hi90"))
+        ).alias("within_bound"),
+    )
+
+
+@defq(
     "top_orders",
     oracle="""
     SELECT o.o_orderkey,
