@@ -1030,7 +1030,7 @@ def q_dedup_ngram_jaccard(d: DataFrame) -> DataFrame:
     WITH toks AS (
       SELECT doc_id,
              unnest(list_distinct(string_split(regexp_replace(
-               lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))), '\s+', ' ', 'g'), ' '))) AS tok
+               lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\s+', ' ', 'g'), ' '))) AS tok
       FROM documents
     ),
     th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
@@ -1164,7 +1164,7 @@ def q_doc_quality(d: DataFrame) -> DataFrame:
     oracle=r"""
     WITH norm AS (
       SELECT doc_id,
-             regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))),
+             regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))),
                             '\s+', ' ', 'g') AS nrm
       FROM documents
     ),
@@ -1215,7 +1215,7 @@ def q_doc_repetition_signals(d: DataFrame) -> DataFrame:
     oracle=r"""
     WITH norm AS (
       SELECT doc_id,
-             regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))),
+             regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))),
                             '\s+', ' ', 'g') AS nrm
       FROM documents
     ),

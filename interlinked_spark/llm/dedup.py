@@ -70,10 +70,10 @@ def _with_shingles(
 
     @F.pandas_udf("array<string>")
     def shingle_udf(texts: pd.Series) -> pd.Series:
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"[ \t\n\f\r]+")  # ASCII/RE2 \s: match JVM + SQL-oracle semantics
 
         def sh(t: str) -> list[str]:
-            toks = ws.sub(" ", t.strip().lower()).split(" ")
+            toks = ws.sub(" ", t.strip(" \t\n\f\r").lower()).split(" ")
             return list(
                 dict.fromkeys(
                     " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
@@ -145,7 +145,7 @@ def minhash_near_dup_pairs(
 
     @F.pandas_udf(f"struct<sh:array<string>,sig:array<long>>")
     def shingle_sig_udf(texts: pd.Series) -> pd.DataFrame:
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"[ \t\n\f\r]+")  # ASCII/RE2 \s: match JVM + SQL-oracle semantics
         seeds = np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(
             0x9E3779B97F4A7C15
         )
@@ -158,7 +158,7 @@ def minhash_near_dup_pairs(
 
         shs, sigs = [], []
         for t in texts:
-            toks = ws.sub(" ", t.strip().lower()).split(" ")
+            toks = ws.sub(" ", t.strip(" \t\n\f\r").lower()).split(" ")
             sh = list(
                 dict.fromkeys(
                     " ".join(toks[i : i + shingle_n])
@@ -257,11 +257,11 @@ def simhash_signatures(
 
     @F.pandas_udf("long")
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"[ \t\n\f\r]+")  # ASCII/RE2 \s: match JVM + SQL-oracle semantics
         shifts = np.arange(64, dtype=np.uint64)
 
         def sig(t: str) -> int:
-            toks = set(ws.sub(" ", t.strip().lower()).split(" "))
+            toks = set(ws.sub(" ", t.strip(" \t\n\f\r").lower()).split(" "))
             if not toks:
                 return 0
             hs = np.array(

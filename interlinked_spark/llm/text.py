@@ -150,10 +150,10 @@ def repetition_signals(
         "top_gram_count:long, top_gram_char_frac:double>"
     )
     def rep_udf(texts: pd.Series) -> pd.DataFrame:
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"[ \t\n\f\r]+")  # ASCII/RE2 \s: match JVM + SQL-oracle semantics
 
         def sig(t: str):
-            norm = ws.sub(" ", t.strip().lower())
+            norm = ws.sub(" ", t.strip(" \t\n\f\r").lower())
             toks = [tok for tok in norm.split(" ") if tok]
             grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
             if not grams:

@@ -138,3 +138,82 @@ def test_hash_sample_sql_matches_python_reference(keys, fraction):
     }
     want = {k for k in keys if _py_keep(k, fraction)}
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            # ASCII + Latin-1 letters, digits, and whitespace incl.
+            # unicode spaces.  Deliberately excludes the handful of
+            # codepoints whose lowercase differs between Python and
+            # DuckDB's utf8proc (e.g. U+0130 dotted İ -> 'i\u0307' in
+            # Python, 'i' in utf8proc) — the oracle contract covers
+            # tokenization/hashing, not exotic case folding.
+            alphabet=st.characters(
+                max_codepoint=0xFF,
+                whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+                whitelist_characters="\t\n\f\r\x0b\xa0",
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_simhash_sql_matches_python_reference(texts):
+    """The DuckDB signature recompute used by the dedup_simhash_pairs
+    oracle equals the engine's md5-fold SimHash bit-for-bit on
+    arbitrary text (tokenization, per-bit vote, sign-bit wrap)."""
+    import duckdb
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    def py_sig(t: str) -> int:
+        toks = set(ws.sub(" ", t.strip(" \t\n\f\r").lower()).split(" "))
+        votes = [0] * 64
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        word = 0
+        for i in range(64):
+            if votes[i] > 0:
+                word |= 1 << i
+        return word - 2**64 if word >= 2**63 else word
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    sql = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(regexp_replace(
+               lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\s+', ' ', 'g'), ' '))) AS tok
+      FROM docs
+    ),
+    th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+    bits AS (
+      SELECT doc_id, b.bit, SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS uw
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN uw >= 9223372036854775808::HUGEINT
+                     THEN uw - 18446744073709551616::HUGEINT ELSE uw END AS BIGINT)
+    FROM sigs
+    """
+    got = dict(con.execute(sql).fetchall())
+    for i, t in enumerate(texts):
+        # Tokenization is pinned to ASCII/RE2 whitespace on BOTH sides,
+        # so unicode spaces (\xa0) and \x0b are ordinary token chars.
+        assert got.get(i, 0) == py_sig(t), (i, t)
