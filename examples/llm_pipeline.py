@@ -1,8 +1,8 @@
 """End-to-end LLM training-data pipeline as a workflow: quality filter
--> exact dedup -> near-dup clustering -> canonical pick -> deterministic
-sample -> token accounting.  Every stage is a routed resource, so any
-intermediate is addressable (`run("docs.canonical")`) and memoized
-within a run.
+-> repetition gate -> benchmark decontamination -> exact dedup ->
+near-dup clustering -> canonical pick -> deterministic sample -> token
+accounting.  Every stage is a routed resource, so any intermediate is
+addressable (`run("docs.canonical")`) and memoized within a run.
 
     PYTHONPATH=. python examples/llm_pipeline.py
 """
@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from interlinked_spark import Workflow
 from interlinked_spark.llm import exact_text_dedup, near_dup_clusters, token_stats
-from interlinked_spark.llm.text import quality_scores
+from interlinked_spark.llm.text import flag_contaminated, quality_scores, repetition_signals
 from interlinked_spark.operators.sampling import hash_sample
 from interlinked_spark.session import get_spark
 
@@ -39,6 +39,26 @@ def clean(d, min_tokens: int = 5, max_upper_ratio: float = 0.5):
 
 
 @wkf.depend(d="docs.clean")
+@wkf.provide("docs.unrepetitive")
+def unrepetitive(d, max_dup_gram_frac: float = 0.4):
+    """Drop boilerplate/spam: high duplicate-bigram fraction."""
+    reps = repetition_signals(d, n=2)
+    keep = reps.filter(F.col("dup_gram_frac") <= max_dup_gram_frac).select("doc_id")
+    return d.join(keep, "doc_id")
+
+
+@wkf.depend(d="docs.unrepetitive", raw="docs.raw")
+@wkf.provide("docs.decontaminated")
+def decontaminated(d, raw):
+    """Remove training docs sharing 5-grams with the held-out eval
+    slice (every 50th raw doc plays the benchmark)."""
+    bench = raw.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    hits = flag_contaminated(train, bench, n=5).select("doc_id")
+    return train.join(hits, "doc_id", "left_anti")
+
+
+@wkf.depend(d="docs.decontaminated")
 @wkf.provide("docs.exact_deduped")
 def exact_deduped(d):
     return exact_text_dedup(d)
