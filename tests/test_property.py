@@ -217,3 +217,37 @@ def test_simhash_sql_matches_python_reference(texts):
         # Tokenization is pinned to ASCII/RE2 whitespace on BOTH sides,
         # so unicode spaces (\xa0) and \x0b are ordinary token chars.
         assert got.get(i, 0) == py_sig(t), (i, t)
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=25, unique=True),
+    f1=fractions,
+    f2=fractions,
+)
+@settings(max_examples=25, deadline=None)
+def test_stratified_hash_sample_sql_matches_python(keys, f1, f2):
+    """The stratified SQL predicate keeps exactly the engine's keys per
+    stratum; strata absent from the fractions map drop entirely."""
+    import duckdb
+
+    from interlinked_spark.operators.sampling import stratified_hash_sample_sql
+
+    fracs = {"A": f1, "B": f2}  # stratum C deliberately unlisted
+    pred = stratified_hash_sample_sql("s", "k", fracs, salt="pp")
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({k}, '{'ABC'[k % 3]}')" for k in keys
+    )
+    got = {
+        (r[0], r[1])
+        for r in con.execute(
+            f"SELECT k, s FROM (VALUES {values}) t(k, s) WHERE {pred}"
+        ).fetchall()
+    }
+    want = set()
+    for k in keys:
+        s = "ABC"[k % 3]
+        frac = fracs.get(s)
+        if frac is not None and _py_keep(k, frac, salt="pp"):
+            want.add((k, s))
+    assert got == want
