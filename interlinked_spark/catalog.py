@@ -3143,20 +3143,20 @@ def q_nation_hll_distinct(o: DataFrame) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-             ROUND(AVG(value), 6) AS avg_v
+             ROUND(SUM(value), 2) AS sum_v
       FROM events GROUP BY 1, 2
     ), bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
     grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
              FROM bounds),
     joined AS (
-      SELECT g.event_type AS event_type, g.h AS h, avg_v
+      SELECT g.event_type AS event_type, g.h AS h, sum_v
       FROM grid g LEFT JOIN hourly USING (event_type, h)
     )
     SELECT event_type,
            CAST(floor(epoch(h)) AS BIGINT) AS hour_s,
-           last_value(avg_v IGNORE NULLS) OVER (
+           last_value(sum_v IGNORE NULLS) OVER (
              PARTITION BY event_type ORDER BY h
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_ff
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v_ff
     FROM joined
     """,
 )
@@ -3174,14 +3174,19 @@ def q_hourly_value_locf(spark: SparkSession, base_dir: str) -> DataFrame:
         ["event_type"],
         "ts",
         "hour",
-        {"avg_v": F.round(F.avg("value"), 6)},
+        # SUM not AVG: `value` carries 2 decimals, so hourly AVERAGES land
+        # on exact rounding halves for ~3% of buckets and parallel
+        # reduction order then decides the tie differently per engine
+        # (observed at sf0.1).  The rounded 2dp SUM is an exact 2dp
+        # rational — no ties possible, ~10 orders of magnitude of margin.
+        {"sum_v": F.round(F.sum("value"), 2)},
         fill={},
     )
-    filled = forward_fill(grid, ["event_type"], "bucket", ["avg_v"])
+    filled = forward_fill(grid, ["event_type"], "bucket", ["sum_v"])
     return filled.select(
         "event_type",
         F.col("bucket").cast("long").alias("hour_s"),
-        F.col("avg_v_ff"),
+        F.col("sum_v_ff"),
     )
 
 
