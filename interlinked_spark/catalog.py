@@ -957,7 +957,7 @@ def q_dedup_exact_docs(d: DataFrame) -> DataFrame:
                       THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
                x -> x IS NOT NULL)) AS sh
       FROM (SELECT doc_id,
-                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
             FROM documents)
     ), pairs AS (
       SELECT a.doc_id AS left_id, b.doc_id AS right_id,
@@ -1000,7 +1000,7 @@ def q_dedup_minhash_pairs(d: DataFrame) -> DataFrame:
                       THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
                x -> x IS NOT NULL)) AS sh
       FROM (SELECT doc_id,
-                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
             FROM documents)
     ), pairs AS (
       SELECT a.doc_id AS left_id, b.doc_id AS right_id,
@@ -2173,7 +2173,7 @@ def q_doc_bm25_query(d: DataFrame) -> DataFrame:
                       THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
                x -> x IS NOT NULL)) AS sh
       FROM (SELECT doc_id,
-                   string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\s+', ' ', 'g'), ' ') AS toks
             FROM documents)
     ), pairs AS (
       SELECT a.doc_id AS l, b.doc_id AS r
@@ -2550,7 +2550,7 @@ def q_customer_balance_quartiles(c: DataFrame) -> DataFrame:
     WITH toks AS (
       SELECT doc_id,
              unnest(list_transform(
-               string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\s+', ' ', 'g'), ' '),
                (t, i) -> struct_pack(pos := i, token := t))) AS s
       FROM documents
     )
@@ -3231,7 +3231,7 @@ def q_corpus_quality_filter(d: DataFrame) -> DataFrame:
                       THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
                x -> x IS NOT NULL)) AS sh
       FROM (SELECT doc_id,
-                   string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\s+', ' ', 'g'), ' ') AS toks
             FROM documents)
     ), pairs AS (
       SELECT a.doc_id AS l, b.doc_id AS r
@@ -3279,7 +3279,7 @@ def q_dedup_kept_corpus(d: DataFrame) -> DataFrame:
                       THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
                x -> x IS NOT NULL)) AS sh
       FROM (SELECT doc_id,
-                   string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
             FROM documents)
     ), pairs AS (
       SELECT a.doc_id AS new_id, b.doc_id AS match_id,

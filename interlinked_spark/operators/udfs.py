@@ -98,9 +98,14 @@ def position_tokens_udtf():
     @udtf(returnType="pos int, token string")
     class PositionTokens:
         def eval(self, text: str):
+            import re
+
             if text is None:
                 return
-            for i, tok in enumerate(" ".join(text.strip().lower().split()).split(" ")):
+            # ASCII/RE2 whitespace, matching JVM + SQL-oracle semantics
+            # (Python's bare split() also matches unicode spaces).
+            norm = re.sub(r"[ \t\n\f\r]+", " ", text.strip(" \t\n\f\r").lower())
+            for i, tok in enumerate(norm.split(" ")):
                 yield i + 1, tok
 
     return PositionTokens

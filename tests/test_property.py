@@ -251,3 +251,67 @@ def test_stratified_hash_sample_sql_matches_python(keys, f1, f2):
         if frac is not None and _py_keep(k, frac, salt="pp"):
             want.add((k, s))
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                max_codepoint=0x7F,
+                whitelist_categories=("Ll", "Lu", "Nd"),
+                whitelist_characters=" \t\n\f\r",
+            ),
+            max_size=50,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_shingle_jaccard_sql_matches_python(texts):
+    """The DuckDB trigram-shingle + exact-Jaccard recompute used by the
+    dedup_minhash_pairs / dedup_ngram_jaccard oracles equals the
+    engine's Python shingler pair-for-pair on arbitrary ASCII text."""
+    import duckdb
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    def sh(t):
+        toks = ws.sub(" ", t.strip(" \t\n\f\r").lower()).split(" ")
+        return list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+
+    py_pairs = {}
+    shs = [sh(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = set(shs[i]), set(shs[j])
+            common = len(a & b)
+            if a and b and common:
+                py_pairs[(i, j)] = round(common / (len(a) + len(b) - common), 6)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    sql = r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, len(toks) + 1), i ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\s+', ' ', 'g'), ' ') AS toks
+            FROM docs)
+    )
+    SELECT a.doc_id, b.doc_id,
+           ROUND(len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+    """
+    got = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert got == py_pairs, (got, py_pairs)
