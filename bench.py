@@ -134,6 +134,30 @@ def main() -> None:
 
     timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
 
+    # Secondary (non-headline) heavy queries: tracked in BENCH_LOCAL.json
+    # only, never in the contract line or "value" — they carry documented
+    # inherent costs (per-group pandas invocation, ML model fit) that are
+    # demonstrations of a tier, not plan regressions to gate on.
+    secondary_names = [
+        "dedup_incremental_matches",
+        "similarity_ivf_topk",
+        "heavy_hitter_terms",
+        "customer_events_cogroup",
+    ]
+    secondary: dict[str, float] = {}
+    for name in secondary_names:
+        try:
+            catalog.run_query(name, spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm
+            start = time.perf_counter()
+            catalog.run_query(name, spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            secondary[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 — secondary must not kill the bench
+            print(f"SECONDARY {name} failed: {exc}", file=sys.stderr)
+
     # Regression tracking vs the latest recorded round (BENCH_r<N>.json):
     # per-query ratio, with >1.5x slowdowns called out on stderr.
     payload = {
@@ -143,18 +167,48 @@ def main() -> None:
         "stat": f"median_of_{reps}",
         "queries": timings,
         "min": {name: round(min(xs), 3) for name, xs in samples.items()},
+        "secondary": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     root = Path(__file__).resolve().parent
     prev_files = sorted(root.glob("BENCH_r*.json"))
+    known = set(catalog.ORACLES)
+
+    def _mine_tail(doc: dict) -> dict:
+        """Recover per-query times from a driver record whose 2000-char
+        tail capture truncated the JSON line (parsed: null, rounds 3-5).
+        The tail keeps the END of the line — the ``min`` dict (per-query
+        minimums, ideal for floor tracking) plus the vs_* ratio dicts.
+        Take only ``"name": <num>`` pairs BEFORE the first ratio-dict key
+        and only known catalog names, so ratios never pollute the floor."""
+        import re as _re
+
+        tail = doc.get("tail") or ""
+        if doc.get("rc") not in (0, None):
+            return {}
+        cut = len(tail)
+        for marker in ('"vs_floor"', '"vs_prev"'):
+            idx = tail.find(marker)
+            if idx != -1:
+                cut = min(cut, idx)
+        out = {}
+        for m in _re.finditer(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', tail[:cut]):
+            if m.group(1) in known:
+                out[m.group(1)] = float(m.group(2))
+        return out
 
     def _round_queries(p: Path) -> dict:
         try:
             doc = json.loads(p.read_text())
-            # Driver records wrap our JSON line under "parsed".
-            return doc.get("parsed", doc).get("queries", {}) or {}
-        except (json.JSONDecodeError, OSError, AttributeError):
+        except (json.JSONDecodeError, OSError):
             return {}
+        # Driver records wrap our JSON line under "parsed".
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
+        if isinstance(parsed, dict):
+            return parsed.get("queries", {}) or {}
+        if isinstance(doc, dict) and "tail" in doc:
+            return _mine_tail(doc)
+        return doc.get("queries", {}) if isinstance(doc, dict) else {}
 
     if prev_files:
         prev = _round_queries(prev_files[-1])
