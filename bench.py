@@ -134,10 +134,11 @@ def main() -> None:
 
     timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
 
-    # Secondary (non-headline) heavy queries: tracked in BENCH_LOCAL.json
-    # only, never in the contract line or "value" — they carry documented
-    # inherent costs (per-group pandas invocation, ML model fit) that are
-    # demonstrations of a tier, not plan regressions to gate on.
+    # Secondary (non-headline) heavy queries: recorded in the full
+    # BENCH_LOCAL.json payload only, never in the compact contract line
+    # or "value" — they carry documented inherent costs (per-group
+    # pandas invocation, ML model fit) that are demonstrations of a
+    # tier, not plan regressions to gate on.
     secondary_names = [
         "dedup_incremental_matches",
         "similarity_ivf_topk",
@@ -175,63 +176,100 @@ def main() -> None:
     known = set(catalog.ORACLES)
 
     def _mine_tail(doc: dict) -> dict:
-        """Recover per-query times from a driver record whose 2000-char
-        tail capture truncated the JSON line (parsed: null, rounds 3-5).
-        The tail keeps the END of the line — the ``min`` dict (per-query
-        minimums, ideal for floor tracking) plus the vs_* ratio dicts.
-        Take only ``"name": <num>`` pairs BEFORE the first ratio-dict key
-        and only known catalog names, so ratios never pollute the floor."""
+        """Recover per-query minimums from a driver record whose
+        2000-char tail capture truncated the JSON line (parsed: null,
+        rounds 3-6).  ONLY the span inside an explicit ``"min": {`` dict
+        is trusted: a tail whose marker was itself truncated off (r06 —
+        pure vs_floor/vs_prev ratio data) is skipped entirely, because
+        mining ratios (0.7-1.3) as seconds collapses floors permanently.
+        Pre-r07 records never contain the marker, so this is floor-only
+        archaeology for future truncations, not the primary path — the
+        compact contract line below keeps ``parsed`` non-null."""
         import re as _re
 
         tail = doc.get("tail") or ""
         if doc.get("rc") not in (0, None):
             return {}
-        cut = len(tail)
-        for marker in ('"vs_floor"', '"vs_prev"'):
-            idx = tail.find(marker)
-            if idx != -1:
-                cut = min(cut, idx)
+        start = tail.find('"min": {')
+        if start == -1:
+            return {}
+        start += len('"min": {')
+        end = tail.find("}", start)
+        span = tail[start : end if end != -1 else len(tail)]
         out = {}
-        for m in _re.finditer(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', tail[:cut]):
+        for m in _re.finditer(r'"([a-z0-9_]+)": ?([0-9]+\.[0-9]+)', span):
             if m.group(1) in known:
                 out[m.group(1)] = float(m.group(2))
         return out
 
-    def _round_queries(p: Path) -> dict:
+    def _round_queries(p: Path) -> tuple[dict, str]:
+        """Returns (per-query seconds, kind).  kind 'parsed' = driver
+        captured the contract line intact (medians, safe for vs_prev);
+        'mined' = recovered minimums from a truncated tail (floor-only —
+        comparing current medians to prior minimums inflates vs_prev,
+        ADVICE r6); 'none' = unusable."""
         try:
             doc = json.loads(p.read_text())
         except (json.JSONDecodeError, OSError):
-            return {}
+            return {}, "none"
+        if not isinstance(doc, dict):
+            return {}, "none"
         # Driver records wrap our JSON line under "parsed".
-        parsed = doc.get("parsed") if isinstance(doc, dict) else None
+        parsed = doc.get("parsed")
         if isinstance(parsed, dict):
-            return parsed.get("queries", {}) or {}
-        if isinstance(doc, dict) and "tail" in doc:
-            return _mine_tail(doc)
-        return doc.get("queries", {}) if isinstance(doc, dict) else {}
+            return parsed.get("queries", {}) or {}, "parsed"
+        if "tail" in doc:
+            mined = _mine_tail(doc)
+            return mined, "mined" if mined else "none"
+        return doc.get("queries", {}), "parsed"
 
-    if prev_files:
-        prev = _round_queries(prev_files[-1])
-        ratios = {
-            n: round(t / prev[n], 2)
-            for n, t in timings.items()
-            if prev.get(n)
-        }
-        if ratios:
-            payload["vs_prev"] = {"round": prev_files[-1].stem, "ratio": ratios}
+    # BENCH_r*.json driver records and BENCH_FLOOR.json are sf0.1
+    # numbers.  A local iteration run at sf0.01/0.001 must neither
+    # compare against them (times differ 5-50x) nor merge its minimums
+    # into the canonical floor (a sf0.001 smoke run would "beat" every
+    # sf0.1 floor and poison regression tracking forever).  Off-sf runs
+    # get their own BENCH_FLOOR_sf<sf>.json.
+    canonical = isinstance(payload["sf"], float) and abs(payload["sf"] - 0.1) < 1e-9
+
+    if prev_files and canonical:
+        prev, prev_kind = _round_queries(prev_files[-1])
+        # Median-vs-median only: a mined record holds minimums, and
+        # median/minimum ratios read as spurious regressions.
+        if prev_kind == "parsed":
+            ratios = {
+                n: round(t / prev[n], 2)
+                for n, t in timings.items()
+                if prev.get(n)
+            }
+            if ratios:
+                payload["vs_prev"] = {
+                    "round": prev_files[-1].stem,
+                    "ratio": ratios,
+                }
 
     # Floor tracking: per-query best time across ALL recorded rounds
     # (persisted to BENCH_FLOOR.json) — a slow creep can't hide behind
     # round-over-round ratios.
-    floor_file = root / "BENCH_FLOOR.json"
+    floor_file = root / (
+        "BENCH_FLOOR.json" if canonical else f"BENCH_FLOOR_sf{sf}.json"
+    )
     try:
         floor: dict[str, float] = json.loads(floor_file.read_text())
     except (json.JSONDecodeError, OSError):
         floor = {}
-    for p in prev_files:
-        for n, t in _round_queries(p).items():
-            if isinstance(t, (int, float)) and (n not in floor or t < floor[n]):
-                floor[n] = t
+    if canonical:
+        for p in prev_files:
+            for n, t in _round_queries(p)[0].items():
+                if isinstance(t, (int, float)) and (n not in floor or t < floor[n]):
+                    floor[n] = t
+    # This round's own minimums feed the floor too — the floor is
+    # "best time ever observed", and the per-pass min is the cleanest
+    # observation this machine produced.
+    for n, xs in samples.items():
+        t = round(min(xs), 3)
+        if n not in floor or t < floor[n]:
+            floor[n] = t
+    vs_floor: dict[str, float] = {}
     if floor:
         try:
             floor_file.write_text(json.dumps(floor, indent=1, sort_keys=True) + "\n")
@@ -246,7 +284,41 @@ def main() -> None:
                 if r > 1.5:
                     print(f"REGRESSION {n}: {r}x vs floor ({floor[n]}s)", file=sys.stderr)
 
-    print(json.dumps(payload))
+    # Full payload (queries + min + secondary + ratios) goes to
+    # BENCH_LOCAL.json; stdout gets a COMPACT contract line.  The
+    # driver's tail capture keeps only 2000 chars of stdout — four
+    # rounds of the full payload came back "parsed: null", forcing the
+    # tail-mining archaeology above.  The contract fields (metric /
+    # value / unit / queries / sf) plus a floor geomean fit in ~1.4k.
+    try:
+        (root / "BENCH_LOCAL.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
+        )
+    except OSError:
+        pass
+    contract = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "stat": payload["stat"],
+        "queries": timings,
+    }
+    if vs_floor:
+        import math
+
+        contract["geomean_vs_floor"] = round(
+            math.exp(sum(math.log(r) for r in vs_floor.values()) / len(vs_floor)),
+            3,
+        )
+        worst = sorted(vs_floor.items(), key=lambda kv: -kv[1])[:3]
+        contract["worst_vs_floor"] = {n: r for n, r in worst}
+    line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > 1900:  # last-ditch: never let the tail truncate "queries"
+        contract.pop("worst_vs_floor", None)
+        contract.pop("stat", None)
+        line = json.dumps(contract, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

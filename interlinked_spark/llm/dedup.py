@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.aggregates import dedup_exact
+from ..operators.checkpointing import materialize
 
 
 def _normalized(col: str) -> F.Column:
@@ -109,27 +110,26 @@ def _shingles(text_col: str, n: int) -> F.Column:
     )
 
 
-def minhash_near_dup_pairs(
+def minhash_signature_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    jaccard_threshold: float = 0.7,
-) -> DataFrame:
-    """MinHash + LSH banding near-duplicate pairs.
+    checkpoint_mode: str = "local",
+) -> tuple[DataFrame, DataFrame]:
+    """The signature + banding front half of the MinHash pipeline,
+    exposed so skew tooling can inspect the bucket-key distribution
+    BEFORE committing to the candidate self-join (the pre-flight check
+    a 100-TB run does on a hash sample — see
+    ``operators/diagnostics.bucket_stats`` and
+    ``tests/test_scale_tools.py``).
 
-    Pipeline (each arrow is one narrow or one shuffle stage):
-    shingle (narrow) -> num_hashes minhashes via seeded xxhash64
-    (narrow) -> band keys (narrow) -> explode bands + groupBy bucket
-    (1 shuffle) -> candidate pairs (narrow) -> exact Jaccard verify
-    (1 self-join shuffle on id).
-
-    Returns ``(left_id, right_id, jaccard)`` with left < right and
-    jaccard >= threshold.  At 100 TB the bucket groupBy dominates; skew
-    (a viral shingle set) is bounded because buckets collect only ids,
-    and pair expansion is capped per bucket by distinctness of docs.
+    Returns ``(sig, banded)``: ``sig`` is ``(id, sh, sig)`` (shingle
+    array + minhash signature, checkpointed — both halves of the join
+    and the verify join-back derive from it), ``banded`` is
+    ``(id, band, bucket)`` — the exact rows the candidate join shuffles.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
@@ -193,7 +193,7 @@ def minhash_near_dup_pairs(
     # Materialize the Arrow pipeline ONCE; the band explode, both sides
     # of the bucket self-join, and both shingle join-backs below all
     # derive from this checkpoint (see ngram_jaccard_pairs note).
-    sig = sig.localCheckpoint(eager=False)
+    sig = materialize(sig, checkpoint_mode)
     # Band key = hash of the band's signature slice.  Explode ids ONLY:
     # the (band, bucket) shuffle and the bucket self-join move 3 longs
     # per row.  Carrying `sh` here would duplicate every document's full
@@ -209,6 +209,39 @@ def minhash_near_dup_pairs(
                 ]
             )
         ).alias("band", "bucket"),
+    )
+    return sig, banded
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs.
+
+    Pipeline (each arrow is one narrow or one shuffle stage):
+    shingle (narrow) -> num_hashes minhashes via seeded xxhash64
+    (narrow) -> band keys (narrow) -> explode bands + groupBy bucket
+    (1 shuffle) -> candidate pairs (narrow) -> exact Jaccard verify
+    (1 self-join shuffle on id).
+
+    Returns ``(left_id, right_id, jaccard)`` with left < right and
+    jaccard >= threshold.  At 100 TB the bucket groupBy dominates; skew
+    (a viral shingle set) is bounded because buckets collect only ids,
+    and pair expansion is capped per bucket by distinctness of docs.
+    A K-document duplicate CLIQUE still yields K^2/2 candidate pairs by
+    construction (they genuinely collide in every band); the hot-bucket
+    pre-flight (``minhash_signature_bands`` + ``bucket_stats``) is how a
+    production run sizes that mass before paying for it.
+    """
+    sig, banded = minhash_signature_bands(
+        df, text_col, id_col, shingle_n, num_hashes, bands, checkpoint_mode
     )
     left = banded.select("band", "bucket", F.col("id").alias("left_id"))
     right = banded.select("band", "bucket", F.col("id").alias("right_id"))
@@ -290,6 +323,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     ``bands`` chunks (pigeonhole: any pair within ``max_hamming < bands``
@@ -309,7 +343,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "chunk"),
     )
-    banded = banded.localCheckpoint(eager=False)  # compute signatures once
+    banded = materialize(banded, checkpoint_mode)  # compute signatures once
     l = banded.select("band", "chunk", F.col("id").alias("left_id"), F.col("simhash").alias("lh"))
     r = banded.select("band", "chunk", F.col("id").alias("right_id"), F.col("simhash").alias("rh"))
     return (
@@ -330,6 +364,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
     (inverted-index self-join — never all-pairs).  Optional ``group_col``
@@ -365,7 +400,7 @@ def ngram_jaccard_pairs(
     # recompute / repartition-reuse / persist: 8-9s -> 1.3s at sf0.1).
     # Lineage truncation trades executor-failure recovery of this
     # intermediate for not running the pipeline per join side.
-    sizes = sizes.localCheckpoint(eager=False)
+    sizes = materialize(sizes, checkpoint_mode)
     l = sizes.select(*on, F.col("id").alias("left_id"), F.col("nsh").alias("lns"))
     r = sizes.select(*on, F.col("id").alias("right_id"), F.col("nsh").alias("rns"))
     pair_common = (
@@ -390,6 +425,7 @@ def ngram_jaccard_incremental(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Incremental dedup — the production shape of daily corpus
     maintenance: match each NEW document against the already-accepted
@@ -417,7 +453,7 @@ def ngram_jaccard_incremental(
             .filter(F.col("__df") <= max_shingle_df)
             .drop("__df")
         )
-    sizes = sizes.localCheckpoint(eager=False)
+    sizes = materialize(sizes, checkpoint_mode)
     left = (
         sizes.filter(F.col("__new") == 1)
         .select("s", F.col("id").alias("new_id"), F.col("nsh").alias("lns"))
@@ -451,6 +487,7 @@ def near_dup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: n-gram Jaccard pairs -> connected
     components -> every document labeled with the min doc id of its
@@ -460,9 +497,12 @@ def near_dup_clusters(
     from ..operators.graph import connected_components
 
     pairs = ngram_jaccard_pairs(
-        df, text_col, id_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+        df, text_col, id_col, n=n, threshold=threshold,
+        max_shingle_df=max_shingle_df, checkpoint_mode=checkpoint_mode,
     )
-    comp = connected_components(pairs, "left_id", "right_id")
+    comp = connected_components(
+        pairs, "left_id", "right_id", checkpoint_mode=checkpoint_mode
+    )
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comp.withColumnRenamed("vertex", "id"), "id", "left")

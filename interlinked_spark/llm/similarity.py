@@ -180,6 +180,44 @@ def lsh_similarity_join(
     )
 
 
+def lsh_bucket_assignments(
+    df: DataFrame,
+    num_hash_tables: int = 4,
+    bucket_length: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``(id, entry, bucket)`` rows the LSH candidate join shuffles —
+    the same banding :func:`lsh_similarity_join` builds internally
+    (identical prep, normalizer, seed), exposed for pre-flight skew
+    checks: feed this through ``operators/diagnostics.bucket_stats`` on
+    a hash sample to size the candidate-pair mass BEFORE launching the
+    join at 100 TB.  A hot bucket (e.g. a clique of near-identical
+    embeddings, or ``bucket_length`` too coarse for the density) shows
+    up here as ``max_bucket``/``pair_mass``, and the fix — smaller
+    ``bucket_length``, more tables, or pre-dedup of exact duplicates —
+    is chosen from the histogram, not discovered mid-shuffle."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vec = df.select(
+        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("__v")
+    )
+    prepped = Normalizer(inputCol="__v", outputCol="features", p=2.0).transform(vec)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        seed=42,
+        numHashTables=num_hash_tables,
+        bucketLength=bucket_length,
+    ).fit(prepped)
+    return (
+        lsh.transform(prepped)
+        .select("id", F.posexplode("hashes").alias("entry", "__hv"))
+        .select("id", "entry", F.element_at(vector_to_array("__hv"), 1).alias("bucket"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     cosine_threshold: float = 0.95,

@@ -1,0 +1,63 @@
+"""Pre-flight skew diagnostics for bucket-keyed joins (LSH banding,
+inverted indexes, any equi-join key).
+
+The dedup/similarity stack's quadratic hazard is always the same shape:
+a bucket-keyed self-join where one hot bucket of size ``n`` emits
+``n*(n-1)/2`` candidate pairs.  At 100 TB you do not discover that by
+launching the join — you run these diagnostics on a deterministic hash
+sample first (``operators/sampling.hash_sample``), read the pair mass,
+and only then choose: proceed, cap (``max_shingle_df``), re-band
+(smaller ``bucket_length`` / more bands), or salt.
+
+Everything here is plain groupBy/agg — two shuffles on the bucket key,
+no arrays, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bucket_stats(
+    df: DataFrame, bucket_cols: list[str], id_col: str = "id"
+) -> DataFrame:
+    """One-row summary of a bucket-key distribution.
+
+    Returns ``(n_buckets, max_bucket, p99_bucket, total_rows,
+    pair_mass)`` where ``pair_mass`` = sum over buckets of
+    ``n*(n-1)/2`` — exactly the number of raw candidate pairs a
+    self-join on ``bucket_cols`` will emit.  The go/no-go number for
+    the candidate join: scaled up from a p-rate hash sample, a hot
+    bucket's mass grows as ``1/p^2`` — divide by ``p^2`` to estimate
+    the full-corpus mass.
+    """
+    sizes = df.groupBy(*bucket_cols).agg(F.count(id_col).alias("n"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99_bucket"),
+        F.sum("n").alias("total_rows"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("pair_mass"),
+    )
+
+
+def bucket_histogram(
+    df: DataFrame, bucket_cols: list[str], id_col: str = "id"
+) -> DataFrame:
+    """Bucket-SIZE histogram: ``(bucket_size, n_buckets, pair_mass)``
+    ordered by size descending.  The long tail tells you whether skew
+    is one viral key (cap/salt it) or a fat head (re-band)."""
+    sizes = df.groupBy(*bucket_cols).agg(F.count(id_col).alias("bucket_size"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            (
+                F.count("*")
+                * F.col("bucket_size")
+                * (F.col("bucket_size") - 1)
+                / 2
+            ).cast("long").alias("pair_mass"),
+        )
+        .orderBy(F.col("bucket_size").desc())
+    )

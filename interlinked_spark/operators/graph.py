@@ -15,38 +15,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import materialize
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Label each vertex of the undirected graph with the MINIMUM vertex
     id reachable from it.  Returns ``(vertex, component)``.
+
+    ``checkpoint_mode="reliable"`` writes each round's labels to the
+    session checkpoint dir instead of executor-local storage — at 100 TB
+    an executor loss under ``"local"`` replays every completed round
+    (see ``operators/checkpointing.py``).
 
     Raises ``RuntimeError`` if not converged within ``max_iterations``
     (diameter bound; near-dup graphs converge in a handful)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.distinct().localCheckpoint(eager=False)
+    e = materialize(e.distinct(), checkpoint_mode)
 
-    labels = (
+    labels = materialize(
         e.select(F.col("a").alias("vertex"))
         .distinct()
-        .withColumn("component", F.col("vertex"))
-        .localCheckpoint(eager=False)
+        .withColumn("component", F.col("vertex")),
+        checkpoint_mode,
     )
     for _ in range(max_iterations):
         nbr_min = (
             e.join(labels.select(F.col("vertex").alias("a"), "component"), "a")
             .select(F.col("b").alias("vertex"), "component")
         )
-        new_labels = (
+        new_labels = materialize(
             labels.unionByName(nbr_min)
             .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # eager: flatten lineage before the convergence count
+            .agg(F.min("component").alias("component")),
+            checkpoint_mode,
+            eager=True,  # flatten lineage before the convergence count
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "vertex")

@@ -86,4 +86,17 @@ def get_spark(app_name: str = "interlinked-spark", master: str | None = None) ->
     )
     for key, value in ENGINE_CONF.items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Embedded Derby (JDBC source/sink tests) writes derby.log to the
+    # JVM's CWD — the repo root when run from here.  Derby reads this
+    # system property at engine boot, which happens at the first JDBC
+    # connection (always after this call), so setting it post-launch is
+    # early enough.  Keeps the repo clean of stray driver artifacts.
+    try:
+        spark._jvm.System.setProperty(
+            "derby.stream.error.file",
+            os.path.join(tempfile.gettempdir(), "derby.log"),
+        )
+    except Exception:  # noqa: BLE001 - cosmetic; never block session build
+        pass
+    return spark

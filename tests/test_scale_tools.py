@@ -78,3 +78,188 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+# ---------------------------------------------------------------------------
+# 100-TB skew stress (VERDICT r6 item 2): synthetic corpus at ~10x sf0.1
+# (50k docs / 20k vectors vs sf0.1's 5k/2k) with a viral shingle in EVERY
+# document plus a hot identical-duplicate clique.  These make the scale
+# claims executable: the pre-flight diagnostics must DETECT the hot bucket
+# and QUANTIFY the candidate-pair mass, the caps must BOUND it, and the
+# joins must still return exactly the planted duplicates.
+# ---------------------------------------------------------------------------
+
+STRESS_DOCS = 50_000  # ~10x sf0.1 documents.parquet (5,000 rows)
+STRESS_VECS = 20_000  # ~10x sf0.1 embeddings.parquet (2,000 rows)
+DOC_DUP_EVERY = 250  # -> 200-doc identical clique
+VEC_DUP_EVERY = 100  # -> 200-vector identical clique
+N_DOC_DUPS = STRESS_DOCS // DOC_DUP_EVERY
+N_VEC_DUPS = STRESS_VECS // VEC_DUP_EVERY
+
+
+def _stress_docs(spark, n=STRESS_DOCS):
+    """n docs: every non-clique doc = one shared VIRAL 3-gram ("common web
+    boilerplate", df ~ n) + 12 unique 8-hex words; ids divisible by
+    DOC_DUP_EVERY form an identical-duplicate clique.  Pairwise Jaccard
+    between distinct non-clique docs ~ 1/25 — far below any threshold —
+    so the ONLY true near-dups are the clique pairs."""
+    words = [
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{i}"))), 1, 8
+        )
+        for i in range(12)
+    ]
+    unique_text = F.concat(F.lit("common web boilerplate "), F.concat_ws(" ", *words))
+    dup_text = " ".join(f"dupword{i}" for i in range(14))
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % DOC_DUP_EVERY == 0, F.lit(dup_text))
+        .otherwise(unique_text)
+        .alias("text"),
+    )
+
+
+def _stress_vectors(spark, n=STRESS_VECS, dim=16):
+    """n vectors, uniform-ish in [-1,1)^dim from id hashes; ids divisible
+    by VEC_DUP_EVERY are an identical clique (the hot LSH bucket)."""
+    rand = F.array(
+        *[
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1000)) / 500.0 - 1.0).cast(
+                "double"
+            )
+            for i in range(dim)
+        ]
+    )
+    clique = F.array(*[F.lit(float(v)) for v in ([0.7, -0.3] * (dim // 2))])
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") % VEC_DUP_EVERY == 0, clique).otherwise(rand).alias(
+            "embedding"
+        ),
+    )
+
+
+def test_minhash_viral_shingle_bounded_and_clique_exact(spark):
+    """The §2b-K minhash scale claim, executed: a shingle shared by ALL
+    50k documents must NOT induce quadratic candidate mass (signatures
+    barely move, buckets collect ids), while the 200-doc identical clique
+    both (a) shows up in the pre-flight bucket stats and (b) comes back
+    EXACTLY from the full join."""
+    from interlinked_spark.llm.dedup import (
+        minhash_near_dup_pairs,
+        minhash_signature_bands,
+    )
+    from interlinked_spark.operators.diagnostics import bucket_stats
+
+    docs = _stress_docs(spark)
+    _sig, banded = minhash_signature_bands(docs)
+    stats = bucket_stats(banded, ["band", "bucket"], "id").collect()[0]
+
+    clique_pairs = N_DOC_DUPS * (N_DOC_DUPS - 1) // 2  # 19,900
+    bands = 8
+    # Pre-flight detects the hot bucket: the clique collides in EVERY band.
+    assert stats.max_bucket >= N_DOC_DUPS
+    assert stats.pair_mass >= bands * clique_pairs
+    # The viral shingle does NOT go quadratic: total candidate mass stays
+    # within a small multiple of the clique's own (vs ~1.25e9 all-pairs).
+    assert stats.pair_mass <= bands * clique_pairs + 500_000, stats.pair_mass
+
+    pairs = minhash_near_dup_pairs(docs).collect()
+    assert len(pairs) == clique_pairs
+    assert all(abs(p.jaccard - 1.0) < 1e-9 for p in pairs)
+    assert all(
+        p.left_id % DOC_DUP_EVERY == 0 and p.right_id % DOC_DUP_EVERY == 0
+        for p in pairs
+    )
+
+
+def test_ngram_viral_shingle_cap_bounds_inverted_index(spark):
+    """The inverted-index quadratic hazard, measured then bounded: the
+    UNCAPPED postings list for the viral shingle carries ~1.2e9 candidate
+    pairs (diagnosed via groupBy — never materialized); the default
+    ``max_shingle_df`` cap removes it, and the capped join still returns
+    exactly the identical clique."""
+    from interlinked_spark.llm.dedup import _with_shingles, ngram_jaccard_pairs
+    from interlinked_spark.operators.diagnostics import bucket_stats
+
+    docs = _stress_docs(spark)
+    postings = _with_shingles(docs, "text", "doc_id", 3).select(
+        "id", F.explode("sh").alias("s")
+    )
+    uncapped = bucket_stats(postings, ["s"], "id").collect()[0]
+    n_unique = STRESS_DOCS - N_DOC_DUPS
+    # the viral 3-gram appears in every non-clique doc -> ~1.2e9 pairs
+    assert uncapped.max_bucket == n_unique
+    assert uncapped.pair_mass >= n_unique * (n_unique - 1) // 2
+
+    cap = 1000
+    capped = postings.withColumn(
+        "__df", F.count("*").over(__import__("pyspark").sql.Window.partitionBy("s"))
+    ).filter(F.col("__df") <= cap)
+    capped_stats = bucket_stats(capped, ["s"], "id").collect()[0]
+    assert capped_stats.max_bucket <= cap
+    # bounded: clique shingles (df=200) dominate what's left
+    assert capped_stats.pair_mass < 5_000_000
+
+    clique_pairs = N_DOC_DUPS * (N_DOC_DUPS - 1) // 2
+    got = ngram_jaccard_pairs(docs, max_shingle_df=cap).collect()
+    assert len(got) == clique_pairs
+    assert all(abs(p.jaccard - 1.0) < 1e-9 for p in got)
+
+
+def test_lsh_hot_bucket_preflight_and_exact_prededup_fix(spark):
+    """Random-projection LSH pre-flight at 20k vectors: the identical
+    200-vector clique is a guaranteed hot bucket in every hash table; the
+    documented fix (exact pre-dedup of identical embeddings BEFORE the
+    LSH join, reattaching dup ids afterwards) must remove at least the
+    clique's pair mass from every table."""
+    from interlinked_spark.llm.similarity import lsh_bucket_assignments
+    from interlinked_spark.operators.diagnostics import bucket_histogram, bucket_stats
+
+    vecs = _stress_vectors(spark)
+    tables = 4
+    assignments = lsh_bucket_assignments(vecs, num_hash_tables=tables).localCheckpoint()
+    before = bucket_stats(assignments, ["entry", "bucket"], "id").collect()[0]
+    clique_mass = N_VEC_DUPS * (N_VEC_DUPS - 1) // 2
+    assert before.max_bucket >= N_VEC_DUPS
+    assert before.pair_mass >= tables * clique_mass
+
+    # Histogram shows at least one bucket per table at >= clique size
+    hist = bucket_histogram(assignments, ["entry", "bucket"], "id").collect()
+    assert sum(r.n_buckets for r in hist if r.bucket_size >= N_VEC_DUPS) >= tables
+
+    # The fix: collapse exact-duplicate embeddings to one representative.
+    deduped = vecs.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    after = bucket_stats(
+        lsh_bucket_assignments(deduped, num_hash_tables=tables),
+        ["entry", "bucket"],
+        "id",
+    ).collect()[0]
+    assert after.total_rows == before.total_rows - tables * (N_VEC_DUPS - 1)
+    # removing n-1 rows from a bucket of size B >= n drops its mass by at
+    # least the clique's own pairs — per table.
+    assert before.pair_mass - after.pair_mass >= tables * clique_mass
+
+
+def test_checkpoint_modes_produce_identical_results(spark):
+    """VERDICT r6 item 4: `local` vs `reliable` checkpoint modes are a
+    recovery-cost trade ONLY — identical results on the same inputs, for
+    both connected_components and the minhash pipeline."""
+    from interlinked_spark.llm.dedup import minhash_near_dup_pairs
+    from interlinked_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31)],
+        "src int, dst int",
+    )
+    local = connected_components(edges, checkpoint_mode="local")
+    reliable = connected_components(edges, checkpoint_mode="reliable")
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, reliable.collect()))
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = minhash_near_dup_pairs(docs, checkpoint_mode="local")
+    b = minhash_near_dup_pairs(docs, checkpoint_mode="reliable")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    with pytest.raises(ValueError):
+        connected_components(edges, checkpoint_mode="bogus")
