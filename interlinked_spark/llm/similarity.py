@@ -108,6 +108,74 @@ def cosine_top_k(
     )
 
 
+# Fitted BucketedRandomProjectionLSH models keyed by (tables, bucket
+# length, dim).  BRP's fit is DATA-INDEPENDENT given the seed: it only
+# samples the random unit projection directions (seeded, deterministic)
+# and validates the input dim — so reusing the fitted model across
+# calls produces bit-identical bucket assignments while skipping one
+# driver-side fit job per query (~0.8s/call measured at sf0.1).
+_BRP_MODEL_CACHE: dict = {}
+
+
+def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import vector_to_array
+
+    dim_row = (
+        prepped.select(F.size(vector_to_array("features")).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+    key = (num_hash_tables, bucket_length, dim)
+    model = _BRP_MODEL_CACHE.get(key)
+    if model is None:
+        model = BucketedRandomProjectionLSH(
+            inputCol="features",
+            outputCol="hashes",
+            seed=42,
+            numHashTables=num_hash_tables,
+            bucketLength=bucket_length,
+        ).fit(prepped)
+        _BRP_MODEL_CACHE[key] = model
+    return model
+
+
+def _lsh_assignments(
+    df: DataFrame,
+    num_tables: int,
+    bucket_length: float,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """``(out_id, entry, bucket)`` rows of the random-projection LSH
+    banding: L2-normalize (euclidean on unit vectors is a monotone
+    transform of cosine), bucket via ``BucketedRandomProjectionLSH``
+    (seeded + model-cached -> deterministic across calls and sides),
+    explode one row per hash table.
+
+    Parameter-sweep note (round 7, sf0.1, cos >= 0.3): tightening
+    ``bucket_length`` to 0.25 or swapping the banding for explicit
+    seeded projections each lost exactly one boundary pair of 14,922 —
+    at low cosine thresholds the per-table collision margin is fully
+    spent, so 12 tables x 0.5 stays.  The recall-preserving wins are
+    structural (``self_pairs``, model cache), not parametric."""
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vec = df.select(
+        F.col(id_col).alias(out_id), array_to_vector(F.col(vec_col)).alias("__v")
+    )
+    prepped = Normalizer(inputCol="__v", outputCol="features", p=2.0).transform(vec)
+    model = _brp_model(prepped, num_tables, bucket_length)
+    return (
+        model.transform(prepped)
+        .select(F.col(out_id), F.posexplode("hashes").alias("entry", "__hv"))
+        .select(out_id, "entry", F.element_at(vector_to_array("__hv"), 1).alias("bucket"))
+    )
+
+
 def lsh_similarity_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,6 +184,8 @@ def lsh_similarity_join(
     bucket_length: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    self_pairs: bool = False,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Approximate similarity join via random-projection LSH on unit
     vectors.  Returns ``(query_id, neighbor_id, cosine)`` for candidate
@@ -132,42 +202,42 @@ def lsh_similarity_join(
     use) is evaluated once per pair.  Spark ML's ``approxSimilarityJoin``
     is avoided deliberately: it dedups on the full row structs
     (shuffling every array) and evaluates its distance UDF plus the
-    join condition per raw collision, measured ~5x slower here."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    join condition per raw collision, measured ~5x slower here.
 
-    def prep(df, out_id):
-        vec = df.select(
-            F.col(id_col).alias(out_id),
-            array_to_vector(F.col(vec_col)).alias("__v"),
-        )
-        return Normalizer(inputCol="__v", outputCol="features", p=2.0).transform(vec)
+    ``self_pairs=True`` is the SAME-table join (near-dup detection):
+    the bucket assignment runs ONCE (checkpointed, not once per side)
+    and the ``query_id < neighbor_id`` cut is applied BEFORE the pair
+    dedup, so each unordered candidate pair crosses the dedup shuffle
+    and the cosine verify once instead of twice.  Candidate set per
+    unordered pair is identical to the two-sided join's, so recall is
+    unchanged.
 
-    c = prep(corpus, "neighbor_id")
-    q = prep(queries, "query_id")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        seed=42,
-        numHashTables=num_hash_tables,
-        bucketLength=bucket_length,
-    ).fit(c)
+    The banding is seeded + model-cached (``_lsh_assignments``), so it
+    is deterministic across calls and identical for both sides."""
+    from ..operators.checkpointing import materialize
 
     def buckets(df, out_id):
-        # hashes: array<vector>, one single-element vector per table.
-        return (
-            lsh.transform(df)
-            .select(F.col(out_id), F.posexplode("hashes").alias("entry", "__hv"))
-            .select(out_id, "entry", F.element_at(vector_to_array("__hv"), 1).alias("bucket"))
+        return _lsh_assignments(
+            df, num_hash_tables, bucket_length, id_col, vec_col, out_id
         )
 
-    cand = (
-        buckets(q, "query_id")
-        .join(buckets(c, "neighbor_id"), ["entry", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates()
-    )
+    if self_pairs:
+        assign = materialize(buckets(corpus, "neighbor_id"), checkpoint_mode)
+        cand = (
+            assign.select("entry", "bucket", F.col("neighbor_id").alias("query_id"))
+            .join(assign, ["entry", "bucket"])
+            .filter(F.col("query_id") < F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .dropDuplicates()
+        )
+    else:
+        cand = (
+            buckets(queries, "query_id")
+            .join(buckets(corpus, "neighbor_id"), ["entry", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .dropDuplicates()
+        )
     qraw = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     craw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     cos_min = 1.0 - threshold_distance * threshold_distance / 2.0
@@ -197,24 +267,8 @@ def lsh_bucket_assignments(
     up here as ``max_bucket``/``pair_mass``, and the fix — smaller
     ``bucket_length``, more tables, or pre-dedup of exact duplicates —
     is chosen from the histogram, not discovered mid-shuffle."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    vec = df.select(
-        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("__v")
-    )
-    prepped = Normalizer(inputCol="__v", outputCol="features", p=2.0).transform(vec)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        seed=42,
-        numHashTables=num_hash_tables,
-        bucketLength=bucket_length,
-    ).fit(prepped)
-    return (
-        lsh.transform(prepped)
-        .select("id", F.posexplode("hashes").alias("entry", "__hv"))
-        .select("id", "entry", F.element_at(vector_to_array("__hv"), 1).alias("bucket"))
+    return _lsh_assignments(
+        df, num_hash_tables, bucket_length, id_col, vec_col, "id"
     )
 
 
@@ -224,6 +278,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_hash_tables: int = 6,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: LSH self-join, keep
     pairs above the cosine threshold (left < right).
@@ -242,7 +297,8 @@ def embedding_near_dup_pairs(
     max_dist = math.sqrt(max(0.0, 2.0 - 2.0 * cosine_threshold)) * 1.02 + 1e-6
     pairs = lsh_similarity_join(
         df, df, threshold_distance=max_dist, num_hash_tables=num_hash_tables,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, self_pairs=True,
+        checkpoint_mode=checkpoint_mode,
     )
     return (
         pairs.filter(F.col("query_id") < F.col("neighbor_id"))
