@@ -77,6 +77,8 @@ HEADLINE = [
     "embedding_near_dups",
     "embedding_pca",
     "multimodal_features",
+    # round 7 addition — the skew pre-flight diagnostic as a first-class query
+    "dedup_shingle_skew",
 ]
 
 

@@ -990,6 +990,52 @@ def q_dedup_minhash_pairs(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "dedup_shingle_skew",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), postings AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), sizes AS (
+      SELECT s, COUNT(*) AS n FROM postings GROUP BY s
+    )
+    SELECT n AS bucket_size, COUNT(*) AS n_buckets,
+           CAST(COUNT(*) * n * (n - 1) / 2 AS BIGINT) AS pair_mass
+    FROM sizes GROUP BY n
+    """,
+    d="table.documents",
+)
+def q_dedup_shingle_skew(d: DataFrame) -> DataFrame:
+    """Pre-flight skew diagnostic for the inverted-index dedup join
+    (§2b-K scale tooling): the shingle-df histogram of the documents
+    corpus with per-size candidate-pair mass — the go/no-go numbers a
+    100-TB run reads BEFORE launching ``dedup_ngram_jaccard``'s
+    self-join (one viral shingle of df yields df^2/2 pairs; the
+    ``max_shingle_df`` cap is sized from exactly this histogram).
+    Plain groupBy/agg on the posting key — two shuffles, no arrays
+    cross the second.  Stress-pinned at 10x sf0.1 in
+    ``tests/test_scale_tools.py`` (uncapped mass ~1.2e9 measured via
+    this shape, never materialized)."""
+    from .llm.dedup import _with_shingles
+    from .operators.diagnostics import bucket_histogram
+
+    postings = _with_shingles(d, "text", "doc_id", 3).select(
+        "id", F.explode("sh").alias("s")
+    )
+    return bucket_histogram(postings, ["s"], "id").select(
+        "bucket_size", "n_buckets", "pair_mass"
+    )
+
+
+@defq(
     "dedup_ngram_jaccard",
     oracle="""
     WITH sh AS (
