@@ -45,6 +45,24 @@ def connected_components(
         .withColumn("component", F.col("vertex")),
         checkpoint_mode,
     )
+    # Convergence detection: labels are NUMERIC doc/vertex ids in the
+    # dedup pipelines, and min-propagation only ever DECREASES a label,
+    # so sum(component) is strictly monotone until the fixed point —
+    # equal sums <=> pointwise-equal labels.  That turns the per-round
+    # convergence check into one aggregate over the freshly-checkpointed
+    # labels instead of a self-join + filter + count (one fewer join
+    # per round; the rounds ARE the cost of this operator).  Non-numeric
+    # vertex ids fall back to the join-based check.
+    numeric = labels.schema["component"].dataType.typeName() in (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    )
+
+    def _checksum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]["s"]
+
+    prev_sum = _checksum(labels) if numeric else None
     for _ in range(max_iterations):
         nbr_min = (
             e.join(labels.select(F.col("vertex").alias("a"), "component"), "a")
@@ -55,14 +73,19 @@ def connected_components(
             .groupBy("vertex")
             .agg(F.min("component").alias("component")),
             checkpoint_mode,
-            eager=True,  # flatten lineage before the convergence count
+            eager=True,  # flatten lineage before the convergence check
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "vertex")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+        if numeric:
+            new_sum = _checksum(new_labels)
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.join(labels.withColumnRenamed("component", "old"), "vertex")
+                .filter(F.col("component") != F.col("old"))
+                .count()
+            ) > 0
         labels = new_labels
-        if changed == 0:
+        if not changed:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
