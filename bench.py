@@ -264,11 +264,13 @@ def main() -> None:
             for n, t in _round_queries(p)[0].items():
                 if isinstance(t, (int, float)) and (n not in floor or t < floor[n]):
                     floor[n] = t
-    # This round's own minimums feed the floor too — the floor is
-    # "best time ever observed", and the per-pass min is the cleanest
-    # observation this machine produced.
-    for n, xs in samples.items():
-        t = round(min(xs), 3)
+    # This round's own MEDIANS feed the floor (not the per-pass
+    # minimums): the floor is compared against medians, and a
+    # median-vs-minimum ratio is structurally >= 1.0 — the same stat
+    # mismatch ADVICE r6 flagged for vs_prev.  Keeping both sides of
+    # the ratio medians preserves round-over-round comparability; the
+    # raw minimums still land in BENCH_LOCAL.json's "min" dict.
+    for n, t in timings.items():
         if n not in floor or t < floor[n]:
             floor[n] = t
     vs_floor: dict[str, float] = {}
