@@ -222,6 +222,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     checkpoint_mode: str = "local",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs.
 
@@ -243,6 +244,24 @@ def minhash_near_dup_pairs(
     sig, banded = minhash_signature_bands(
         df, text_col, id_col, shingle_n, num_hashes, bands, checkpoint_mode
     )
+    if max_bucket_size is not None:
+        # Hot-bucket cap — the band-join twin of ``max_shingle_df``: a
+        # bucket of K docs (an exact-duplicate clique, or a band gone
+        # degenerate) emits K^2/2 candidate pairs; above the cap, drop
+        # the bucket BEFORE the self-join.  Count over the same key the
+        # join shuffles on.  Recall trade: pairs whose every shared band
+        # is oversized are lost — run exact dedup first so identical-doc
+        # cliques never reach this stage, and size the cap from
+        # ``minhash_signature_bands`` + ``diagnostics.bucket_stats``.
+        from pyspark.sql import Window
+
+        banded = (
+            banded.withColumn(
+                "__n", F.count("*").over(Window.partitionBy("band", "bucket"))
+            )
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     left = banded.select("band", "bucket", F.col("id").alias("left_id"))
     right = banded.select("band", "bucket", F.col("id").alias("right_id"))
     cand = (

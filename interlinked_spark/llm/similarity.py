@@ -186,6 +186,7 @@ def lsh_similarity_join(
     vec_col: str = "embedding",
     self_pairs: bool = False,
     checkpoint_mode: str = "local",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate similarity join via random-projection LSH on unit
     vectors.  Returns ``(query_id, neighbor_id, cosine)`` for candidate
@@ -221,8 +222,27 @@ def lsh_similarity_join(
             df, num_hash_tables, bucket_length, id_col, vec_col, out_id
         )
 
+    def cap(assign):
+        if max_bucket_size is None:
+            return assign
+        # Hot-bucket cap (same trade as the MinHash/ngram caps): a
+        # bucket of K vectors emits K^2/2 candidates per table; above
+        # the cap the bucket is dropped before the join.  Pairs whose
+        # every shared bucket is oversized are lost — pre-dedup exact
+        # duplicates and size the cap from ``lsh_bucket_assignments`` +
+        # ``diagnostics.bucket_stats`` first.
+        from pyspark.sql import Window
+
+        return (
+            assign.withColumn(
+                "__n", F.count("*").over(Window.partitionBy("entry", "bucket"))
+            )
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+
     if self_pairs:
-        assign = materialize(buckets(corpus, "neighbor_id"), checkpoint_mode)
+        assign = materialize(cap(buckets(corpus, "neighbor_id")), checkpoint_mode)
         cand = (
             assign.select("entry", "bucket", F.col("neighbor_id").alias("query_id"))
             .join(assign, ["entry", "bucket"])
@@ -232,8 +252,8 @@ def lsh_similarity_join(
         )
     else:
         cand = (
-            buckets(queries, "query_id")
-            .join(buckets(corpus, "neighbor_id"), ["entry", "bucket"])
+            cap(buckets(queries, "query_id"))
+            .join(cap(buckets(corpus, "neighbor_id")), ["entry", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id")
             .dropDuplicates()

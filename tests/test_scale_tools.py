@@ -263,3 +263,46 @@ def test_checkpoint_modes_produce_identical_results(spark):
 
     with pytest.raises(ValueError):
         connected_components(edges, checkpoint_mode="bogus")
+
+
+def test_minhash_max_bucket_size_cap(spark):
+    """The band-join twin of max_shingle_df: with the cap below the
+    200-doc clique's bucket size, the clique's (identical-signature)
+    buckets are dropped in EVERY band and no pairs survive; with the
+    cap above it, the full clique comes back.  This is the guard a
+    production run sets after exact dedup, sized from the
+    minhash_signature_bands + bucket_stats pre-flight."""
+    from interlinked_spark.llm.dedup import minhash_near_dup_pairs
+
+    docs = _stress_docs(spark, n=5_000)  # 20-doc clique at this size
+    n_dups = 5_000 // DOC_DUP_EVERY
+    clique_pairs = n_dups * (n_dups - 1) // 2
+
+    capped = minhash_near_dup_pairs(docs, max_bucket_size=n_dups - 1)
+    assert capped.count() == 0
+
+    roomy = minhash_near_dup_pairs(docs, max_bucket_size=n_dups + 50)
+    assert roomy.count() == clique_pairs
+
+
+def test_lsh_max_bucket_size_cap(spark):
+    """Same guard on the embedding LSH join: the identical-vector clique
+    sits in one bucket per table; a cap below its size removes exactly
+    those candidates (and with this synthetic corpus, all pairs)."""
+    from interlinked_spark.llm.similarity import lsh_similarity_join
+    import pyspark.sql.functions as F
+
+    vecs = _stress_vectors(spark, n=2_000)
+    n_dups = 2_000 // VEC_DUP_EVERY
+    clique_pairs = n_dups * (n_dups - 1) // 2
+
+    full = lsh_similarity_join(
+        vecs, vecs, threshold_distance=0.1, num_hash_tables=4, self_pairs=True
+    ).filter(F.col("cosine") >= 0.999)
+    assert full.count() == clique_pairs
+
+    capped = lsh_similarity_join(
+        vecs, vecs, threshold_distance=0.1, num_hash_tables=4,
+        self_pairs=True, max_bucket_size=n_dups - 1,
+    ).filter(F.col("cosine") >= 0.999)
+    assert capped.count() == 0
