@@ -737,6 +737,9 @@ def _seg_and_open(c: DataFrame, o: DataFrame):
     o="table.orders",
 )
 def q_seg_union(c, o) -> DataFrame:
+    """Set union with distinct semantics (§2b-G): customers in the
+    target segment OR with an open order — one Exchange + HashAggregate
+    over the unioned keys."""
     seg, opn = _seg_and_open(c, o)
     return union_distinct(seg, opn)
 
@@ -748,6 +751,8 @@ def q_seg_union(c, o) -> DataFrame:
     o="table.orders",
 )
 def q_seg_intersect(c, o) -> DataFrame:
+    """Set intersection (§2b-G): segment members that ALSO hold an open
+    order — Spark plans a left-semi hash join, no row multiplication."""
     seg, opn = _seg_and_open(c, o)
     return intersect(seg, opn)
 
@@ -759,6 +764,8 @@ def q_seg_intersect(c, o) -> DataFrame:
     o="table.orders",
 )
 def q_seg_except(c, o) -> DataFrame:
+    """Set difference (§2b-G): segment members WITHOUT an open order —
+    planned as a left-anti hash join."""
     seg, opn = _seg_and_open(c, o)
     return difference(seg, opn)
 
