@@ -127,7 +127,11 @@ def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
         .collect()
     )
     dim = int(dim_row[0]["d"]) if dim_row else 0
-    key = (num_hash_tables, bucket_length, dim)
+    # Key includes the application id: a fitted model wraps a JVM-side
+    # object bound to its SparkContext, so a cached model from a stopped
+    # session must never be served to a new one.
+    app_id = prepped.sparkSession.sparkContext.applicationId
+    key = (app_id, num_hash_tables, bucket_length, dim)
     model = _BRP_MODEL_CACHE.get(key)
     if model is None:
         model = BucketedRandomProjectionLSH(
