@@ -1,0 +1,206 @@
+"""Property-based tests (hypothesis) for OPERATOR laws — each property
+checks a Spark operator against a trivially-correct Python reference on
+random tiny inputs.  Few examples per property (every example is a real
+Spark job); the value is the random structure, not the volume.
+"""
+
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+OP_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(0, 6)
+vals = st.integers(-100, 100)
+
+
+@pytest.fixture(scope="module")
+def sp():
+    from interlinked_spark.session import get_spark
+
+    return get_spark("prop-ops", master="local[4]")
+
+
+@given(
+    left=st.lists(st.tuples(keys, vals), min_size=0, max_size=12),
+    right=st.lists(st.tuples(keys, vals), min_size=0, max_size=12),
+    buckets=st.integers(2, 5),
+)
+@OP_SETTINGS
+def test_salted_join_equals_plain_join(sp, left, right, buckets):
+    """Salting is a pure physical rewrite: row multiset out of the
+    salted join == plain inner join, for any inputs and bucket count."""
+    from interlinked_spark.operators.skew import salted_join
+
+    l = sp.createDataFrame(left or [(None, None)], "k int, lv int").filter(
+        F.col("k").isNotNull()
+    )
+    r = sp.createDataFrame(right or [(None, None)], "k int, rv int").filter(
+        F.col("k").isNotNull()
+    )
+    got = sorted(
+        map(tuple, salted_join(l, r, on=["k"], salt_buckets=buckets).collect())
+    )
+    rmap = defaultdict(list)
+    for k, rv in right:
+        rmap[k].append(rv)
+    want = sorted((k, lv, rv) for k, lv in left for rv in rmap[k])
+    got_norm = sorted((row[0], row[1], row[2]) for row in got)
+    assert got_norm == want
+
+
+@given(
+    base=st.lists(st.tuples(keys, vals), min_size=0, max_size=10),
+    delta=st.lists(st.tuples(keys, vals, st.integers(0, 5)), min_size=0, max_size=10),
+)
+@OP_SETTINGS
+def test_merge_upsert_last_writer_wins_and_idempotent(sp, base, delta):
+    """merge_upsert == dict-overwrite semantics (highest version wins;
+    deterministic tie-break) and applying the same delta twice changes
+    nothing."""
+    from interlinked_spark.operators.merge import merge_upsert
+
+    t = sp.createDataFrame(base or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    ).withColumn("ver", F.lit(-1).cast("int"))
+    d = sp.createDataFrame(delta or [(None, None, None)], "k int, v int, ver int").filter(
+        F.col("k").isNotNull()
+    )
+    once = merge_upsert(t, d, keys=["k"], version_col="ver")
+    twice = merge_upsert(once, d, keys=["k"], version_col="ver")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    # python reference: per key keep max (ver, v) — matching the
+    # operator's documented deterministic tie-break on the payload hash
+    # is only needed on (ver) ties, so compare keys and winning ver.
+    ref = {}
+    for k, v in base:
+        ref[k] = -1
+    for k, v, ver in delta:
+        if k not in ref or ver >= ref[k]:
+            ref[k] = max(ver, ref.get(k, -1))
+    got = {row.k: row.ver for row in once.collect()}
+    assert got.keys() == ref.keys()
+    assert all(got[k] == ref[k] for k in ref)
+
+
+@given(
+    edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=18),
+)
+@OP_SETTINGS
+def test_connected_components_matches_union_find(sp, edges):
+    """connected_components == classic union-find with min-label
+    canonicalization, on random graphs (self-loops included)."""
+    from interlinked_spark.operators.graph import connected_components
+
+    df = sp.createDataFrame(edges or [(None, None)], "src int, dst int").filter(
+        F.col("src").isNotNull()
+    )
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    comp = defaultdict(list)
+    for v in parent:
+        comp[find(v)].append(v)
+    want = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            want[v] = m
+    assert got == want
+
+
+@given(
+    a=st.lists(keys, min_size=0, max_size=12),
+    b=st.lists(keys, min_size=0, max_size=12),
+)
+@OP_SETTINGS
+def test_set_ops_match_python_sets(sp, a, b):
+    """union_distinct/intersect/difference == Python set algebra."""
+    from interlinked_spark.operators.setops import (
+        difference,
+        intersect,
+        union_distinct,
+    )
+
+    da = sp.createDataFrame([(x,) for x in a] or [(None,)], "k int").filter(
+        F.col("k").isNotNull()
+    )
+    db = sp.createDataFrame([(x,) for x in b] or [(None,)], "k int").filter(
+        F.col("k").isNotNull()
+    )
+    sa, sb = set(a), set(b)
+    assert {r.k for r in union_distinct(da, db).collect()} == sa | sb
+    assert {r.k for r in intersect(da, db).collect()} == sa & sb
+    assert {r.k for r in difference(da, db).collect()} == sa - sb
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=10),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), vals), min_size=0, max_size=10),
+)
+@OP_SETTINGS
+def test_asof_backward_matches_bruteforce(sp, left, right):
+    """As-of backward join == per-row 'latest right at-or-before left
+    time within the key' brute force."""
+    from interlinked_spark.operators.joins import asof_join
+
+    l = sp.createDataFrame(left or [(None, None)], "k int, t int").filter(
+        F.col("k").isNotNull()
+    ).withColumn("t", F.col("t").cast("long"))
+    r = sp.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(right)] or [(None, None, None, None)],
+        "k int, t int, rv int, rid int",
+    ).filter(F.col("k").isNotNull()).withColumn("t", F.col("t").cast("long"))
+
+    got = asof_join(
+        l, r, on_ts="t", right_ts="t", by=["k"],
+        value_cols=["rv"], direction="backward",
+    )
+    got_rows = sorted(
+        (row.k, row.t, row.rv) for row in got.collect()
+    )
+
+    want = []
+    for k, t in left:
+        cands = [(rt, i, v) for (rk, rt, v), i in ((x, j) for j, x in enumerate(right)) if rk == k and rt <= t]
+        if cands:
+            # engine breaks exact-time ties deterministically; compare the
+            # VALUE of the max (rt) group only when unambiguous, else any
+            best_t = max(c[0] for c in cands)
+            tied = [c for c in cands if c[0] == best_t]
+            vs = {c[2] for c in tied}
+            if len(vs) == 1:
+                want.append((k, t, tied[0][2]))
+            else:
+                want.append((k, t, None))  # ambiguous — skip value check
+        else:
+            want.append((k, t, None))
+    want_sorted = sorted(want)
+    assert len(got_rows) == len(want_sorted)
+    for (gk, gt, gv), (wk, wt, wv) in zip(got_rows, want_sorted):
+        assert (gk, gt) == (wk, wt)
+        if wv is not None:
+            assert gv == wv
