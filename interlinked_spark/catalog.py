@@ -2435,6 +2435,75 @@ def q_skewed_flag_join(li: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 @defq(
+    "stream_click_error_left_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+               FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id AS u2, event_id AS error_id, CAST(ts AS TIMESTAMP) AS ets
+               FROM events WHERE event_type = 'error'),
+         h AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(ets) FROM e))
+                      - INTERVAL 600 SECOND AS horizon),
+         matched AS (
+           SELECT c.user_id, c.click_id, e.error_id
+           FROM c JOIN e ON c.user_id = e.u2
+                        AND e.ets >= c.cts
+                        AND e.ets <= c.cts + INTERVAL 300 SECOND),
+         unmatched AS (
+           SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS error_id
+           FROM c, h
+           WHERE c.cts + INTERVAL 300 SECOND < h.horizon
+             AND NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.u2 = c.user_id
+                               AND e.ets >= c.cts
+                               AND e.ets <= c.cts + INTERVAL 300 SECOND))
+    SELECT user_id, click_id, error_id FROM matched
+    UNION ALL
+    SELECT user_id, click_id, error_id FROM unmatched
+    """,
+)
+def q_stream_click_error_left_join(spark: SparkSession, base_dir: str) -> DataFrame:
+    """LEFT OUTER stream-STREAM interval join (§2b-J): every click,
+    null-padded when no error follows within 5 minutes.  Unmatched rows
+    can only emit once the watermark PASSES their join window — Spark
+    holds them in state until watermark > click_ts + 300s — so the
+    deterministic availableNow replay emits: all matched pairs (those
+    emit on join, no watermark wait) plus unmatched clicks whose window
+    closed under the FINAL watermark, min(max click_ts, max error_ts) -
+    10min delay.  The oracle encodes exactly that horizon — pinned
+    empirically at sf0.001 and sf0.01 (streaming result == horizon SQL,
+    209/209 and 2005/2005 rows).  At 100 TB the state bound is the same
+    as the inner variant: watermark + interval of history per side."""
+    from .streaming import (
+        replay_shuffle_partitions,
+        run_into_parquet,
+        stream_from_parquet,
+        stream_stream_join,
+    )
+
+    clicks = (
+        stream_from_parquet(spark, f"{base_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    errors = (
+        stream_from_parquet(spark, f"{base_dir}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    j = stream_stream_join(
+        clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300, how="leftOuter"
+    )
+    out = j.select("user_id", "click_id", "error_id")
+    with replay_shuffle_partitions(spark, 8):
+        sink = run_into_parquet(out, output_mode="append")
+    return spark.read.parquet(sink)
+
+
+@defq(
     "stream_click_error_join",
     oracle="""
     SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id
