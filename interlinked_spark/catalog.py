@@ -1191,6 +1191,36 @@ def q_doc_token_stats(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "corpus_mix_summary",
+    oracle="""
+    WITH t AS (SELECT lang, source,
+                      len(string_split_regex(trim(text), '\\s+')) AS nt,
+                      length(text) AS nc
+               FROM documents),
+         g AS (SELECT lang, source,
+                      COUNT(*) AS n_docs,
+                      CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                      CAST(SUM(nc) AS BIGINT) AS total_chars,
+                      ROUND(AVG(CASE WHEN nt >= 50 THEN 1.0 ELSE 0.0 END), 6) AS pct_long
+               FROM t GROUP BY lang, source)
+    SELECT lang, source, n_docs, total_tokens, total_chars, pct_long,
+           ROUND(total_tokens / (SELECT SUM(total_tokens) FROM g), 6) AS token_share
+    FROM g
+    """,
+    d="table.documents",
+)
+def q_corpus_mix_summary(d: DataFrame) -> DataFrame:
+    """Training-mix dataset card (§2b-K): per (lang, source) slice —
+    doc/token/char totals, long-doc fraction, and the slice's token
+    share of the corpus.  One corpus groupBy; the share ratio windows
+    over the aggregated |slices|-row frame, so the global total costs
+    nothing at scale."""
+    from .llm.text import corpus_mix_summary
+
+    return corpus_mix_summary(d)
+
+
+@defq(
     "doc_quality",
     oracle="""
     SELECT doc_id,

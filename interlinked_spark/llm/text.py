@@ -32,6 +32,50 @@ LANG_MARKERS: dict[str, list[str]] = {
 _TOKENS = lambda col: F.split(F.trim(F.col(col)), r"\s+")  # noqa: E731
 
 
+def corpus_mix_summary(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Dataset-card composition stats per corpus slice (§2b-K): doc /
+    token / char totals, the fraction of "long" documents, and each
+    slice's TOKEN SHARE of the whole corpus — the numbers a training-mix
+    spec is written in.
+
+    One groupBy over the corpus (all JVM expressions), then the share
+    ratio via a window over the AGGREGATED frame — the window input is
+    |slices| rows, so the global-total pass is free even at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    toks = _TOKENS(text_col)
+    grouped = (
+        df.select(
+            *group_cols,
+            F.size(toks).alias("__nt"),
+            F.length(F.col(text_col)).alias("__nc"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+            F.sum("__nc").cast("long").alias("total_chars"),
+            F.round(
+                F.avg((F.col("__nt") >= min_tokens).cast("double")), 6
+            ).alias("pct_long"),
+        )
+    )
+    return grouped.withColumn(
+        "token_share",
+        F.round(
+            F.col("total_tokens")
+            / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token counts: whitespace tokens plus a BPE-ish
     estimate (word-chunks of <=4 chars — a deterministic stand-in for a
