@@ -997,6 +997,56 @@ def q_dedup_minhash_pairs(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "doc_cdc_chunks",
+    oracle="""
+    WITH codes AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(range(1, length(text)+1),
+                            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs
+      FROM documents WHERE length(text) > 0
+    ),
+    cut AS (
+      SELECT doc_id, text, n,
+             list_filter(range(8, n+1), i ->
+               (cs[i] + cs[i-1]*31 + cs[i-2]*961 + cs[i-3]*29791 + cs[i-4]*923521
+                + cs[i-5]*28629151 + cs[i-6]*887503681 + cs[i-7]*27512614111) % 64 = 0) AS cuts
+      FROM codes
+    ),
+    ends_t AS (
+      SELECT doc_id, text,
+             CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts ELSE list_append(cuts, n) END AS ends
+      FROM cut
+    ),
+    ex AS (
+      SELECT doc_id, text, ends, generate_subscripts(ends, 1) AS ci, unnest(ends) AS e
+      FROM ends_t
+    )
+    SELECT doc_id,
+           CAST(ci - 1 AS INTEGER) AS chunk_idx,
+           CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER) AS chunk_len,
+           md5(substr(text, CAST(CASE WHEN ci = 1 THEN 1 ELSE ends[CAST(ci AS INTEGER)-1]+1 END AS INTEGER),
+                      CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER))) AS chunk_md5
+    FROM ex
+    """,
+    d="table.documents",
+)
+def q_doc_cdc_chunks(d: DataFrame) -> DataFrame:
+    """Content-defined chunking (§2b-K): rolling-hash chunk boundaries,
+    one row per chunk with index/length/md5.  An edit near the top of a
+    document shifts at most one boundary (shift-resilience pinned in
+    ``test_round5_ops.py`` family tests), which is what makes CHUNK-level
+    exact dedup work across document versions — fixed-offset chunking
+    would re-chunk everything after the edit.  One shuffle-free Arrow
+    pass per partition; the oracle re-derives every boundary and hash in
+    SQL (codes/rolling polynomial/md5)."""
+    from .llm.chunking import content_chunks
+
+    return content_chunks(d).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_len", "chunk_md5"
+    )
+
+
+@defq(
     "dedup_shingle_skew",
     oracle="""
     WITH sh AS (

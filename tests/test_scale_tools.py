@@ -306,3 +306,36 @@ def test_lsh_max_bucket_size_cap(spark):
         self_pairs=True, max_bucket_size=n_dups - 1,
     ).filter(F.col("cosine") >= 0.999)
     assert capped.count() == 0
+
+
+def test_cdc_chunking_shift_resilience(spark):
+    """The property content-defined chunking exists for: inserting text
+    near the head of a document disturbs only the chunk(s) around the
+    edit — every boundary after it re-aligns, so downstream chunk-level
+    dedup still matches the unchanged tail.  Also pins determinism and
+    full coverage (chunk lengths sum to the doc length)."""
+    from interlinked_spark.llm.chunking import content_chunks, shared_chunks
+
+    base_text = " ".join(f"tok{i:04d} payload" for i in range(60))
+    edited = "INSERTED NEW HEADER " + base_text
+    df = spark.createDataFrame(
+        [(1, base_text), (2, edited)], "doc_id long, text string"
+    )
+    ch = content_chunks(df, "text", "doc_id").collect()
+    by_doc = {1: [], 2: []}
+    for r in ch:
+        by_doc[r.id].append((r.chunk_idx, r.chunk_len, r.chunk_md5))
+    for d, rows in by_doc.items():
+        rows.sort()
+        assert sum(l for _, l, _ in rows) == len(base_text) + (
+            20 if d == 2 else 0
+        )
+    h1 = {h for _, _, h in by_doc[1]}
+    h2 = {h for _, _, h in by_doc[2]}
+    shared = h1 & h2
+    # all but the head chunk(s) of each version re-align and match
+    assert len(shared) >= len(h1) - 2, (len(shared), len(h1))
+
+    sh = shared_chunks(df, "text", "doc_id").collect()
+    assert all(r.n_docs == 2 for r in sh)
+    assert {r.chunk_md5 for r in sh} == shared
