@@ -77,8 +77,11 @@ HEADLINE = [
     "embedding_near_dups",
     "embedding_pca",
     "multimodal_features",
-    # round 7 addition — the skew pre-flight diagnostic as a first-class query
+    # round 7 additions — skew pre-flight, watermark-closed outer stream
+    # join, and the CDC chunker
     "dedup_shingle_skew",
+    "stream_click_error_left_join",
+    "doc_cdc_chunks",
 ]
 
 
