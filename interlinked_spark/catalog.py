@@ -1047,6 +1047,62 @@ def q_doc_cdc_chunks(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "doc_dup_span_fraction",
+    oracle="""
+    WITH chunks AS (WITH codes AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(range(1, length(text)+1),
+                            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs
+      FROM documents WHERE length(text) > 0
+    ),
+    cut AS (
+      SELECT doc_id, text, n,
+             list_filter(range(8, n+1), i ->
+               (cs[i] + cs[i-1]*31 + cs[i-2]*961 + cs[i-3]*29791 + cs[i-4]*923521
+                + cs[i-5]*28629151 + cs[i-6]*887503681 + cs[i-7]*27512614111) % 64 = 0) AS cuts
+      FROM codes
+    ),
+    ends_t AS (
+      SELECT doc_id, text,
+             CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts ELSE list_append(cuts, n) END AS ends
+      FROM cut
+    ),
+    ex AS (
+      SELECT doc_id, text, ends, generate_subscripts(ends, 1) AS ci, unnest(ends) AS e
+      FROM ends_t
+    )
+    SELECT doc_id,
+           CAST(ci - 1 AS INTEGER) AS chunk_idx,
+           CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER) AS chunk_len,
+           md5(substr(text, CAST(CASE WHEN ci = 1 THEN 1 ELSE ends[CAST(ci AS INTEGER)-1]+1 END AS INTEGER),
+                      CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER))) AS chunk_md5
+    FROM ex
+    ),
+    counts AS (
+      SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(SUM(c.chunk_len) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN n.nd > 1 THEN c.chunk_len ELSE 0 END) AS BIGINT) AS dup_chars,
+           ROUND(SUM(CASE WHEN n.nd > 1 THEN c.chunk_len ELSE 0 END) * 1.0 / SUM(c.chunk_len), 6) AS dup_span_frac
+    FROM chunks c JOIN counts n USING (chunk_md5)
+    GROUP BY c.doc_id
+    """,
+    d="table.documents",
+)
+def q_doc_dup_span_fraction(d: DataFrame) -> DataFrame:
+    """Span-level boilerplate metric (§2b-K): per document, the fraction
+    of characters in CDC chunks shared with other documents — catches
+    template spam whose pairwise shingle Jaccard stays low.  Chunk rows
+    checkpoint once and feed both the per-hash doc count and the
+    join-back; only (md5, len, id) shuffles.  Oracle composes the CDC
+    boundary derivation with the same count/join in SQL."""
+    from .llm.chunking import dup_span_fraction
+
+    return dup_span_fraction(d)
+
+
+@defq(
     "dedup_shingle_skew",
     oracle="""
     WITH sh AS (

@@ -108,3 +108,47 @@ def shared_chunks(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def dup_span_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 64,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Per-document duplicate-SPAN fraction: the share of a document's
+    characters lying in chunks whose content also appears in at least
+    one OTHER document — the span-level boilerplate metric a quality
+    gate thresholds on (a page that is 90% shared nav/footer text is
+    template spam even if its shingle-level Jaccard to any single other
+    page is low).  Within-document repeats deliberately do not count
+    (that is ``repetition_signals``' job).
+
+    Chunk rows are checkpointed once and feed both the per-hash doc
+    count and the join-back; both shuffles move (md5, len, id) only.
+    Returns ``(doc_id, total_chars, dup_chars, dup_span_frac)``."""
+    from ..operators.checkpointing import materialize
+
+    ch = materialize(
+        content_chunks(df, text_col, id_col, window=window, divisor=divisor),
+        checkpoint_mode,
+    )
+    counts = ch.groupBy("chunk_md5").agg(F.countDistinct("id").alias("__nd"))
+    dup_len = F.when(F.col("__nd") > 1, F.col("chunk_len")).otherwise(F.lit(0))
+    return (
+        ch.join(counts, "chunk_md5")
+        .groupBy("id")
+        .agg(
+            F.sum("chunk_len").cast("long").alias("total_chars"),
+            F.sum(dup_len).cast("long").alias("dup_chars"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(F.col("dup_chars") / F.col("total_chars"), 6),
+        )
+        .select(
+            F.col("id").alias(id_col), "total_chars", "dup_chars", "dup_span_frac"
+        )
+    )
