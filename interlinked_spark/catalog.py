@@ -2640,6 +2640,81 @@ def q_stream_click_error_left_join(spark: SparkSession, base_dir: str) -> DataFr
 
 
 @defq(
+    "stream_click_error_full_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+               FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id AS u2, event_id AS error_id, CAST(ts AS TIMESTAMP) AS ets
+               FROM events WHERE event_type = 'error'),
+         h AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(ets) FROM e))
+                      - INTERVAL 600 SECOND AS horizon),
+         matched AS (
+           SELECT c.user_id, c.click_id, e.error_id
+           FROM c JOIN e ON c.user_id = e.u2
+                        AND e.ets >= c.cts
+                        AND e.ets <= c.cts + INTERVAL 300 SECOND),
+         un_left AS (
+           SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS error_id
+           FROM c, h
+           WHERE c.cts + INTERVAL 300 SECOND < h.horizon
+             AND NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.u2 = c.user_id
+                               AND e.ets >= c.cts
+                               AND e.ets <= c.cts + INTERVAL 300 SECOND)),
+         un_right AS (
+           SELECT e.u2 AS user_id, CAST(NULL AS BIGINT) AS click_id, e.error_id
+           FROM e, h
+           WHERE e.ets < h.horizon
+             AND NOT EXISTS (SELECT 1 FROM c
+                             WHERE c.user_id = e.u2
+                               AND e.ets >= c.cts
+                               AND e.ets <= c.cts + INTERVAL 300 SECOND))
+    SELECT user_id, click_id, error_id FROM matched
+    UNION ALL SELECT user_id, click_id, error_id FROM un_left
+    UNION ALL SELECT user_id, click_id, error_id FROM un_right
+    """,
+)
+def q_stream_click_error_full_join(spark: SparkSession, base_dir: str) -> DataFrame:
+    """FULL OUTER stream-STREAM interval join (§2b-J): matched click ->
+    error pairs plus BOTH sides' unmatched rows, each emitted when the
+    final watermark closes its window — left when watermark passes
+    click_ts + 300s, right when it passes error_ts (a right row's last
+    possible match has click_ts <= error_ts).  Equi-keys are COALESCED
+    across the two sides so an unmatched error keeps its user_id (the
+    round-7 fix in ``stream_stream_join``).  Oracle encodes both
+    horizons; pinned equal to the streaming result at sf0.001 (408/408)
+    and sf0.01 (4012/4012)."""
+    from .streaming import (
+        replay_shuffle_partitions,
+        run_into_parquet,
+        stream_from_parquet,
+        stream_stream_join,
+    )
+
+    clicks = (
+        stream_from_parquet(spark, f"{base_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    errors = (
+        stream_from_parquet(spark, f"{base_dir}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    j = stream_stream_join(
+        clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300, how="fullOuter"
+    )
+    out = j.select("user_id", "click_id", "error_id")
+    with replay_shuffle_partitions(spark, 8):
+        sink = run_into_parquet(out, output_mode="append")
+    return spark.read.parquet(sink)
+
+
+@defq(
     "stream_click_error_join",
     oracle="""
     SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id

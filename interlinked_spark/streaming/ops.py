@@ -332,8 +332,17 @@ def stream_stream_join(
         r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay_s} SECONDS")
     )
     joined = l.join(r, cond, how)
-    for k in keys:  # keep one copy of each equi-key
-        joined = joined.drop(r[k])
+    for k in keys:
+        # Keep ONE copy of each equi-key — but COALESCE the two copies
+        # rather than dropping the right one: in outer joins the
+        # preserved side's key must survive (an unmatched right row has
+        # a null left key), and for inner joins the coalesce is a no-op.
+        joined = (
+            joined.withColumn(f"__key_{k}", F.coalesce(l[k], r[k]))
+            .drop(l[k])
+            .drop(r[k])
+            .withColumnRenamed(f"__key_{k}", k)
+        )
     return joined
 
 
