@@ -1,7 +1,7 @@
 """End-to-end LLM training-data pipeline as a workflow: quality filter
--> repetition gate -> benchmark decontamination -> exact dedup ->
-near-dup clustering -> canonical pick -> deterministic sample -> token
-accounting.  Every stage is a routed resource, so any intermediate is
+-> repetition gate -> span-level boilerplate gate (CDC chunks) ->
+benchmark decontamination -> exact dedup -> near-dup clustering ->
+canonical pick -> deterministic sample -> mix report.  Every stage is a routed resource, so any intermediate is
 addressable (`run("docs.canonical")`) and memoized within a run.
 
     PYTHONPATH=. python examples/llm_pipeline.py
@@ -47,7 +47,20 @@ def unrepetitive(d, max_dup_gram_frac: float = 0.4):
     return d.join(keep, "doc_id")
 
 
-@wkf.depend(d="docs.unrepetitive", raw="docs.raw")
+@wkf.depend(d="docs.unrepetitive")
+@wkf.provide("docs.despanned")
+def despanned(d, max_dup_span_frac: float = 0.8):
+    """Span-level boilerplate gate: drop documents whose characters are
+    mostly CDC chunks shared with other documents (template spam that
+    pairwise Jaccard misses)."""
+    from interlinked_spark.llm.chunking import dup_span_fraction
+
+    spans = dup_span_fraction(d)
+    keep = spans.filter(F.col("dup_span_frac") <= max_dup_span_frac).select("doc_id")
+    return d.join(keep, "doc_id")
+
+
+@wkf.depend(d="docs.despanned", raw="docs.raw")
 @wkf.provide("docs.decontaminated")
 def decontaminated(d, raw):
     """Remove training docs sharing 5-grams with the held-out eval
@@ -91,9 +104,20 @@ def report(d):
     )
 
 
+@wkf.depend(d="docs.sample.20")
+@wkf.provide("mix_report")
+def mix_report(d):
+    """The dataset card: per (lang, source) token shares of the final
+    training sample."""
+    from interlinked_spark.llm.text import corpus_mix_summary
+
+    return corpus_mix_summary(d)
+
+
 if __name__ == "__main__":
-    out = wkf.run("report")
+    out, mix = wkf.run("report", "mix_report")
     row = out.first()
     assert row.n_docs > 0 and row.total_tokens > row.n_docs
     print(f"sampled {row.n_docs} canonical docs, ~{row.total_tokens} tokens "
           f"(~{row.total_bpe_est} BPE-estimated)")
+    mix.show(truncate=False)
