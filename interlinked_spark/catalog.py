@@ -997,6 +997,32 @@ def q_dedup_minhash_pairs(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "doc_dataset_splits",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('train-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substr(md5('train-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    d="table.documents",
+)
+def q_doc_dataset_splits(d: DataFrame) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (§2b-B/K):
+    cumulative md5-hash bands on the document key — reproducible across
+    runs/engines/partitionings/retries, mutually exclusive + exhaustive,
+    and join-consistent (the same doc lands in the same split in every
+    derived table).  One narrow projection, no shuffle, no second pass;
+    the bands are the exact SQL CASE the oracle runs
+    (``operators/sampling.dataset_splits``)."""
+    from .operators.sampling import dataset_splits
+
+    return dataset_splits(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="train-v1"
+    ).select("doc_id", "split")
+
+
+@defq(
     "doc_cdc_chunks",
     oracle="""
     WITH codes AS (

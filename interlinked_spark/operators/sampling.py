@@ -94,3 +94,58 @@ def stratified_hash_sample_sql(
         f"substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < "
         f"CASE {strata_col} {cases} END"
     )
+
+
+def dataset_splits(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    label whose cumulative md5-hash band its key falls into — the same
+    predicate family as :func:`hash_sample`, so splits are reproducible
+    across runs/engines/partitionings/retries, mutually exclusive and
+    exhaustive, join-consistent on the key (the same document lands in
+    the same split in every derived table), and SQL-portable for the
+    oracle.  One narrow projection — no shuffle, no second pass.
+
+    ``weights`` maps label -> fraction; fractions must sum to 1 (bands
+    are laid out in the given insertion order; the last band absorbs the
+    rounding remainder of the hex space).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    labels = list(weights)
+    cum = 0.0
+    bounds = []
+    for label in labels[:-1]:
+        cum += weights[label]
+        bounds.append((label, format(int(cum * _HEX_SPACE), "08x")))
+    # Nest from the LAST band outward so the smallest bound is tested
+    # first — exactly SQL CASE's first-match-wins over cumulative bands.
+    expr = F.lit(labels[-1])  # last band absorbs the hex-space remainder
+    for label, bound in reversed(bounds):
+        expr = F.when(prefix < F.lit(bound), F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def dataset_splits_sql(key_col: str, weights: dict[str, float], salt: str = "") -> str:
+    """The equivalent ANSI-SQL CASE expression (oracle parity helper)."""
+    labels = list(weights)
+    cum = 0.0
+    cases = []
+    for label in labels[:-1]:
+        cum += weights[label]
+        bound = format(int(cum * _HEX_SPACE), "08x")
+        cases.append(
+            f"WHEN substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < '{bound}' THEN '{label}'"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE '{labels[-1]}' END"
