@@ -85,6 +85,57 @@ HEADLINE = [
 ]
 
 
+def mine_tail(doc: dict, known: set) -> dict:
+    """Recover per-query minimums from a driver record whose 2000-char
+    tail capture truncated the JSON line (parsed: null, rounds 3-6).
+    ONLY the span inside an explicit ``"min": {`` dict is trusted: a
+    tail whose marker was itself truncated off (r06 — pure
+    vs_floor/vs_prev ratio data) is skipped entirely, because mining
+    ratios (0.7-1.3) as seconds collapses floors permanently.  Pre-r07
+    records never contain the marker, so this is floor-only archaeology
+    for future truncations, not the primary path — the compact contract
+    line keeps ``parsed`` non-null.  Regression-pinned against the real
+    BENCH_r06.json in ``tests/test_bench_tools.py``."""
+    import re as _re
+
+    tail = doc.get("tail") or ""
+    if doc.get("rc") not in (0, None):
+        return {}
+    start = tail.find('"min": {')
+    if start == -1:
+        return {}
+    start += len('"min": {')
+    end = tail.find("}", start)
+    span = tail[start : end if end != -1 else len(tail)]
+    out = {}
+    for m in _re.finditer(r'"([a-z0-9_]+)": ?([0-9]+\.[0-9]+)', span):
+        if m.group(1) in known:
+            out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def round_queries_record(p: Path, known: set) -> tuple[dict, str]:
+    """Returns (per-query seconds, kind).  kind 'parsed' = driver
+    captured the contract line intact (medians, safe for vs_prev);
+    'mined' = recovered minimums from a truncated tail (floor-only —
+    comparing current medians to prior minimums inflates vs_prev,
+    ADVICE r6); 'none' = unusable."""
+    try:
+        doc = json.loads(p.read_text())
+    except (json.JSONDecodeError, OSError):
+        return {}, "none"
+    if not isinstance(doc, dict):
+        return {}, "none"
+    # Driver records wrap our JSON line under "parsed".
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict):
+        return parsed.get("queries", {}) or {}, "parsed"
+    if "tail" in doc:
+        mined = mine_tail(doc, known)
+        return mined, "mined" if mined else "none"
+    return doc.get("queries", {}), "parsed"
+
+
 def _settle(max_wait_s: int = 60) -> None:
     """Wait (bounded) for trailing machine load to drain: back-to-back
     runs on local[32] skew individual query times 1.5-2.5x when a prior
@@ -180,53 +231,8 @@ def main() -> None:
     prev_files = sorted(root.glob("BENCH_r*.json"))
     known = set(catalog.ORACLES)
 
-    def _mine_tail(doc: dict) -> dict:
-        """Recover per-query minimums from a driver record whose
-        2000-char tail capture truncated the JSON line (parsed: null,
-        rounds 3-6).  ONLY the span inside an explicit ``"min": {`` dict
-        is trusted: a tail whose marker was itself truncated off (r06 —
-        pure vs_floor/vs_prev ratio data) is skipped entirely, because
-        mining ratios (0.7-1.3) as seconds collapses floors permanently.
-        Pre-r07 records never contain the marker, so this is floor-only
-        archaeology for future truncations, not the primary path — the
-        compact contract line below keeps ``parsed`` non-null."""
-        import re as _re
-
-        tail = doc.get("tail") or ""
-        if doc.get("rc") not in (0, None):
-            return {}
-        start = tail.find('"min": {')
-        if start == -1:
-            return {}
-        start += len('"min": {')
-        end = tail.find("}", start)
-        span = tail[start : end if end != -1 else len(tail)]
-        out = {}
-        for m in _re.finditer(r'"([a-z0-9_]+)": ?([0-9]+\.[0-9]+)', span):
-            if m.group(1) in known:
-                out[m.group(1)] = float(m.group(2))
-        return out
-
     def _round_queries(p: Path) -> tuple[dict, str]:
-        """Returns (per-query seconds, kind).  kind 'parsed' = driver
-        captured the contract line intact (medians, safe for vs_prev);
-        'mined' = recovered minimums from a truncated tail (floor-only —
-        comparing current medians to prior minimums inflates vs_prev,
-        ADVICE r6); 'none' = unusable."""
-        try:
-            doc = json.loads(p.read_text())
-        except (json.JSONDecodeError, OSError):
-            return {}, "none"
-        if not isinstance(doc, dict):
-            return {}, "none"
-        # Driver records wrap our JSON line under "parsed".
-        parsed = doc.get("parsed")
-        if isinstance(parsed, dict):
-            return parsed.get("queries", {}) or {}, "parsed"
-        if "tail" in doc:
-            mined = _mine_tail(doc)
-            return mined, "mined" if mined else "none"
-        return doc.get("queries", {}), "parsed"
+        return round_queries_record(p, known)
 
     # BENCH_r*.json driver records and BENCH_FLOOR.json are sf0.1
     # numbers.  A local iteration run at sf0.01/0.001 must neither
