@@ -303,10 +303,11 @@ def main() -> None:
     # rounds of the full payload came back "parsed: null", forcing the
     # tail-mining archaeology above.  The contract fields (metric /
     # value / unit / queries / sf) plus a floor geomean fit in ~1.4k.
+    local_file = root / (
+        "BENCH_LOCAL.json" if canonical else f"BENCH_LOCAL_sf{sf}.json"
+    )
     try:
-        (root / "BENCH_LOCAL.json").write_text(
-            json.dumps(payload, indent=1) + "\n"
-        )
+        local_file.write_text(json.dumps(payload, indent=1) + "\n")
     except OSError:
         pass
     contract = {
