@@ -1323,6 +1323,33 @@ def q_doc_token_stats(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH posted AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    lm AS (SELECT tok, COUNT(*) AS cnt FROM posted GROUP BY tok),
+    total AS (SELECT COUNT(*) AS n FROM posted)
+    SELECT p.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(lm.cnt * 1.0 / total.n)), 6) AS mean_neg_logprob
+    FROM posted p JOIN lm USING (tok), total
+    GROUP BY p.doc_id
+    """,
+    d="table.documents",
+)
+def q_doc_unigram_logprob(d: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality signal (§2b-K): per-doc mean unigram
+    -ln p(token) under the corpus's own unigram LM.  Explode -> vocab
+    groupBy -> BROADCAST join back (the LM is |vocab| rows, tiny next
+    to the corpus) -> per-doc aggregate; all JVM expressions."""
+    from .llm.text import unigram_logprob
+
+    return unigram_logprob(d)
+
+
+@defq(
     "corpus_mix_summary",
     oracle="""
     WITH t AS (SELECT lang, source,

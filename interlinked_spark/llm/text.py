@@ -105,6 +105,42 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram negative log-probability under the
+    corpus's OWN unigram distribution — the classic cheap
+    perplexity-proxy: documents full of rare tokens (gibberish, OCR
+    noise, foreign-script spills) score high, template text scores low.
+    A real pipeline thresholds both tails.
+
+    Tokens are lowercased whitespace tokens (the engine's pinned ASCII
+    tokenization).  Plan shape: one explode -> token-count groupBy (the
+    unigram LM), one broadcast-join back (the LM is |vocab| rows — tiny
+    next to the corpus), one per-doc aggregate.  Everything JVM-side;
+    ``ln`` matches the oracle's natural log.
+    """
+    toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
+    posted = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    total = posted.count()
+    lm = posted.groupBy("tok").agg(F.count("*").alias("__cnt"))
+    scored = (
+        posted.join(F.broadcast(lm), "tok")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("__cnt") / F.lit(float(total)))), 6
+            ).alias("mean_neg_logprob"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col), "n_tokens", "mean_neg_logprob"
+    )
+
+
 def quality_scores(
     df: DataFrame,
     text_col: str = "text",
