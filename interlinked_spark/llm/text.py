@@ -124,15 +124,19 @@ def unigram_logprob(
     """
     toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
     posted = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    total = posted.count()
     lm = posted.groupBy("tok").agg(F.count("*").alias("__cnt"))
+    # Corpus token total derived from the LM itself (|vocab| rows) and
+    # broadcast as a 1-row frame — NOT a driver-side posted.count(),
+    # which would be a whole extra corpus pass at 100 TB.
+    tot = lm.agg(F.sum("__cnt").cast("double").alias("__total"))
     scored = (
         posted.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(tot))
         .groupBy("id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(
-                F.avg(-F.log(F.col("__cnt") / F.lit(float(total)))), 6
+                F.avg(-F.log(F.col("__cnt") / F.col("__total"))), 6
             ).alias("mean_neg_logprob"),
         )
     )
