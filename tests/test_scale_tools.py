@@ -339,3 +339,59 @@ def test_cdc_chunking_shift_resilience(spark):
     sh = shared_chunks(df, "text", "doc_id").collect()
     assert all(r.n_docs == 2 for r in sh)
     assert {r.chunk_md5 for r in sh} == shared
+
+
+def test_stream_join_state_evicts_to_watermark_horizon(spark):
+    """The §2b-J bounded-state claim, executed: after the availableNow
+    replay of the stream-stream interval join, the state store retains
+    ONLY rows whose join window is still open under the final watermark
+    — everything else was evicted (numRowsRemoved).  On unbounded
+    streams this is what keeps state ~watermark+interval sized instead
+    of growing with the stream."""
+    import datetime
+
+    from interlinked_spark.streaming.ops import (
+        foreach_batch_into,
+        stream_from_parquet,
+        stream_stream_join,
+    )
+
+    base = "/root/testdata/sf0.001"
+    clicks = (
+        stream_from_parquet(spark, f"{base}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    errors = (
+        stream_from_parquet(spark, f"{base}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    j = stream_stream_join(clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300)
+    q = foreach_batch_into(
+        j.select("user_id", "click_id", "error_id"),
+        lambda df, i: df.count(),
+        output_mode="append",
+    )
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progresses, "no state-operator progress recorded"
+    final = progresses[-1]["stateOperators"][0]
+    ingested = progresses[0]["stateOperators"][0]["numRowsTotal"]
+
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    e = ev.filter(F.col("event_type") == "error").select("user_id", F.col("ts").alias("ets"))
+    maxc = c.agg(F.max("cts")).collect()[0][0]
+    maxe = e.agg(F.max("ets")).collect()[0][0]
+    horizon = min(maxc, maxe) - datetime.timedelta(seconds=600)
+    still_open = (
+        c.filter(F.expr(f"cts + INTERVAL 300 SECONDS >= TIMESTAMP '{horizon}'")).count()
+        + e.filter(F.expr(f"ets >= TIMESTAMP '{horizon}'")).count()
+    )
+    assert final["numRowsRemoved"] > 0
+    assert final["numRowsTotal"] == still_open, (final, still_open)
+    assert final["numRowsTotal"] < ingested
