@@ -1945,6 +1945,46 @@ def q_monthly_order_gaps(o: DataFrame) -> DataFrame:
 
 
 @defq(
+    "embedding_int8_quant",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+             list_min(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS mn,
+             list_max(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS mx
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, x, mn, (mx - mn) / 255.0 AS scale FROM q
+    ), d AS (
+      SELECT vec_id, x, mn, scale,
+             list_transform(
+               list_transform(x, v -> CASE WHEN scale > 0 THEN floor((v - mn) / scale + 0.5) ELSE 0 END),
+               k -> mn + k * scale) AS deq
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(mn, 6) AS q_min,
+           ROUND(scale, 9) AS q_scale,
+           ROUND(list_max(list_transform(range(1, len(x)+1), i -> abs(x[i] - deq[i]))), 6) AS max_abs_err,
+           ROUND(list_sum(list_transform(range(1, len(x)+1), i -> abs(x[i] - deq[i]))) / len(x), 6) AS mean_abs_err
+    FROM d
+    """,
+    e="table.embeddings",
+)
+def q_embedding_int8_quant(e: DataFrame) -> DataFrame:
+    """Int8 embedding quantization round-trip (§2b-K storage path): 4x
+    smaller vectors with the reconstruction error actually incurred
+    (bounded by scale/2).  Catalyst HOFs in double, one narrow
+    projection, no shuffle; the oracle re-derives codes and errors with
+    the engine-portable ``floor(t + 0.5)`` rounding rule."""
+    from .llm.embeddings import quantize_int8
+
+    return quantize_int8(e).select(
+        F.col("id").alias("vec_id"), "q_min", "q_scale", "max_abs_err", "mean_abs_err"
+    )
+
+
+@defq(
     "embedding_near_dups",
     oracle="""
     SELECT a.vec_id AS left_id, b.vec_id AS right_id,

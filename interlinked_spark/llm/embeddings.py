@@ -83,3 +83,44 @@ def pca_project(
         return vs.map(lambda v: ((_np.asarray(v, dtype=_np.float64) - mu) @ M).tolist())
 
     return df.select(F.col(id_col).alias("id"), project(vec_col).alias("pc"))
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector int8 quantization (§2b-K storage path): min/max range
+    scaling to 0..255 codes — 4x smaller than float32 on the wire and
+    at rest, which at 100 TB of embeddings is the difference between
+    one storage tier and the next.  Returns ``(id, q_min, q_scale,
+    codes, max_abs_err, mean_abs_err)``: everything needed to
+    dequantize (``q_min + code * q_scale``) plus the reconstruction
+    error actually incurred (bounded by ``q_scale / 2``).
+
+    All Catalyst higher-order functions in double precision — one
+    narrow projection, no shuffle, SQL-recomputable bit-for-bit (the
+    oracle re-derives codes and errors; rounding rule ``floor(t + 0.5)``
+    is engine-portable, unlike banker's rounding).  Degenerate constant
+    vectors quantize to code 0 with scale 0."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    mn = F.array_min(x)
+    scale = (F.array_max(x) - mn) / F.lit(255.0)
+    codes = F.transform(
+        x,
+        lambda v: F.when(scale > 0, F.floor((v - mn) / scale + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    deq = F.transform(codes, lambda c: mn + c.cast("double") * scale)
+    err = F.zip_with(x, deq, lambda a, b: F.abs(a - b))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(mn, 6).alias("q_min"),
+        F.round(scale, 9).alias("q_scale"),
+        codes.alias("codes"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, v: a + v) / F.size(x), 6
+        ).alias("mean_abs_err"),
+    )
