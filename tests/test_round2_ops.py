@@ -374,6 +374,7 @@ def test_whole_catalog_plan_audit(spark):
         "similarity_ivf_topk",     # probe-list membership against broadcast centroids
         "doc_tfidf_top_terms",     # broadcast ONE-ROW corpus-stats frame
         "doc_bm25_query",          # broadcast ONE-ROW corpus-stats frame
+        "doc_unigram_logprob",     # broadcast ONE-ROW token-total frame
         "referential_audit",       # cross join of three ONE-ROW audit counts
         "click_purchase_funnel",   # cross join of two ONE-ROW funnel counts
     }
