@@ -114,6 +114,18 @@ def stream_static_join(stream: DataFrame, static_dim: DataFrame, on, how: str = 
     return stream.join(F.broadcast(static_dim), on=on, how=how)
 
 
+def _discard_checkpoint(path: str) -> None:
+    """Remove a checkpoint dir the ENGINE created for a completed
+    availableNow replay.  These are single-use by construction (fresh
+    mkdtemp per drain — the deterministic-replay harness never resumes
+    them), so keeping them only leaks /tmp across bench/test runs.
+    Caller-supplied checkpoint locations are never touched — those are
+    the production resume points."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def run_available_now(
     result: DataFrame,
     sink_table: str,
@@ -123,12 +135,13 @@ def run_available_now(
     """Deterministic replay: drain everything available as micro-batches
     into an in-memory sink table, then stop.  The caller reads
     ``spark.table(sink_table)`` afterwards."""
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{sink_table}_")
     query = (
         result.writeStream.format("memory")
         .queryName(sink_table)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{sink_table}_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     if not query.awaitTermination(timeout_s):
@@ -136,6 +149,7 @@ def run_available_now(
         # caller silently read a partially-drained sink table.
         query.stop()
         raise TimeoutError(f"stream into {sink_table!r} did not drain within {timeout_s}s")
+    _discard_checkpoint(ckpt)
 
 
 def foreach_batch_into(
@@ -150,19 +164,19 @@ def foreach_batch_into(
     normal (batch) DataFrame, so it can write through any workflow sink
     or update downstream resources.  Runs with ``availableNow`` (drain
     everything, then stop) for deterministic replay."""
+    own_ckpt = None if checkpoint else tempfile.mkdtemp(prefix="ckpt_foreach_")
     query = (
         stream_result.writeStream.foreachBatch(handler)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="ckpt_foreach_"),
-        )
+        .option("checkpointLocation", checkpoint or own_ckpt)
         .start()
     )
     if not query.awaitTermination(timeout_s):
         query.stop()
         raise TimeoutError(f"foreachBatch drain did not finish within {timeout_s}s")
+    if own_ckpt:
+        _discard_checkpoint(own_ckpt)
     return query
 
 
