@@ -395,3 +395,41 @@ def test_stream_join_state_evicts_to_watermark_horizon(spark):
     assert final["numRowsRemoved"] > 0
     assert final["numRowsTotal"] == still_open, (final, still_open)
     assert final["numRowsTotal"] < ingested
+
+
+def test_partitioning_invariance(spark):
+    """Determinism across physical partitionings, executed: a cluster
+    resize (different shuffle-partition count) must not change any
+    result row.  Pinned over a representative slice of the catalog —
+    hash sampling, minhash banding, CDC chunking, split bands, window
+    ranking, set ops — at shuffle=7 vs the default 32."""
+    from interlinked_spark import catalog
+
+    names = [
+        "customer_hash_sample",
+        "doc_dataset_splits",
+        "dedup_minhash_pairs",
+        "doc_cdc_chunks",
+        "nation_top3_customers",
+        "seg_union",
+        "dedup_exact_docs",
+        "doc_fingerprints",
+    ]
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run_all():
+        return {
+            n: sorted(map(tuple, catalog.run_query(n, spark, sf).collect()), key=str)
+            for n in names
+        }
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = run_all()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert a[n] == b[n], f"{n} changed under repartitioning"
