@@ -2705,9 +2705,23 @@ def q_stream_click_error_left_join(spark: SparkSession, base_dir: str) -> DataFr
     from .streaming import (
         replay_shuffle_partitions,
         run_into_parquet,
-        stream_from_parquet,
         stream_stream_join,
     )
+
+    clicks, errors = _click_error_streams(spark, base_dir)
+    j = stream_stream_join(
+        clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300, how="leftOuter"
+    )
+    out = j.select("user_id", "click_id", "error_id")
+    with replay_shuffle_partitions(spark, 8):
+        sink = run_into_parquet(out, output_mode="append")
+    return spark.read.parquet(sink)
+
+
+def _click_error_streams(spark: SparkSession, base_dir: str):
+    """The click/error stream pair shared by the three stream-stream
+    interval-join queries (inner / leftOuter / fullOuter)."""
+    from .streaming import stream_from_parquet
 
     clicks = (
         stream_from_parquet(spark, f"{base_dir}/events.parquet")
@@ -2723,13 +2737,7 @@ def q_stream_click_error_left_join(spark: SparkSession, base_dir: str) -> DataFr
             F.col("ts").alias("error_ts"),
         )
     )
-    j = stream_stream_join(
-        clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300, how="leftOuter"
-    )
-    out = j.select("user_id", "click_id", "error_id")
-    with replay_shuffle_partitions(spark, 8):
-        sink = run_into_parquet(out, output_mode="append")
-    return spark.read.parquet(sink)
+    return clicks, errors
 
 
 @defq(
@@ -2780,24 +2788,10 @@ def q_stream_click_error_full_join(spark: SparkSession, base_dir: str) -> DataFr
     from .streaming import (
         replay_shuffle_partitions,
         run_into_parquet,
-        stream_from_parquet,
         stream_stream_join,
     )
 
-    clicks = (
-        stream_from_parquet(spark, f"{base_dir}/events.parquet")
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
-    )
-    errors = (
-        stream_from_parquet(spark, f"{base_dir}/events.parquet")
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("user_id").alias("user_id"),
-            F.col("event_id").alias("error_id"),
-            F.col("ts").alias("error_ts"),
-        )
-    )
+    clicks, errors = _click_error_streams(spark, base_dir)
     j = stream_stream_join(
         clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300, how="fullOuter"
     )
@@ -2829,24 +2823,10 @@ def q_stream_click_error_join(spark: SparkSession, base_dir: str) -> DataFrame:
     from .streaming import (
         replay_shuffle_partitions,
         run_into_parquet,
-        stream_from_parquet,
         stream_stream_join,
     )
 
-    clicks = (
-        stream_from_parquet(spark, f"{base_dir}/events.parquet")
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
-    )
-    errors = (
-        stream_from_parquet(spark, f"{base_dir}/events.parquet")
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("user_id").alias("user_id"),
-            F.col("event_id").alias("error_id"),
-            F.col("ts").alias("error_ts"),
-        )
-    )
+    clicks, errors = _click_error_streams(spark, base_dir)
     j = stream_stream_join(clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300)
     out = j.select("user_id", "click_id", "error_id")
     with replay_shuffle_partitions(spark, 8):
