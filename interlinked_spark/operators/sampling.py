@@ -115,11 +115,11 @@ def dataset_splits(
     are laid out in the given insertion order; the last band absorbs the
     rounding remainder of the hex space).
     """
+    if not weights:
+        raise ValueError("weights must be non-empty")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    if not weights:
-        raise ValueError("weights must be non-empty")
     prefix = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
     )
