@@ -2670,8 +2670,11 @@ def q_skewed_flag_join(li: DataFrame, spark: SparkSession) -> DataFrame:
                FROM events WHERE event_type = 'click'),
          e AS (SELECT user_id AS u2, event_id AS error_id, CAST(ts AS TIMESTAMP) AS ets
                FROM events WHERE event_type = 'error'),
-         h AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(ets) FROM e))
-                      - INTERVAL 600 SECOND AS horizon),
+         h AS (SELECT CASE WHEN (SELECT max(cts) FROM c) IS NULL
+                             OR (SELECT max(ets) FROM e) IS NULL
+                      THEN NULL
+                      ELSE least((SELECT max(cts) FROM c), (SELECT max(ets) FROM e))
+                           - INTERVAL 600 SECOND END AS horizon),
          matched AS (
            SELECT c.user_id, c.click_id, e.error_id
            FROM c JOIN e ON c.user_id = e.u2
@@ -2747,8 +2750,11 @@ def _click_error_streams(spark: SparkSession, base_dir: str):
                FROM events WHERE event_type = 'click'),
          e AS (SELECT user_id AS u2, event_id AS error_id, CAST(ts AS TIMESTAMP) AS ets
                FROM events WHERE event_type = 'error'),
-         h AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(ets) FROM e))
-                      - INTERVAL 600 SECOND AS horizon),
+         h AS (SELECT CASE WHEN (SELECT max(cts) FROM c) IS NULL
+                             OR (SELECT max(ets) FROM e) IS NULL
+                      THEN NULL
+                      ELSE least((SELECT max(cts) FROM c), (SELECT max(ets) FROM e))
+                           - INTERVAL 600 SECOND END AS horizon),
          matched AS (
            SELECT c.user_id, c.click_id, e.error_id
            FROM c JOIN e ON c.user_id = e.u2
