@@ -117,6 +117,8 @@ def dataset_splits(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"split weights must be positive, got {weights}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
