@@ -85,41 +85,55 @@ HEADLINE = [
 ]
 
 
-def mine_tail(doc: dict, known: set) -> dict:
-    """Recover per-query minimums from a driver record whose 2000-char
-    tail capture truncated the JSON line (parsed: null, rounds 3-6).
-    ONLY the span inside an explicit ``"min": {`` dict is trusted: a
-    tail whose marker was itself truncated off (r06 — pure
-    vs_floor/vs_prev ratio data) is skipped entirely, because mining
-    ratios (0.7-1.3) as seconds collapses floors permanently.  Pre-r07
-    records never contain the marker, so this is floor-only archaeology
-    for future truncations, not the primary path — the compact contract
-    line keeps ``parsed`` non-null.  Regression-pinned against the real
-    BENCH_r06.json in ``tests/test_bench_tools.py``."""
+def mine_tail(doc: dict, known: set) -> tuple[dict, str]:
+    """Recover per-query times from a driver record whose 2000-char tail
+    capture truncated the JSON line (parsed: null).  Two trusted spans,
+    each requiring its EXPLICIT marker in the tail (a marker-less tail —
+    r06's pure ratio data — mines nothing, because mining ratios
+    (0.7-1.3) as seconds collapses floors permanently):
+
+    - ``"queries":{`` — today's compact contract line (MEDIANS; kind
+      'parsed': the whole dict survives in the end-of-line tail, so it
+      is median-grade for vs_prev).
+    - ``"min": {`` — the pre-r07 full-payload format (per-pass MINIMUMS;
+      kind 'mined': floor-only).
+
+    Regression-pinned against the real BENCH_r06.json in
+    ``tests/test_bench_tools.py``.  Returns ({}, 'none') when nothing
+    trustworthy is present."""
     import re as _re
 
     tail = doc.get("tail") or ""
     if doc.get("rc") not in (0, None):
-        return {}
-    start = tail.find('"min": {')
-    if start == -1:
-        return {}
-    start += len('"min": {')
-    end = tail.find("}", start)
-    span = tail[start : end if end != -1 else len(tail)]
-    out = {}
-    for m in _re.finditer(r'"([a-z0-9_]+)": ?([0-9]+\.[0-9]+)', span):
-        if m.group(1) in known:
-            out[m.group(1)] = float(m.group(2))
-    return out
+        return {}, "none"
+
+    def span_after(marker: str) -> str | None:
+        start = tail.find(marker)
+        if start == -1:
+            return None
+        start += len(marker)
+        end = tail.find("}", start)
+        return tail[start : end if end != -1 else len(tail)]
+
+    for marker, kind in (('"queries":{', "parsed"), ('"min": {', "mined")):
+        span = span_after(marker)
+        if span is None:
+            continue
+        out = {}
+        for m in _re.finditer(r'"([a-z0-9_]+)": ?([0-9]+\.[0-9]+)', span):
+            if m.group(1) in known:
+                out[m.group(1)] = float(m.group(2))
+        if out:
+            return out, kind
+    return {}, "none"
 
 
 def round_queries_record(p: Path, known: set) -> tuple[dict, str]:
-    """Returns (per-query seconds, kind).  kind 'parsed' = driver
-    captured the contract line intact (medians, safe for vs_prev);
-    'mined' = recovered minimums from a truncated tail (floor-only —
-    comparing current medians to prior minimums inflates vs_prev,
-    ADVICE r6); 'none' = unusable."""
+    """Returns (per-query seconds, kind).  kind 'parsed' = median-grade
+    (intact contract line, or a tail whose compact queries dict survived
+    whole — safe for vs_prev); 'mined' = pre-r07 minimums recovered from
+    a truncated tail (floor-only — comparing current medians to prior
+    minimums inflates vs_prev, ADVICE r6); 'none' = unusable."""
     try:
         doc = json.loads(p.read_text())
     except (json.JSONDecodeError, OSError):
@@ -131,8 +145,7 @@ def round_queries_record(p: Path, known: set) -> tuple[dict, str]:
     if isinstance(parsed, dict):
         return parsed.get("queries", {}) or {}, "parsed"
     if "tail" in doc:
-        mined = mine_tail(doc, known)
-        return mined, "mined" if mined else "none"
+        return mine_tail(doc, known)
     return doc.get("queries", {}), "parsed"
 
 

@@ -118,6 +118,9 @@ _BRP_MODEL_CACHE: dict = {}
 
 
 def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
+    """Fitted (cached) BRP model for ``prepped``, or ``None`` when the
+    frame is empty (BRP.fit throws on zero rows — an empty side of a
+    similarity join must mean an empty RESULT, not a crash)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import vector_to_array
 
@@ -126,11 +129,17 @@ def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
         .limit(1)
         .collect()
     )
-    dim = int(dim_row[0]["d"]) if dim_row else 0
+    if not dim_row or not dim_row[0]["d"]:
+        return None
+    dim = int(dim_row[0]["d"])
     # Key includes the application id: a fitted model wraps a JVM-side
     # object bound to its SparkContext, so a cached model from a stopped
-    # session must never be served to a new one.
+    # session must never be served to a new one.  Entries from OTHER
+    # (stopped) applications are evicted on sight — the cache stays
+    # bounded across session restarts in one process.
     app_id = prepped.sparkSession.sparkContext.applicationId
+    for k in [k for k in _BRP_MODEL_CACHE if k[0] != app_id]:
+        del _BRP_MODEL_CACHE[k]
     key = (app_id, num_hash_tables, bucket_length, dim)
     model = _BRP_MODEL_CACHE.get(key)
     if model is None:
@@ -145,6 +154,16 @@ def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
     return model
 
 
+def _lsh_prep(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.select(
+        F.col(id_col).alias(out_id), array_to_vector(F.col(vec_col)).alias("__v")
+    )
+    return Normalizer(inputCol="__v", outputCol="features", p=2.0).transform(vec)
+
+
 def _lsh_assignments(
     df: DataFrame,
     num_tables: int,
@@ -152,6 +171,7 @@ def _lsh_assignments(
     id_col: str,
     vec_col: str,
     out_id: str,
+    model=None,
 ) -> DataFrame:
     """``(out_id, entry, bucket)`` rows of the random-projection LSH
     banding: L2-normalize (euclidean on unit vectors is a monotone
@@ -165,14 +185,17 @@ def _lsh_assignments(
     at low cosine thresholds the per-table collision margin is fully
     spent, so 12 tables x 0.5 stays.  The recall-preserving wins are
     structural (``self_pairs``, model cache), not parametric."""
-    from pyspark.ml.feature import Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import vector_to_array
 
-    vec = df.select(
-        F.col(id_col).alias(out_id), array_to_vector(F.col(vec_col)).alias("__v")
-    )
-    prepped = Normalizer(inputCol="__v", outputCol="features", p=2.0).transform(vec)
-    model = _brp_model(prepped, num_tables, bucket_length)
+    prepped = _lsh_prep(df, id_col, vec_col, out_id)
+    if model is None:
+        model = _brp_model(prepped, num_tables, bucket_length)
+    if model is None:  # empty input: no banding, empty assignment frame
+        return prepped.select(
+            F.col(out_id),
+            F.lit(0).alias("entry"),
+            F.lit(0.0).alias("bucket"),
+        ).limit(0)
     return (
         model.transform(prepped)
         .select(F.col(out_id), F.posexplode("hashes").alias("entry", "__hv"))
@@ -221,9 +244,19 @@ def lsh_similarity_join(
     is deterministic across calls and identical for both sides."""
     from ..operators.checkpointing import materialize
 
+    # Fit ONCE on the corpus side (the reference distribution) — the
+    # queries side may legitimately be empty (a day's batch with no new
+    # vectors), which must produce an empty RESULT, not a failed fit.
+    corpus_model = _brp_model(
+        _lsh_prep(corpus, id_col, vec_col, "neighbor_id"),
+        num_hash_tables,
+        bucket_length,
+    )
+
     def buckets(df, out_id):
         return _lsh_assignments(
-            df, num_hash_tables, bucket_length, id_col, vec_col, out_id
+            df, num_hash_tables, bucket_length, id_col, vec_col, out_id,
+            model=corpus_model,
         )
 
     def cap(assign):

@@ -45,16 +45,19 @@ def connected_components(
         .withColumn("component", F.col("vertex")),
         checkpoint_mode,
     )
-    # Convergence detection: labels are NUMERIC doc/vertex ids in the
+    # Convergence detection: labels are INTEGRAL doc/vertex ids in the
     # dedup pipelines, and min-propagation only ever DECREASES a label,
     # so sum(component) is strictly monotone until the fixed point —
     # equal sums <=> pointwise-equal labels.  That turns the per-round
     # convergence check into one aggregate over the freshly-checkpointed
     # labels instead of a self-join + filter + count (one fewer join
-    # per round; the rounds ARE the cost of this operator).  Non-numeric
-    # vertex ids fall back to the join-based check.
+    # per round; the rounds ARE the cost of this operator).  ONLY
+    # integral types qualify: the checksum casts to decimal(38,0), so a
+    # fractional label change (1.4 -> 1.2) would be invisible and the
+    # loop would exit a round early (review-caught bug).  Float/double/
+    # decimal and non-numeric ids use the join-based check.
     numeric = labels.schema["component"].dataType.typeName() in (
-        "byte", "short", "integer", "long", "float", "double", "decimal"
+        "byte", "short", "integer", "long"
     )
 
     def _checksum(lbl: DataFrame):

@@ -20,7 +20,7 @@ def test_ratio_only_tail_mines_nothing():
     floors; it must be skipped entirely."""
     doc = json.loads((REPO / "BENCH_r06.json").read_text())
     assert doc.get("parsed") is None  # the regression scenario
-    assert bench.mine_tail(doc, set(doc["tail"].split('"'))) == {}
+    assert bench.mine_tail(doc, set(doc["tail"].split('"'))) == ({}, "none")
 
 
 def test_marker_bounded_tail_mines_only_min_dict():
@@ -33,15 +33,15 @@ def test_marker_bounded_tail_mines_only_min_dict():
             '"vs_floor": {"dedup_clusters": 0.86}'
         ),
     }
-    assert bench.mine_tail(doc, KNOWN) == {
-        "pricing_summary": 0.61,
-        "top_orders": 1.4,
-    }
+    assert bench.mine_tail(doc, KNOWN) == (
+        {"pricing_summary": 0.61, "top_orders": 1.4},
+        "mined",
+    )
 
 
 def test_failed_run_mines_nothing():
     doc = {"rc": 1, "tail": '"min": {"pricing_summary": 0.5}'}
-    assert bench.mine_tail(doc, KNOWN) == {}
+    assert bench.mine_tail(doc, KNOWN) == ({}, "none")
 
 
 def test_round_queries_kinds(tmp_path):
@@ -56,6 +56,16 @@ def test_round_queries_kinds(tmp_path):
     )
     q, kind = bench.round_queries_record(mined, KNOWN)
     assert kind == "mined" and q == {"top_orders": 1.2}
+
+    # compact contract line truncated into the driver tail: the whole
+    # queries dict survives at end-of-line -> median-grade recovery
+    compact = tmp_path / "BENCH_r94.json"
+    compact.write_text(json.dumps({
+        "rc": 0, "parsed": None,
+        "tail": '"sf":0.1,"stat":"median_of_5","queries":{"pricing_summary":0.41,"top_orders":0.9},"geomean_vs_floor":1.02,"worst_vs_floor":{"dedup_clusters":1.27}',
+    }))
+    q, kind = bench.round_queries_record(compact, KNOWN)
+    assert kind == "parsed" and q == {"pricing_summary": 0.41, "top_orders": 0.9}
 
     dead = tmp_path / "BENCH_r92.json"
     dead.write_text(json.dumps({"rc": 0, "parsed": None, "tail": '"vs_prev": ...'}))

@@ -433,3 +433,17 @@ def test_partitioning_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert a[n] == b[n], f"{n} changed under repartitioning"
+
+
+def test_connected_components_fractional_vertex_ids(spark):
+    """Review-caught regression: the decimal(38,0) checksum rounds
+    fractional labels to integers, masking sub-integer label changes —
+    double vertex ids must use the join-based convergence check and
+    still converge fully."""
+    from interlinked_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1.2, 1.4), (1.4, 1.3), (9.5, 9.9)], "src double, dst double"
+    )
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == {1.2: 1.2, 1.3: 1.2, 1.4: 1.2, 9.5: 9.5, 9.9: 9.5}, got
