@@ -55,6 +55,43 @@ ORACLES: dict[str, str | None] = {}
 _QUERY_NAMES: list[str] = []
 
 
+# DuckDB derivation of the CDC chunker's boundaries + hashes — the
+# SINGLE source of truth shared by the doc_cdc_chunks oracle and the
+# doc_dup_span_fraction oracle (a chunker-rule change edited in one
+# oracle but not the other would silently break parity).  Mirrors
+# llm/chunking.py::content_chunks exactly.
+_CDC_CHUNKS_SQL = """
+    WITH codes AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(range(1, length(text)+1),
+                            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs
+      FROM documents WHERE length(text) > 0
+    ),
+    cut AS (
+      SELECT doc_id, text, n,
+             list_filter(range(8, n+1), i ->
+               (cs[i] + cs[i-1]*31 + cs[i-2]*961 + cs[i-3]*29791 + cs[i-4]*923521
+                + cs[i-5]*28629151 + cs[i-6]*887503681 + cs[i-7]*27512614111) % 64 = 0) AS cuts
+      FROM codes
+    ),
+    ends_t AS (
+      SELECT doc_id, text,
+             CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts ELSE list_append(cuts, n) END AS ends
+      FROM cut
+    ),
+    ex AS (
+      SELECT doc_id, text, ends, generate_subscripts(ends, 1) AS ci, unnest(ends) AS e
+      FROM ends_t
+    )
+    SELECT doc_id,
+           CAST(ci - 1 AS INTEGER) AS chunk_idx,
+           CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER) AS chunk_len,
+           md5(substr(text, CAST(CASE WHEN ci = 1 THEN 1 ELSE ends[CAST(ci AS INTEGER)-1]+1 END AS INTEGER),
+                      CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER))) AS chunk_md5
+    FROM ex
+"""
+
+
 def defq(name: str, oracle: str | None = None, **deps: str):
     """Register a catalog query: resource ``q.<name>`` with table deps."""
 
@@ -1024,35 +1061,8 @@ def q_doc_dataset_splits(d: DataFrame) -> DataFrame:
 
 @defq(
     "doc_cdc_chunks",
-    oracle="""
-    WITH codes AS (
-      SELECT doc_id, text, length(text) AS n,
-             list_transform(range(1, length(text)+1),
-                            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs
-      FROM documents WHERE length(text) > 0
-    ),
-    cut AS (
-      SELECT doc_id, text, n,
-             list_filter(range(8, n+1), i ->
-               (cs[i] + cs[i-1]*31 + cs[i-2]*961 + cs[i-3]*29791 + cs[i-4]*923521
-                + cs[i-5]*28629151 + cs[i-6]*887503681 + cs[i-7]*27512614111) % 64 = 0) AS cuts
-      FROM codes
-    ),
-    ends_t AS (
-      SELECT doc_id, text,
-             CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts ELSE list_append(cuts, n) END AS ends
-      FROM cut
-    ),
-    ex AS (
-      SELECT doc_id, text, ends, generate_subscripts(ends, 1) AS ci, unnest(ends) AS e
-      FROM ends_t
-    )
-    SELECT doc_id,
-           CAST(ci - 1 AS INTEGER) AS chunk_idx,
-           CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER) AS chunk_len,
-           md5(substr(text, CAST(CASE WHEN ci = 1 THEN 1 ELSE ends[CAST(ci AS INTEGER)-1]+1 END AS INTEGER),
-                      CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER))) AS chunk_md5
-    FROM ex
+    oracle=f"""
+    {_CDC_CHUNKS_SQL}
     """,
     d="table.documents",
 )
@@ -1074,35 +1084,8 @@ def q_doc_cdc_chunks(d: DataFrame) -> DataFrame:
 
 @defq(
     "doc_dup_span_fraction",
-    oracle="""
-    WITH chunks AS (WITH codes AS (
-      SELECT doc_id, text, length(text) AS n,
-             list_transform(range(1, length(text)+1),
-                            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs
-      FROM documents WHERE length(text) > 0
-    ),
-    cut AS (
-      SELECT doc_id, text, n,
-             list_filter(range(8, n+1), i ->
-               (cs[i] + cs[i-1]*31 + cs[i-2]*961 + cs[i-3]*29791 + cs[i-4]*923521
-                + cs[i-5]*28629151 + cs[i-6]*887503681 + cs[i-7]*27512614111) % 64 = 0) AS cuts
-      FROM codes
-    ),
-    ends_t AS (
-      SELECT doc_id, text,
-             CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts ELSE list_append(cuts, n) END AS ends
-      FROM cut
-    ),
-    ex AS (
-      SELECT doc_id, text, ends, generate_subscripts(ends, 1) AS ci, unnest(ends) AS e
-      FROM ends_t
-    )
-    SELECT doc_id,
-           CAST(ci - 1 AS INTEGER) AS chunk_idx,
-           CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER) AS chunk_len,
-           md5(substr(text, CAST(CASE WHEN ci = 1 THEN 1 ELSE ends[CAST(ci AS INTEGER)-1]+1 END AS INTEGER),
-                      CAST(e - (CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INTEGER)-1] END) AS INTEGER))) AS chunk_md5
-    FROM ex
+    oracle=f"""
+    WITH chunks AS ({_CDC_CHUNKS_SQL}
     ),
     counts AS (
       SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1

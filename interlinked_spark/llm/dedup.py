@@ -248,20 +248,14 @@ def minhash_near_dup_pairs(
         # Hot-bucket cap — the band-join twin of ``max_shingle_df``: a
         # bucket of K docs (an exact-duplicate clique, or a band gone
         # degenerate) emits K^2/2 candidate pairs; above the cap, drop
-        # the bucket BEFORE the self-join.  Count over the same key the
-        # join shuffles on.  Recall trade: pairs whose every shared band
-        # is oversized are lost — run exact dedup first so identical-doc
-        # cliques never reach this stage, and size the cap from
-        # ``minhash_signature_bands`` + ``diagnostics.bucket_stats``.
-        from pyspark.sql import Window
+        # the bucket BEFORE the self-join.  Recall trade: pairs whose
+        # every shared band is oversized are lost — run exact dedup
+        # first so identical-doc cliques never reach this stage, and
+        # size the cap from ``minhash_signature_bands`` +
+        # ``diagnostics.bucket_stats``.
+        from ..operators.diagnostics import drop_hot_buckets
 
-        banded = (
-            banded.withColumn(
-                "__n", F.count("*").over(Window.partitionBy("band", "bucket"))
-            )
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
+        banded = drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.select("band", "bucket", F.col("id").alias("left_id"))
     right = banded.select("band", "bucket", F.col("id").alias("right_id"))
     cand = (
@@ -407,13 +401,10 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         from pyspark.sql import Window
 
-        # Hot-shingle cap: count df per shingle with a window over the
-        # same key the self-join shuffles on, and drop viral postings.
-        sizes = (
-            sizes.withColumn("__df", F.count("*").over(Window.partitionBy(*on)))
-            .filter(F.col("__df") <= max_shingle_df)
-            .drop("__df")
-        )
+        # Hot-shingle cap: drop viral postings before the self-join.
+        from ..operators.diagnostics import drop_hot_buckets
+
+        sizes = drop_hot_buckets(sizes, list(on), max_shingle_df)
     # Self-joined below: checkpoint the exploded (capped) index so the
     # shingle pipeline + df-cap materialize ONCE (A/B-tested vs plain
     # recompute / repartition-reuse / persist: 8-9s -> 1.3s at sf0.1).
@@ -467,11 +458,9 @@ def ngram_jaccard_incremental(
     if max_shingle_df is not None:
         from pyspark.sql import Window
 
-        sizes = (
-            sizes.withColumn("__df", F.count("*").over(Window.partitionBy("s")))
-            .filter(F.col("__df") <= max_shingle_df)
-            .drop("__df")
-        )
+        from ..operators.diagnostics import drop_hot_buckets
+
+        sizes = drop_hot_buckets(sizes, ["s"], max_shingle_df)
     sizes = materialize(sizes, checkpoint_mode)
     left = (
         sizes.filter(F.col("__new") == 1)

@@ -268,15 +268,9 @@ def lsh_similarity_join(
         # every shared bucket is oversized are lost — pre-dedup exact
         # duplicates and size the cap from ``lsh_bucket_assignments`` +
         # ``diagnostics.bucket_stats`` first.
-        from pyspark.sql import Window
+        from ..operators.diagnostics import drop_hot_buckets
 
-        return (
-            assign.withColumn(
-                "__n", F.count("*").over(Window.partitionBy("entry", "bucket"))
-            )
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
+        return drop_hot_buckets(assign, ["entry", "bucket"], max_bucket_size)
 
     if self_pairs:
         assign = materialize(cap(buckets(corpus, "neighbor_id")), checkpoint_mode)

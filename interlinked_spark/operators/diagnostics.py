@@ -61,3 +61,24 @@ def bucket_histogram(
         )
         .orderBy(F.col("bucket_size").desc())
     )
+
+
+def drop_hot_buckets(
+    df: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop every row belonging to a bucket with more than
+    ``max_bucket_size`` members — the shared guard behind the dedup
+    stack's ``max_shingle_df`` / ``max_bucket_size`` knobs (a bucket of
+    K members emits K^2/2 candidate pairs through a self-join).  Count
+    over the same key the join shuffles on; size the cap from
+    :func:`bucket_stats` first.  Recall trade documented at each call
+    site."""
+    from pyspark.sql import Window
+
+    return (
+        df.withColumn(
+            "__bucket_n", F.count("*").over(Window.partitionBy(*bucket_cols))
+        )
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )

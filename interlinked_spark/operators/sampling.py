@@ -115,6 +115,23 @@ def dataset_splits(
     are laid out in the given insertion order; the last band absorbs the
     rounding remainder of the hex space).
     """
+    bounds, last = _split_bounds(weights)
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    # Nest from the LAST band outward so the smallest bound is tested
+    # first — exactly SQL CASE's first-match-wins over cumulative bands.
+    expr = F.lit(last)  # last band absorbs the hex-space remainder
+    for label, bound in reversed(bounds):
+        expr = F.when(prefix < F.lit(bound), F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def _split_bounds(weights: dict[str, float]) -> tuple[list[tuple[str, str]], str]:
+    """Validate split weights and lay out cumulative hex-band bounds —
+    the SINGLE source of truth for :func:`dataset_splits` and
+    :func:`dataset_splits_sql` (the two must never diverge: one labels
+    Spark rows, the other is the oracle)."""
     if not weights:
         raise ValueError("weights must be non-empty")
     if any(w <= 0 for w in weights.values()):
@@ -122,32 +139,24 @@ def dataset_splits(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    prefix = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
-    )
     labels = list(weights)
     cum = 0.0
     bounds = []
     for label in labels[:-1]:
         cum += weights[label]
         bounds.append((label, format(int(cum * _HEX_SPACE), "08x")))
-    # Nest from the LAST band outward so the smallest bound is tested
-    # first — exactly SQL CASE's first-match-wins over cumulative bands.
-    expr = F.lit(labels[-1])  # last band absorbs the hex-space remainder
-    for label, bound in reversed(bounds):
-        expr = F.when(prefix < F.lit(bound), F.lit(label)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return bounds, labels[-1]
 
 
 def dataset_splits_sql(key_col: str, weights: dict[str, float], salt: str = "") -> str:
-    """The equivalent ANSI-SQL CASE expression (oracle parity helper)."""
-    labels = list(weights)
-    cum = 0.0
-    cases = []
-    for label in labels[:-1]:
-        cum += weights[label]
-        bound = format(int(cum * _HEX_SPACE), "08x")
-        cases.append(
-            f"WHEN substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < '{bound}' THEN '{label}'"
-        )
-    return "CASE " + " ".join(cases) + f" ELSE '{labels[-1]}' END"
+    """The equivalent ANSI-SQL expression (oracle parity helper); same
+    validation as :func:`dataset_splits`.  A single-label split emits a
+    bare literal (``CASE`` with zero WHEN clauses is invalid SQL)."""
+    bounds, last = _split_bounds(weights)
+    if not bounds:
+        return f"'{last}'"
+    cases = [
+        f"WHEN substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < '{bound}' THEN '{label}'"
+        for label, bound in bounds
+    ]
+    return "CASE " + " ".join(cases) + f" ELSE '{last}' END"

@@ -136,20 +136,26 @@ def run_available_now(
     into an in-memory sink table, then stop.  The caller reads
     ``spark.table(sink_table)`` afterwards."""
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{sink_table}_")
-    query = (
-        result.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    if not query.awaitTermination(timeout_s):
-        # Timed out: stop the still-running query instead of letting the
-        # caller silently read a partially-drained sink table.
-        query.stop()
-        raise TimeoutError(f"stream into {sink_table!r} did not drain within {timeout_s}s")
-    _discard_checkpoint(ckpt)
+    try:
+        query = (
+            result.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        if not query.awaitTermination(timeout_s):
+            # Timed out: stop the still-running query instead of letting
+            # the caller silently read a partially-drained sink table.
+            query.stop()
+            raise TimeoutError(
+                f"stream into {sink_table!r} did not drain within {timeout_s}s"
+            )
+    finally:
+        # Single-use by construction — discard on failure paths too, or
+        # a flaky test retried in a loop leaks one dir per attempt.
+        _discard_checkpoint(ckpt)
 
 
 def foreach_batch_into(
@@ -165,18 +171,20 @@ def foreach_batch_into(
     or update downstream resources.  Runs with ``availableNow`` (drain
     everything, then stop) for deterministic replay."""
     own_ckpt = None if checkpoint else tempfile.mkdtemp(prefix="ckpt_foreach_")
-    query = (
-        stream_result.writeStream.foreachBatch(handler)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint or own_ckpt)
-        .start()
-    )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise TimeoutError(f"foreachBatch drain did not finish within {timeout_s}s")
-    if own_ckpt:
-        _discard_checkpoint(own_ckpt)
+    try:
+        query = (
+            stream_result.writeStream.foreachBatch(handler)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint or own_ckpt)
+            .start()
+        )
+        if not query.awaitTermination(timeout_s):
+            query.stop()
+            raise TimeoutError(f"foreachBatch drain did not finish within {timeout_s}s")
+    finally:
+        if own_ckpt:
+            _discard_checkpoint(own_ckpt)
     return query
 
 
