@@ -447,3 +447,26 @@ def test_connected_components_fractional_vertex_ids(spark):
     )
     got = {r.vertex: r.component for r in connected_components(edges).collect()}
     assert got == {1.2: 1.2, 1.3: 1.2, 1.4: 1.2, 9.5: 9.5, 9.9: 9.5}, got
+
+
+def test_int8_quantization_invariants(spark):
+    """Quantization guarantees, pinned directly: codes fit int8-range
+    [0, 255], reconstruction error never exceeds half a quantization
+    step (scale/2), and constant vectors degrade gracefully to scale 0
+    with exact reconstruction."""
+    from interlinked_spark.llm.embeddings import quantize_int8
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = quantize_int8(e).collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r.codes), r.id
+        # rounding of the metrics adds <= 5e-7 slack
+        assert r.max_abs_err <= r.q_scale / 2 + 1e-6, (r.id, r.max_abs_err, r.q_scale)
+
+    const = spark.createDataFrame(
+        [(1, [0.5] * 8)], "vec_id long, embedding array<double>"
+    )
+    c = quantize_int8(const).collect()[0]
+    assert c.q_scale == 0.0 and c.max_abs_err == 0.0
+    assert all(code == 0 for code in c.codes)
