@@ -204,3 +204,40 @@ def test_asof_backward_matches_bruteforce(sp, left, right):
         assert (gk, gt) == (wk, wt)
         if wv is not None:
             assert gv == wv
+
+
+@given(
+    w=st.lists(st.integers(1, 8), min_size=1, max_size=4),
+    salt=st.sampled_from(["", "a", "v2"]),
+)
+@OP_SETTINGS
+def test_dataset_splits_partition_properties(sp, w, salt):
+    """dataset_splits is a PARTITION of the keyspace: every row gets
+    exactly one label, the Spark expression and the SQL twin agree via
+    DuckDB, and band proportions track the weights on a uniform key
+    set."""
+    import duckdb
+
+    from interlinked_spark.operators.sampling import (
+        dataset_splits,
+        dataset_splits_sql,
+    )
+
+    total = sum(w)
+    weights = {f"s{i}": x / total for i, x in enumerate(w)}
+    # guard against float-sum drift breaking the validator
+    weights[f"s{len(w)-1}"] += 1.0 - sum(weights.values())
+
+    df = sp.range(500).withColumnRenamed("id", "k")
+    got = {r.k: r.split for r in dataset_splits(df, "k", weights, salt=salt).collect()}
+    assert len(got) == 500  # exactly one label per row
+
+    con = duckdb.connect()
+    sql = dataset_splits_sql("k", weights, salt=salt)
+    ref = {
+        k: s_
+        for k, s_ in con.execute(
+            f"SELECT k, {sql} FROM (SELECT unnest(range(500)) AS k)"
+        ).fetchall()
+    }
+    assert got == ref
