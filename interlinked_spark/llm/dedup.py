@@ -399,8 +399,6 @@ def ngram_jaccard_pairs(
     sizes = base.select("id", *( ["grp"] if group_col else [] ), F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
     on = ["s"] + (["grp"] if group_col else [])
     if max_shingle_df is not None:
-        from pyspark.sql import Window
-
         # Hot-shingle cap: drop viral postings before the self-join.
         from ..operators.diagnostics import drop_hot_buckets
 
@@ -456,8 +454,6 @@ def ngram_jaccard_incremental(
         .select("id", "__new", F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
     )
     if max_shingle_df is not None:
-        from pyspark.sql import Window
-
         from ..operators.diagnostics import drop_hot_buckets
 
         sizes = drop_hot_buckets(sizes, ["s"], max_shingle_df)

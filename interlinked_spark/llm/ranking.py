@@ -34,7 +34,7 @@ def tf_idf(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_term_df: int | None = None,
+    max_term_df: int | None = 1_000_000,
 ) -> DataFrame:
     """Smoothed TF-IDF per (document, term):
     ``tfidf = tf * (ln((N + 1) / (df + 1)) + 1)``.
@@ -53,7 +53,12 @@ def tf_idf(
     stopwords like 'the' appear in ~every document and would funnel a
     huge fraction of the postings through a handful of reducers; the cap
     removes those hot keys deterministically (they carry near-zero idf
-    anyway), the same trade as ``max_shingle_df`` in dedup."""
+    anyway), the same trade as ``max_shingle_df`` in dedup.  The default
+    is FINITE (1M docs) so the naive call is safe at corpus scale: a
+    term must appear in >1M documents to be dropped, at which point its
+    smoothed idf is within noise of the floor anyway.  Pass ``None``
+    explicitly to score truly every term (small-corpus / exact-oracle
+    use)."""
     postings = _postings(df, text_col, id_col)
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     doc_freq = postings.groupBy("term").agg(F.countDistinct("id").alias("df"))

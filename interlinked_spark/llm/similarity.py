@@ -115,6 +115,14 @@ def cosine_top_k(
 # calls produces bit-identical bucket assignments while skipping one
 # driver-side fit job per query (~0.8s/call measured at sf0.1).
 _BRP_MODEL_CACHE: dict = {}
+# Probed vector dims keyed by (app_id, semantic hash of the analyzed
+# plan): the dim probe is itself one Spark job (a limit(1).collect()),
+# so a model-cache hit that still re-probed would pay a job per call.
+# Semantically-equal plans (the bench loop re-reading the same parquet
+# with the same projection) hit this cache and skip the probe entirely.
+# Only non-empty probes are cached — an empty frame may gain rows later
+# (same path, appended data) and must re-probe.
+_DIM_CACHE: dict = {}
 
 
 def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
@@ -124,22 +132,32 @@ def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import vector_to_array
 
-    dim_row = (
-        prepped.select(F.size(vector_to_array("features")).alias("d"))
-        .limit(1)
-        .collect()
-    )
-    if not dim_row or not dim_row[0]["d"]:
-        return None
-    dim = int(dim_row[0]["d"])
     # Key includes the application id: a fitted model wraps a JVM-side
     # object bound to its SparkContext, so a cached model from a stopped
     # session must never be served to a new one.  Entries from OTHER
-    # (stopped) applications are evicted on sight — the cache stays
+    # (stopped) applications are evicted on sight — the caches stay
     # bounded across session restarts in one process.
     app_id = prepped.sparkSession.sparkContext.applicationId
-    for k in [k for k in _BRP_MODEL_CACHE if k[0] != app_id]:
-        del _BRP_MODEL_CACHE[k]
+    for cache in (_BRP_MODEL_CACHE, _DIM_CACHE):
+        for k in [k for k in cache if k[0] != app_id]:
+            del cache[k]
+
+    # semanticHash is a driver-side JVM call on the analyzed plan (no
+    # Spark job): equal hashes mean the SAME logical frame, so its dim
+    # was probed before and the limit(1).collect() job can be skipped.
+    plan_key = (app_id, prepped._jdf.queryExecution().analyzed().semanticHash())
+    dim = _DIM_CACHE.get(plan_key)
+    if dim is None:
+        dim_row = (
+            prepped.select(F.size(vector_to_array("features")).alias("d"))
+            .limit(1)
+            .collect()
+        )
+        if not dim_row or not dim_row[0]["d"]:
+            return None
+        dim = int(dim_row[0]["d"])
+        _DIM_CACHE[plan_key] = dim
+
     key = (app_id, num_hash_tables, bucket_length, dim)
     model = _BRP_MODEL_CACHE.get(key)
     if model is None:
@@ -244,6 +262,17 @@ def lsh_similarity_join(
     is deterministic across calls and identical for both sides."""
     from ..operators.checkpointing import materialize
 
+    if self_pairs and queries is not corpus:
+        # Candidates AND the exact-cosine verify arrays both come from
+        # ``corpus`` on this path; a distinct ``queries`` frame would be
+        # silently ignored (dropping or mis-scoring its pairs).  Fail
+        # loudly instead.
+        raise ValueError(
+            "lsh_similarity_join(self_pairs=True) is a same-table join: "
+            "pass the same DataFrame object as corpus and queries, or "
+            "use self_pairs=False for a two-sided join."
+        )
+
     # Fit ONCE on the corpus side (the reference distribution) — the
     # queries side may legitimately be empty (a day's batch with no new
     # vectors), which must produce an empty RESULT, not a failed fit.
@@ -289,7 +318,11 @@ def lsh_similarity_join(
             .select("query_id", "neighbor_id")
             .dropDuplicates()
         )
-    qraw = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # Under self_pairs the guard above pinned queries IS corpus; read
+    # the verify arrays from corpus explicitly so the one-table shape is
+    # visible in the plan source, not an aliasing accident.
+    qside = corpus if self_pairs else queries
+    qraw = qside.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     craw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     cos_min = 1.0 - threshold_distance * threshold_distance / 2.0
     return (

@@ -118,9 +118,17 @@ def unigram_logprob(
 
     Tokens are lowercased whitespace tokens (the engine's pinned ASCII
     tokenization).  Plan shape: one explode -> token-count groupBy (the
-    unigram LM), one broadcast-join back (the LM is |vocab| rows — tiny
-    next to the corpus), one per-doc aggregate.  Everything JVM-side;
-    ``ln`` matches the oracle's natural log.
+    unigram LM), one token-keyed join back, one per-doc aggregate.
+    Everything JVM-side; ``ln`` matches the oracle's natural log.
+
+    The LM join deliberately carries NO broadcast hint: |vocab| is
+    sublinear in corpus size but far from bounded (a 100-TB web crawl's
+    whitespace-token vocabulary runs to billions of rows), so forcing a
+    broadcast is a driver/executor OOM hazard.  AQE picks broadcast at
+    runtime whenever the aggregated LM lands under the threshold — the
+    small-corpus plan is unchanged, the huge-corpus plan degrades to a
+    sort-merge join on ``tok`` instead of an OOM.  Callers who KNOW the
+    vocab is tiny can min-count it and hint at their own call site.
     """
     toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
     posted = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
@@ -130,7 +138,7 @@ def unigram_logprob(
     # which would be a whole extra corpus pass at 100 TB.
     tot = lm.agg(F.sum("__cnt").cast("double").alias("__total"))
     scored = (
-        posted.join(F.broadcast(lm), "tok")
+        posted.join(lm, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("id")
         .agg(
