@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .workflow import Workflow
 from .sources.readers import table_provider
+from .operators import sampling
 from .operators import (
     anti_join,
     asof_join,
@@ -1059,6 +1060,47 @@ def q_doc_dataset_splits(d: DataFrame) -> DataFrame:
     ).select("doc_id", "split")
 
 
+# Per-language split proportions for doc_dataset_splits_stratified: the
+# scarce non-en languages hold out more eval data; zh is deliberately
+# ABSENT so the default layout is exercised by the oracle too.
+_STRAT_SPLIT_WEIGHTS = {
+    "en": {"train": 0.9, "val": 0.05, "test": 0.05},
+    "de": {"train": 0.7, "val": 0.15, "test": 0.15},
+    "fr": {"train": 0.7, "val": 0.15, "test": 0.15},
+    "es": {"train": 0.7, "val": 0.15, "test": 0.15},
+}
+_STRAT_SPLIT_DEFAULT = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@defq(
+    "doc_dataset_splits_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {sampling.dataset_splits_stratified_sql(
+               "doc_id", "lang", _STRAT_SPLIT_WEIGHTS,
+               default=_STRAT_SPLIT_DEFAULT, salt="train-v1")} AS split
+    FROM documents
+    """,
+    d="table.documents",
+)
+def q_doc_dataset_splits_stratified(d: DataFrame) -> DataFrame:
+    """Stratified train/val/test assignment (§2b-B/K): each language
+    carries its own split proportions (hold out more of scarce
+    languages), while the hash band stays keyed on ``doc_id`` alone —
+    so the assignment is deterministic, join-consistent on the key, and
+    mutually-exclusive/exhaustive WITHIN every stratum
+    (``operators/sampling.dataset_splits_stratified``; the oracle SQL is
+    generated by the operator's own SQL twin, so the two band layouts
+    cannot diverge).  Unlisted strata (zh here) take the default layout.
+    One narrow projection, no shuffle."""
+    from .operators.sampling import dataset_splits_stratified
+
+    return dataset_splits_stratified(
+        d, "doc_id", "lang", _STRAT_SPLIT_WEIGHTS,
+        default=_STRAT_SPLIT_DEFAULT, salt="train-v1",
+    ).select("doc_id", "lang", "split")
+
+
 @defq(
     "doc_cdc_chunks",
     oracle=f"""
@@ -1190,6 +1232,49 @@ def q_dedup_ngram_jaccard(d: DataFrame) -> DataFrame:
     from .llm.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(d, n=3, threshold=0.05)
+
+
+@defq(
+    "dedup_ngram_by_language",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.lang AS lang,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT left_id, right_id,
+           ROUND(common / (la + lb - common), 6) AS jaccard
+    FROM pairs
+    WHERE common / (la + lb - common) >= 0.05
+    """,
+    d="table.documents",
+)
+def q_dedup_ngram_by_language(d: DataFrame) -> DataFrame:
+    """Language-scoped n-gram Jaccard dedup (§2b-K): ``group_col`` folds
+    the group key into the inverted-index join key, so candidate pairs
+    NEVER cross language groups — the shuffle shrinks by the group
+    fan-out and a viral shingle in one language cannot flood another's
+    reducers.  Since a document's group is constant, the intersection
+    count for a same-group pair equals the full shingle intersection:
+    the oracle is the exact ungrouped Jaccard SQL plus ``a.lang =
+    b.lang`` (``llm/dedup.ngram_jaccard_pairs(group_col=...)``).  The
+    production use is per-language (or per-source) dedup policies where
+    cross-language near-dups are translations, not duplicates."""
+    from .llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(d, group_col="lang", n=3, threshold=0.05)
 
 
 @defq(

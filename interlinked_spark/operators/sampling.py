@@ -160,3 +160,80 @@ def dataset_splits_sql(key_col: str, weights: dict[str, float], salt: str = "") 
         for label, bound in bounds
     ]
     return "CASE " + " ".join(cases) + f" ELSE '{last}' END"
+
+
+def dataset_splits_stratified(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, dict[str, float]],
+    default: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Per-stratum train/val/test assignment: each stratum (e.g. a
+    ``source`` or language) carries its OWN split proportions — the
+    dataset-card counterpart of ``corpus_mix_summary`` (hold out more of
+    a scarce high-quality source, less of bulk crawl).  The hash band is
+    computed ONCE per key (``md5(salt || key)``, same family as
+    :func:`dataset_splits`), so assignment stays deterministic across
+    runs/engines/partitionings/retries and join-consistent on the key;
+    only the band LAYOUT varies by stratum.  Within every stratum the
+    labels are mutually exclusive and exhaustive (property-tested).
+
+    ``weights`` maps stratum value -> label->fraction dict (each
+    validated by the same ``_split_bounds`` the SQL twin uses).  Rows
+    whose stratum is not listed get the ``default`` layout, or a NULL
+    split when ``default`` is None — NULL, not a guess, so an
+    unexpected new source surfaces in the audit instead of silently
+    polluting train.  Still one narrow projection: no shuffle, no
+    second pass, plan cost O(strata x labels) literals.
+    """
+    layouts = {s: _split_bounds(w) for s, w in weights.items()}
+    hash_col = f"__{out_col}_hash"
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+
+    def band_expr(bounds, last):
+        expr = F.lit(last)
+        for label, bound in reversed(bounds):
+            expr = F.when(F.col(hash_col) < F.lit(bound), F.lit(label)).otherwise(expr)
+        return expr
+
+    if default is not None:
+        out = band_expr(*_split_bounds(default))
+    else:
+        out = F.lit(None).cast("string")
+    for stratum, (bounds, last) in reversed(list(layouts.items())):
+        out = F.when(
+            F.col(strata_col) == F.lit(stratum), band_expr(bounds, last)
+        ).otherwise(out)
+    # The hash rides as a materialized column (not inlined per WHEN arm)
+    # so the expression tree stays O(strata x labels), not O(strata x
+    # labels x md5-subtree) — the HOF-blowup lesson applied to CASE.
+    return df.withColumn(hash_col, prefix).withColumn(out_col, out).drop(hash_col)
+
+
+def dataset_splits_stratified_sql(
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, dict[str, float]],
+    default: dict[str, float] | None = None,
+    salt: str = "",
+) -> str:
+    """ANSI-SQL twin of :func:`dataset_splits_stratified` (oracle parity
+    helper): a stratum CASE whose arms are the per-stratum band CASEs
+    from :func:`dataset_splits_sql` — identical ``_split_bounds`` layout,
+    so the two can never diverge.  No ELSE when ``default`` is None
+    (SQL CASE then yields NULL, matching the Spark side)."""
+    arms = [
+        f"WHEN {strata_col} = '{s}' THEN {dataset_splits_sql(key_col, w, salt)}"
+        for s, w in weights.items()
+    ]
+    tail = (
+        f" ELSE {dataset_splits_sql(key_col, default, salt)}"
+        if default is not None
+        else ""
+    )
+    return "CASE " + " ".join(arms) + tail + " END"

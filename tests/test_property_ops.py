@@ -241,3 +241,101 @@ def test_dataset_splits_partition_properties(sp, w, salt):
         ).fetchall()
     }
     assert got == ref
+
+
+@given(
+    ws=st.lists(st.lists(st.integers(1, 8), min_size=1, max_size=3),
+                min_size=1, max_size=3),
+    with_default=st.booleans(),
+    salt=st.sampled_from(["", "v2"]),
+)
+@OP_SETTINGS
+def test_dataset_splits_stratified_partition_properties(sp, ws, with_default, salt):
+    """Stratified splits PARTITION the keyspace per stratum: every row
+    whose stratum is laid out (or covered by the default) gets exactly
+    one label, rows of unlisted strata get NULL when no default is set,
+    the Spark expression agrees with the SQL twin via DuckDB, and the
+    assignment depends only on (key, stratum-layout) — the same key in
+    two strata with the SAME layout gets the same label."""
+    import duckdb
+
+    from interlinked_spark.operators.sampling import (
+        dataset_splits_stratified,
+        dataset_splits_stratified_sql,
+    )
+
+    def normalize(w):
+        total = sum(w)
+        out = {f"s{i}": x / total for i, x in enumerate(w)}
+        out[f"s{len(w)-1}"] += 1.0 - sum(out.values())
+        return out
+
+    weights = {f"g{i}": normalize(w) for i, w in enumerate(ws)}
+    default = normalize([3, 1, 1]) if with_default else None
+    n_strata = len(ws) + 1  # one extra UNLISTED stratum
+    rows = [(k, f"g{k % n_strata}") for k in range(300)]
+    df = sp.createDataFrame(rows, ["k", "grp"])
+    got = {
+        r.k: r.split
+        for r in dataset_splits_stratified(
+            df, "k", "grp", weights, default=default, salt=salt
+        ).collect()
+    }
+    assert len(got) == 300
+    for k, split in got.items():
+        grp = f"g{k % n_strata}"
+        if grp in weights:
+            assert split in weights[grp]
+        elif default is not None:
+            assert split in default
+        else:
+            assert split is None  # unlisted stratum surfaces, not guesses
+
+    sql = dataset_splits_stratified_sql("k", "grp", weights, default=default, salt=salt)
+    con = duckdb.connect()
+    ref = {
+        k: s_
+        for k, s_ in con.execute(
+            f"SELECT k, {sql} FROM (SELECT unnest(range(300)) AS k, "
+            f"'g' || CAST(unnest(range(300)) % {n_strata} AS VARCHAR) AS grp)"
+        ).fetchall()
+    }
+    assert got == ref
+
+    # Same layout in two strata => same labels (hash keyed on k alone).
+    two = {"a": weights["g0"], "b": weights["g0"]}
+    both = sp.createDataFrame(
+        [(k, g) for k in range(100) for g in ("a", "b")], ["k", "grp"]
+    )
+    per_key = defaultdict(set)
+    for r in dataset_splits_stratified(both, "k", "grp", two, salt=salt).collect():
+        per_key[r.k].add(r.split)
+    assert all(len(v) == 1 for v in per_key.values())
+
+
+def test_ngram_jaccard_group_col_never_crosses_groups(sp):
+    """ngram_jaccard_pairs(group_col=) emits no cross-group pair even
+    for texts that are exact duplicates across groups, and within-group
+    jaccard equals the ungrouped computation restricted to the group."""
+    from interlinked_spark.llm.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog today", "en"),
+        (3, "the quick brown fox jumps over the lazy dog", "de"),  # xlate dup
+        (4, "completely different text with no shared shingles here", "en"),
+    ]
+    df = sp.createDataFrame(rows, ["doc_id", "text", "lang"])
+    grouped = ngram_jaccard_pairs(df, group_col="lang", n=3, threshold=0.05)
+    pairs = {(r.left_id, r.right_id) for r in grouped.collect()}
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # never cross lang
+    assert (1, 2) in pairs  # within-group near-dup survives
+
+    ungrouped = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df.filter(F.col("lang") == "en"), n=3, threshold=0.05
+        ).collect()
+    }
+    got = {(r.left_id, r.right_id): r.jaccard for r in grouped.collect()}
+    assert got == ungrouped
