@@ -3790,6 +3790,71 @@ def q_dedup_incremental_matches(d: DataFrame) -> DataFrame:
     return ngram_jaccard_incremental(corpus, new, threshold=0.05)
 
 
+@WKF.depend(d="table.documents")
+@WKF.provide("dedup_index.{n:int}")
+def _dedup_index(d: DataFrame, n: str) -> str:
+    """Routed MATERIALIZED dedup state: the accepted corpus's inverted
+    shingle index (width from the route param), built once per run into
+    a parquet resource and memoized by the workflow engine — every
+    consumer in the same run gets the same path without a rebuild, the
+    interlinked resource model applied to pipeline STATE rather than a
+    query result.  Corpus = documents outside the synthetic new batch
+    (doc_id % 4 != 0), mirroring ``dedup_incremental_matches``."""
+    import tempfile
+
+    from .llm.dedup import build_shingle_index
+
+    path = tempfile.mkdtemp(prefix=f"shingle_idx_{n}_")
+    build_shingle_index(d.filter(F.col("doc_id") % 4 != 0), path, n=int(n))
+    return path
+
+
+@defq(
+    "dedup_incremental_indexed",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, doc_id % 4 = 0 AS is_new,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS match_id,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM sh a JOIN sh b
+        ON (NOT b.is_new AND b.doc_id != a.doc_id)
+        OR (b.is_new AND b.doc_id < a.doc_id)
+      WHERE a.is_new AND len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT new_id, match_id,
+           ROUND(common / (la + lb - common), 6) AS jaccard
+    FROM pairs
+    WHERE common / (la + lb - common) >= 0.05
+    """,
+    idx="dedup_index.3",
+    d="table.documents",
+)
+def q_dedup_incremental_indexed(idx: str, d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Incremental dedup against the MATERIALIZED corpus index (§2b-K):
+    same new batch and same matches as ``dedup_incremental_matches``
+    (identical oracle — the two paths share the match stage, so the
+    hashes must agree), but the accepted corpus is scanned ZERO times
+    for shingling: only the stored ``(id, nsh, s)`` postings parquet is
+    read (`llm/dedup.ngram_jaccard_incremental_indexed`).  This is the
+    state-backed production daily loop; at 100 TB it converts the
+    dominant per-batch cost (re-reading + re-shingling all corpus text)
+    into a postings scan 1-2 orders of magnitude smaller."""
+    from .llm.dedup import ngram_jaccard_incremental_indexed
+
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    return ngram_jaccard_incremental_indexed(spark, idx, new, threshold=0.05)
+
+
 @defq(
     "csv_roundtrip_agg",
     oracle="""

@@ -447,12 +447,42 @@ def ngram_jaccard_incremental(
     keyed on shingle.  Hot-shingle df is capped over BOTH sides, so a
     viral shingle in the historical corpus can't resurrect the
     quadratic blowup."""
-    c = _with_shingles(corpus, text_col, id_col, n).withColumn("__new", F.lit(0))
-    a = _with_shingles(new, text_col, id_col, n).withColumn("__new", F.lit(1))
-    sizes = (
-        c.unionByName(a)
-        .select("id", "__new", F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
+    c = shingle_postings(corpus, text_col, id_col, n).withColumn("__new", F.lit(0))
+    a = shingle_postings(new, text_col, id_col, n).withColumn("__new", F.lit(1))
+    return _incremental_match(
+        c.unionByName(a), threshold, max_shingle_df, checkpoint_mode
     )
+
+
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The inverted-index rows every Jaccard path joins on:
+    ``(id, nsh, s)`` — one row per (document, distinct shingle), with
+    the document's total distinct-shingle count alongside.  This is the
+    SHAPE that gets materialized by :func:`build_shingle_index`: storing
+    it (32-ish bytes + shingle text per row, no document text) is what
+    lets daily maintenance skip re-reading and re-shingling the
+    accepted corpus."""
+    base = _with_shingles(df, text_col, id_col, n)
+    return base.select("id", F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
+
+
+def _incremental_match(
+    sizes: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None,
+    checkpoint_mode: str,
+) -> DataFrame:
+    """Shared match stage of the incremental paths: posting rows
+    ``(id, nsh, s, __new)`` in, ``(new_id, match_id, jaccard)`` out.
+    The recompute path (:func:`ngram_jaccard_incremental`) and the
+    materialized-index path (:func:`ngram_jaccard_incremental_indexed`)
+    both delegate here, so their results are identical by construction —
+    the df cap spans BOTH sides, exactly as in the recompute."""
     if max_shingle_df is not None:
         from ..operators.diagnostics import drop_hot_buckets
 
@@ -481,6 +511,88 @@ def ngram_jaccard_incremental(
         pair_common.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "match_id", "jaccard")
+    )
+
+
+def build_shingle_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the accepted corpus's inverted shingle index as a
+    parquet resource — the production corpus-maintenance state.  At 100
+    TB, re-shingling the corpus (read ALL text + explode) per daily
+    batch is the dominant cost of :func:`ngram_jaccard_incremental`;
+    the index pays it once, after which each batch touches only
+    ``(id, nsh, s)`` rows (shingle strings + two ints — no document
+    text, typically 1-2 orders of magnitude lighter than the corpus).
+
+    Files are hash-clustered on the shingle (``repartition(num_files,
+    s)``): each file holds a hash-slice of the shingle space, so an
+    engine-side bucketed layout or future partition pruning can exploit
+    it, and appends from :func:`update_shingle_index` stay uniformly
+    spread.  n (the shingle width) is part of the index's identity —
+    store it in the path and never mix widths in one index."""
+    from ..sources.writers import write_table
+
+    postings = shingle_postings(corpus, text_col, id_col, n)
+    write_table(postings.repartition(num_files, F.col("s")), path, mode=mode)
+
+
+def update_shingle_index(
+    accepted_new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_files: int = 8,
+) -> None:
+    """Append the ACCEPTED documents of a processed batch to the
+    materialized index (the write half of the daily loop: match batch
+    -> drop near-dups -> append survivors' postings).  Append-only by
+    design — the index is a log of accepted postings, and the caller
+    owns acceptance (only feed documents that passed the dedup gate,
+    or the index accumulates the very duplicates it exists to block).
+    Same n as the build, or the widths silently diverge."""
+    from ..sources.writers import write_table
+
+    postings = shingle_postings(accepted_new, text_col, id_col, n)
+    write_table(postings.repartition(num_files, F.col("s")), path, mode="append")
+
+
+def ngram_jaccard_incremental_indexed(
+    spark,
+    index_path: str,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """:func:`ngram_jaccard_incremental` against a MATERIALIZED corpus
+    index (:func:`build_shingle_index`) instead of the corpus itself:
+    the accepted corpus is scanned ZERO times for shingling — only the
+    new batch is shingled, and the stored ``(id, nsh, s)`` postings
+    stream through the same shingle-keyed join.  Results are identical
+    to the recompute by construction (same ``_incremental_match``, df
+    cap spanning both sides); the parquet scan of the index prunes to
+    the ``id, nsh, s`` columns it stores, nothing more."""
+    corpus_sizes = (
+        spark.read.parquet(index_path)
+        .select("id", "nsh", "s")
+        .withColumn("__new", F.lit(0))
+    )
+    new_sizes = shingle_postings(new, text_col, id_col, n).withColumn(
+        "__new", F.lit(1)
+    )
+    return _incremental_match(
+        corpus_sizes.unionByName(new_sizes), threshold, max_shingle_df, checkpoint_mode
     )
 
 

@@ -470,3 +470,87 @@ def test_int8_quantization_invariants(spark):
     c = quantize_int8(const).collect()[0]
     assert c.q_scale == 0.0 and c.max_abs_err == 0.0
     assert all(code == 0 for code in c.codes)
+
+
+def test_indexed_incremental_dedup_never_rescans_corpus(spark, tmp_path):
+    """The materialized-index path must (a) reproduce the recompute
+    path's matches exactly and (b) never touch the corpus documents
+    again: the corpus parquet is DELETED after the index build, so any
+    lingering scan would fail the job, and the matcher's file sources
+    are pinned to index + nothing (the new batch is in-memory)."""
+    import shutil
+
+    from interlinked_spark.llm.dedup import (
+        build_shingle_index,
+        ngram_jaccard_incremental,
+        ngram_jaccard_incremental_indexed,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight nine"),
+        (5, "unrelated corpus text with its own shingles entirely"),
+    ]
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (11, "totally novel content nothing shared with corpus"),
+            (12, "alpha beta gamma delta epsilon zeta eta theta x"),  # near 1+10
+        ],
+        ["doc_id", "text"],
+    )
+    want = sorted(
+        map(tuple, ngram_jaccard_incremental(corpus, new, threshold=0.2).collect())
+    )
+
+    idx = str(tmp_path / "idx")
+    build_shingle_index(corpus, idx, num_files=4)
+    # Prove zero corpus re-scans: the source data is GONE.
+    shutil.rmtree(corpus_path)
+    got_df = ngram_jaccard_incremental_indexed(spark, idx, new, threshold=0.2)
+    assert sorted(map(tuple, got_df.collect())) == want
+    assert any(r[0] == 10 and r[1] == 1 for r in want)  # the dup was found
+
+
+def test_update_shingle_index_appends_accepted_batch(spark, tmp_path):
+    """After appending a processed batch's accepted docs, the index
+    matches a full rebuild over corpus+batch — the daily loop's state
+    update is exact, and the NEXT batch matches against batch-1 docs."""
+    from interlinked_spark.llm.dedup import (
+        build_shingle_index,
+        ngram_jaccard_incremental_indexed,
+        shingle_postings,
+        update_shingle_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    batch1 = spark.createDataFrame(
+        [(10, "one two three four five six seven")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "idx")
+    build_shingle_index(corpus, idx, num_files=2)
+    update_shingle_index(batch1, idx, num_files=2)
+
+    stored = sorted(
+        map(tuple, spark.read.parquet(idx).select("id", "nsh", "s").collect())
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            shingle_postings(corpus.unionByName(batch1)).collect(),
+        )
+    )
+    assert stored == rebuilt
+
+    # batch 2 duplicates a batch-1 doc: the updated index must catch it.
+    batch2 = spark.createDataFrame(
+        [(20, "one two three four five six seven")], ["doc_id", "text"]
+    )
+    got = ngram_jaccard_incremental_indexed(spark, idx, batch2, threshold=0.5)
+    assert [(r.new_id, r.match_id) for r in got.collect()] == [(20, 10)]
