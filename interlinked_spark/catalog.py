@@ -1673,6 +1673,87 @@ def _events_stream(spark: SparkSession, base_dir: str) -> DataFrame:
     return stream_from_parquet(spark, f"{base_dir}/events.parquet")
 
 
+def _stage_id_ordered_files(df: DataFrame, key_col: str, n_files: int) -> str:
+    """Stage ``df`` as ``n_files`` single-file parquets holding
+    consecutive key ranges, named AND mtime-stamped in range order —
+    FileStreamSource takes files oldest-first, so an availableNow
+    replay with ``maxFilesPerTrigger=1`` yields deterministic,
+    id-ordered micro-batches (the precondition for the streaming
+    near-dup gate's batch-mode oracle).  Harness staging, not an
+    operator: production streams arrive id-ordered by construction
+    (ingest assigns monotonically increasing ids)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    staged = tempfile.mkdtemp(prefix="stream_docs_")
+    lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
+    step = (int(hi) - int(lo)) // n_files + 1
+    t0 = time.time() - 2 * n_files
+    for i in range(n_files):
+        a, b = int(lo) + i * step, int(lo) + (i + 1) * step
+        tmp = tempfile.mkdtemp(prefix="stage_part_")
+        df.filter((F.col(key_col) >= a) & (F.col(key_col) < b)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(staged, f"{i:04d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + 2 * i, t0 + 2 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return staged
+
+
+@defq(
+    "stream_dedup_neardup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), rejected AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND len(list_intersect(a.sh, b.sh))
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+    """,
+    d="table.documents",
+)
+def q_stream_dedup_neardup(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Streaming near-dup gate (§2b-J x §2b-K, the training-data
+    platform's flagship loop): the documents table replays as 4
+    id-ordered micro-batches; each batch is Jaccard-matched against the
+    materialized shingle index of everything seen so far, near-dups are
+    dropped, survivors append to the accepted table, and the index
+    absorbs the batch (`streaming/ops.run_neardup_gate_into_parquet`).
+    First-seen-wins: the final accepted table equals the batch-mode
+    rule "keep d iff no smaller-id document is within 0.5 Jaccard" —
+    the oracle's single anti-join against the exact pair set — for ANY
+    micro-batch boundaries, because batches arrive id-ordered."""
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import run_neardup_gate_into_parquet, stream_from_parquet
+
+    staged = _stage_id_ordered_files(d.select("doc_id", "text"), "doc_id", 4)
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        accepted_path, _idx = run_neardup_gate_into_parquet(
+            stream, threshold=0.5, max_shingle_df=1000
+        )
+    return spark.read.parquet(accepted_path).select("doc_id")
+
+
 @defq(
     "stream_tumbling_hourly",
     oracle="""

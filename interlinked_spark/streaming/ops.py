@@ -447,3 +447,88 @@ def stateful_running_counts_tws(
             timeMode="None",
         )
     )
+
+
+def run_neardup_gate_into_parquet(
+    doc_stream: DataFrame,
+    accepted_path: Optional[str] = None,
+    index_path: Optional[str] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = 1000,
+    timeout_s: int = 300,
+) -> tuple[str, str]:
+    """Streaming near-duplicate gate (§2b-J x §2b-K) — the end-to-end
+    loop a training-data platform runs: each document micro-batch is
+    matched against the MATERIALIZED shingle index of everything seen
+    so far (:func:`~interlinked_spark.llm.dedup.
+    ngram_jaccard_incremental_indexed` — the corpus is never re-read or
+    re-shingled), near-dups are dropped, survivors append to the
+    accepted parquet table, and the index absorbs the batch's postings.
+    Returns ``(accepted_path, index_path)``.
+
+    Acceptance is FIRST-SEEN-WINS over the whole stream: a document is
+    rejected iff some EARLIER-seen document (earlier micro-batch, or
+    same batch with smaller id) is within ``threshold`` Jaccard — even
+    when that earlier document was itself rejected.  This keeps the
+    gate fully distributed (no per-batch greedy iteration), makes the
+    state update append-only, and makes the result REPLAY-EXACT: when
+    batches arrive in id order, the final accepted table equals the
+    batch-mode rule "keep d iff no earlier-id document is a near-dup" —
+    one anti-join against the exact pair set, which is the catalog
+    oracle.  (Filtering against accepted-only survivors instead would
+    keep near-dups of rejected docs — chain A~B~C admits C — and needs
+    an O(chain) iterative resolve inside every batch.)
+
+    The index holds postings of ALL seen documents — it is the gate's
+    comparison universe, distinct from the accepted OUTPUT table.  The
+    ``max_shingle_df`` cap spans index + batch per micro-batch; batch/
+    stream equality is exact while the cap never fires (default 1000 is
+    far above any df in a normal shard — size it with
+    ``diagnostics.shingle_df_stats`` first, as in batch dedup)."""
+    from ..llm.dedup import (
+        build_shingle_index,
+        ngram_jaccard_incremental_indexed,
+        update_shingle_index,
+    )
+
+    accepted_path = accepted_path or tempfile.mkdtemp(prefix="neardup_accept_")
+    index_path = index_path or tempfile.mkdtemp(prefix="neardup_idx_")
+    spark = doc_stream.sparkSession
+    # Seed an EMPTY index (schema only) so batch one runs the same
+    # indexed matcher as every later batch — no first-batch special
+    # case in the hot handler.
+    empty = spark.createDataFrame([], doc_stream.schema)
+    build_shingle_index(
+        empty, index_path, text_col=text_col, id_col=id_col, n=n, num_files=1
+    )
+
+    def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # The batch feeds two jobs (match, index update) and the match
+        # result feeds two more (reject set, append) — pin it once.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        rejected = (
+            ngram_jaccard_incremental_indexed(
+                spark,
+                index_path,
+                batch_df,
+                text_col=text_col,
+                id_col=id_col,
+                n=n,
+                threshold=threshold,
+                max_shingle_df=max_shingle_df,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        accepted = batch_df.join(rejected, id_col, "left_anti")
+        accepted.write.mode("append").parquet(accepted_path)
+        # ALL seen docs enter the comparison universe (see docstring).
+        update_shingle_index(
+            batch_df, index_path, text_col=text_col, id_col=id_col, n=n, num_files=1
+        )
+
+    foreach_batch_into(doc_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
+    return accepted_path, index_path

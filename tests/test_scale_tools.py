@@ -554,3 +554,61 @@ def test_update_shingle_index_appends_accepted_batch(spark, tmp_path):
     )
     got = ngram_jaccard_incremental_indexed(spark, idx, batch2, threshold=0.5)
     assert [(r.new_id, r.match_id) for r in got.collect()] == [(20, 10)]
+
+
+def test_streaming_neardup_gate_first_seen_wins(spark, tmp_path):
+    """The streaming gate's semantics, pinned on a hand case: within- and
+    cross-batch near-dups are rejected, a doc matching only a REJECTED
+    earlier doc is still rejected (first-seen-wins chain rule), and the
+    final accepted set is identical whether the same id-ordered docs
+    arrive as 1 batch or 3."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from interlinked_spark.streaming.ops import (
+        run_neardup_gate_into_parquet,
+        stream_from_parquet,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),                      # accepted (first)
+        (2, base + " lambda"),          # rejected: near 1 (same batch)
+        (3, "one two three four five six seven eight nine ten"),  # accepted
+        (4, base + " lambda mu"),       # rejected: near 2 (itself rejected!)
+        (5, "completely different text body nothing shared anywhere"),  # accepted
+        (6, base),                      # rejected: exact dup of 1, later batch
+    ]
+
+    def run_gate(n_files):
+        staged = str(tmp_path / f"staged_{n_files}")
+        os.makedirs(staged)
+        per = (len(docs) + n_files - 1) // n_files
+        t0 = time.time() - 100
+        for i in range(n_files):
+            chunk = docs[i * per:(i + 1) * per]
+            if not chunk:
+                continue
+            tmp = str(tmp_path / f"part_{n_files}_{i}")
+            spark.createDataFrame(chunk, ["doc_id", "text"]).coalesce(1)\
+                .write.mode("overwrite").parquet(tmp)
+            dest = os.path.join(staged, f"{i:04d}.parquet")
+            shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dest)
+            os.utime(dest, (t0 + 2 * i, t0 + 2 * i))
+        stream = stream_from_parquet(spark, staged)
+        accepted_path, idx = run_neardup_gate_into_parquet(stream, threshold=0.5)
+        got = sorted(r.doc_id for r in spark.read.parquet(accepted_path).collect())
+        return got, idx
+
+    got3, idx = run_gate(3)
+    assert got3 == [1, 3, 5]
+    # Doc 4's only matches (1, 2) precede it; 2 was rejected yet still
+    # gates 4 — the documented chain rule.
+    got1, _ = run_gate(1)
+    assert got1 == got3  # batch-boundary invariance on id-ordered input
+    # The index holds ALL seen docs' postings (the comparison universe).
+    assert sorted(
+        set(r.id for r in spark.read.parquet(idx).select("id").collect())
+    ) == [1, 2, 3, 4, 5, 6]
