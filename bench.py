@@ -201,7 +201,21 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
+    def _iqr(xs: list[float]) -> float:
+        # Run-to-run spread of THIS round's passes — the yardstick that
+        # separates a real regression from load noise.  Linear-interp
+        # quartiles; 0 for a single pass (the abs floor below covers it).
+        if len(xs) < 2:
+            return 0.0
+        s = sorted(xs)
+        def q(p: float) -> float:
+            k = p * (len(s) - 1)
+            f = int(k)
+            return s[f] + (k - f) * (s[min(f + 1, len(s) - 1)] - s[f])
+        return q(0.75) - q(0.25)
+
     timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
+    iqr = {name: round(_iqr(xs), 3) for name, xs in samples.items()}
 
     # Secondary (non-headline) heavy queries: recorded in the full
     # BENCH_LOCAL.json payload only, never in the compact contract line
@@ -237,6 +251,7 @@ def main() -> None:
         "stat": f"median_of_{reps}",
         "queries": timings,
         "min": {name: round(min(xs), 3) for name, xs in samples.items()},
+        "iqr": iqr,
         "secondary": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -306,9 +321,24 @@ def main() -> None:
         }
         if vs_floor:
             payload["vs_floor"] = vs_floor
-            for n, r in sorted(vs_floor.items(), key=lambda kv: -kv[1]):
-                if r > 1.5:
-                    print(f"REGRESSION {n}: {r}x vs floor ({floor[n]}s)", file=sys.stderr)
+    # Noise band: a query is "within noise" of the floor when its
+    # median exceeds the floor by no more than this round's own
+    # run-to-run IQR (plus a 0.1s absolute term for sub-second queries
+    # whose IQR rounds to ~0).  Floors absorb every historical minimum,
+    # so small vs_floor ratios >1 are EXPECTED; only excesses beyond
+    # the measured spread are regressions worth chasing (ADVICE r7 #6:
+    # doc_bm25_query at 1.47x floor was exactly this).
+    within_noise = {
+        n
+        for n, r in vs_floor.items()
+        if timings[n] - floor[n] <= max(iqr.get(n, 0.0), 0.1)
+    }
+    outside = {n: r for n, r in vs_floor.items() if n not in within_noise}
+    if vs_floor:
+        payload["within_noise"] = sorted(within_noise)
+        for n, r in sorted(outside.items(), key=lambda kv: -kv[1]):
+            if r > 1.5:
+                print(f"REGRESSION {n}: {r}x vs floor ({floor[n]}s)", file=sys.stderr)
 
     # Full payload (queries + min + secondary + ratios) goes to
     # BENCH_LOCAL.json; stdout gets a COMPACT contract line.  The
@@ -338,8 +368,13 @@ def main() -> None:
             math.exp(sum(math.log(r) for r in vs_floor.values()) / len(vs_floor)),
             3,
         )
-        worst = sorted(vs_floor.items(), key=lambda kv: -kv[1])[:3]
+        # Only genuine excesses (beyond this round's measured IQR noise
+        # band) are named as "worst"; the count of within-noise queries
+        # rides along so a clean round reads as clean, not as three
+        # phantom regressions.
+        worst = sorted(outside.items(), key=lambda kv: -kv[1])[:3]
         contract["worst_vs_floor"] = {n: r for n, r in worst}
+        contract["n_within_noise"] = len(within_noise)
     line = json.dumps(contract, separators=(",", ":"))
     if len(line) > 1900:  # last-ditch: never let the tail truncate "queries"
         contract.pop("worst_vs_floor", None)
