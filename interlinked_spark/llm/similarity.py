@@ -190,34 +190,67 @@ def _lsh_assignments(
     vec_col: str,
     out_id: str,
     model=None,
+    projections_per_band: int = 1,
 ) -> DataFrame:
     """``(out_id, entry, bucket)`` rows of the random-projection LSH
     banding: L2-normalize (euclidean on unit vectors is a monotone
     transform of cosine), bucket via ``BucketedRandomProjectionLSH``
     (seeded + model-cached -> deterministic across calls and sides),
-    explode one row per hash table.
+    explode one row per band.
+
+    ``projections_per_band=r`` composes each band from r quantized
+    projections (AND within a band, OR across ``num_tables`` bands —
+    the same band structure MinHash uses): a candidate pair must agree
+    on ALL r buckets of some band, so per-band collision probability
+    drops from p to ~p^r.  This is the structural fix for DENSITY-driven
+    quadratic candidate mass — single-projection buckets partition the
+    line into O(range/bucket_length) cells, so at fixed parameters the
+    per-bucket population (hence candidate pairs) grows quadratically
+    with corpus density, measured at exponent ~1.9 in SCALING.json; AND-
+    composition multiplies the effective bucket space exponentially in r
+    instead.  Recall drops too (1-(1-p^r)^b); hold it by raising
+    ``num_tables`` and/or ``bucket_length`` and MEASURE it — the r>1
+    output must reproduce the r=1 pair set (see
+    ``scaling_bench._near_dups_banded``'s row-equality check).
 
     Parameter-sweep note (round 7, sf0.1, cos >= 0.3): tightening
     ``bucket_length`` to 0.25 or swapping the banding for explicit
     seeded projections each lost exactly one boundary pair of 14,922 —
     at low cosine thresholds the per-table collision margin is fully
-    spent, so 12 tables x 0.5 stays.  The recall-preserving wins are
-    structural (``self_pairs``, model cache), not parametric."""
+    spent, so the catalog query stays at 12 tables x 0.5 x r=1.  The
+    recall-preserving wins are structural (``self_pairs``, model cache,
+    AND-banding with compensating width), not parametric."""
     from pyspark.ml.functions import vector_to_array
 
     prepped = _lsh_prep(df, id_col, vec_col, out_id)
+    r = max(1, int(projections_per_band))
     if model is None:
-        model = _brp_model(prepped, num_tables, bucket_length)
+        model = _brp_model(prepped, num_tables * r, bucket_length)
     if model is None:  # empty input: no banding, empty assignment frame
         return prepped.select(
             F.col(out_id),
             F.lit(0).alias("entry"),
-            F.lit(0.0).alias("bucket"),
+            (F.lit(0.0) if r == 1 else F.lit(0).cast("long")).alias("bucket"),
         ).limit(0)
-    return (
-        model.transform(prepped)
-        .select(F.col(out_id), F.posexplode("hashes").alias("entry", "__hv"))
-        .select(out_id, "entry", F.element_at(vector_to_array("__hv"), 1).alias("bucket"))
+    if r == 1:
+        return (
+            model.transform(prepped)
+            .select(F.col(out_id), F.posexplode("hashes").alias("entry", "__hv"))
+            .select(out_id, "entry", F.element_at(vector_to_array("__hv"), 1).alias("bucket"))
+        )
+    # AND-composition: materialize the quantized projections ONCE as an
+    # array column, then hash r-wide slices into band buckets (array
+    # reference per band, not a repeated subtree — the HOF-blowup rule).
+    scalars = F.transform(
+        "hashes", lambda v: F.element_at(vector_to_array(v), 1).cast("long")
+    )
+    t = model.transform(prepped).select(F.col(out_id), scalars.alias("__s"))
+    bands = [
+        F.xxhash64(*[F.element_at("__s", i * r + j + 1) for j in range(r)])
+        for i in range(num_tables)
+    ]
+    return t.select(
+        F.col(out_id), F.posexplode(F.array(*bands)).alias("entry", "bucket")
     )
 
 
@@ -232,6 +265,7 @@ def lsh_similarity_join(
     self_pairs: bool = False,
     checkpoint_mode: str = "local",
     max_bucket_size: int | None = None,
+    projections_per_band: int = 1,
 ) -> DataFrame:
     """Approximate similarity join via random-projection LSH on unit
     vectors.  Returns ``(query_id, neighbor_id, cosine)`` for candidate
@@ -278,14 +312,14 @@ def lsh_similarity_join(
     # vectors), which must produce an empty RESULT, not a failed fit.
     corpus_model = _brp_model(
         _lsh_prep(corpus, id_col, vec_col, "neighbor_id"),
-        num_hash_tables,
+        num_hash_tables * max(1, projections_per_band),
         bucket_length,
     )
 
     def buckets(df, out_id):
         return _lsh_assignments(
             df, num_hash_tables, bucket_length, id_col, vec_col, out_id,
-            model=corpus_model,
+            model=corpus_model, projections_per_band=projections_per_band,
         )
 
     def cap(assign):
@@ -363,6 +397,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     num_hash_tables: int = 6,
     checkpoint_mode: str = "local",
+    projections_per_band: int = 1,
+    bucket_length: float = 0.5,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: LSH self-join, keep
     pairs above the cosine threshold (left < right).
@@ -381,8 +417,10 @@ def embedding_near_dup_pairs(
     max_dist = math.sqrt(max(0.0, 2.0 - 2.0 * cosine_threshold)) * 1.02 + 1e-6
     pairs = lsh_similarity_join(
         df, df, threshold_distance=max_dist, num_hash_tables=num_hash_tables,
+        bucket_length=bucket_length,
         id_col=id_col, vec_col=vec_col, self_pairs=True,
         checkpoint_mode=checkpoint_mode,
+        projections_per_band=projections_per_band,
     )
     return (
         pairs.filter(F.col("query_id") < F.col("neighbor_id"))

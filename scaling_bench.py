@@ -1,0 +1,296 @@
+"""Measured scaling curves for the dedup/similarity heavy subset.
+
+The 100-TB posture of the LSH/inverted-index/CC stack rests on plan
+arguments (bucketed candidate generation, df caps, payload-free
+shuffles) plus unit-level stress pins.  This harness converts those
+claims into MEASURED exponents: it scales the real sf0.1 ``documents``
+and ``embeddings`` tables by k in {1, 3, 10} via perturbation-
+duplication, times each heavy catalog query at every k, records the
+OUTPUT row count alongside (near-dup queries are output-bound: a
+dataset whose pair density is quadratic makes ANY engine quadratic, so
+honesty requires separating input scaling from output scaling), and
+fits per-query runtime and output exponents (least-squares slope of
+log t vs log k).  Results land in SCALING.json; SCALING.md holds the
+narrative table.
+
+Perturbation design (what makes the copies scale-honest):
+* documents: copy j != 0 suffixes EVERY whitespace token with ``_cj``,
+  so copies share ZERO shingles with each other or the original —
+  posting lists grow k-fold in count while per-shingle document
+  frequency stays constant, which is how a real corpus grows (near-dups
+  are local; boilerplate df grows too, but that hazard is the df cap's
+  job and is stress-tested separately).  Within a copy the near-dup
+  structure is bit-identical to the original, so true pairs grow
+  exactly k-fold.
+* embeddings: copy j flips each coordinate's sign by a deterministic
+  per-(copy, coordinate) hash.  Sign patterns preserve within-copy
+  cosines EXACTLY (cos(s.a, s.b) = cos(a, b)) and decorrelate
+  cross-copy cosines to ~N(0, 1/8) at dim 64 — cross-copy pairs above
+  the 0.3 threshold still occur at a few-percent rate, mirroring the
+  base data's own ~5% pair density at that threshold: this dataset's
+  near-dup task is intrinsically output-dense, which is exactly why
+  the output exponent is recorded.
+
+Usage: ``python scaling_bench.py`` (env: SPARK_GRAFT_SF_DIR base dir,
+default /root/testdata/sf0.1; SPARK_GRAFT_SCALE_KS, default "1,3,10";
+SPARK_GRAFT_CPUS as in bench.py).  Prints one JSON line per (query, k)
+as it goes, then a final summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from interlinked_spark import catalog  # noqa: E402
+from interlinked_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+def _near_dups_t90(spark: SparkSession, sf_dir: str):
+    """Zero-output control: same table, same banding, threshold 0.9 —
+    which NOTHING in this data passes, so every second measured here is
+    candidate generation + verify with an empty result.  Its exponent
+    isolates where the 0.3-threshold query's time goes: if it tracks
+    the real query's exponent, the cost is candidate mass (the banding
+    is the bottleneck); if it stayed flat, the cost would be output."""
+    from interlinked_spark.llm.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, cosine_threshold=0.9, num_hash_tables=12)
+
+
+def _near_dups_banded(spark: SparkSession, sf_dir: str):
+    """AND-composition variant of the catalog query: same 0.3 threshold,
+    bands of 2 projections (selectivity ~p^2 per band) with more bands
+    and a wider bucket to hold recall (28 bands x 1.25 measured missing
+    0 of 920/990/14,922 true pairs at sf0.001/0.01/0.1).  Output rows
+    must MATCH the baseline run at every k — the empirical 100%-recall
+    check — while candidate mass (and so runtime) drops; this is the
+    structural knob for density-driven quadratic candidate growth."""
+    from interlinked_spark.llm.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(
+        emb,
+        cosine_threshold=0.3,
+        num_hash_tables=28,
+        projections_per_band=2,
+        bucket_length=1.25,
+    )
+
+
+# (name, runner) — runner(spark, sf_dir) -> DataFrame; None = catalog query
+HEAVY = [
+    ("dedup_minhash_pairs", None),
+    ("dedup_ngram_jaccard", None),
+    ("dedup_clusters", None),
+    ("dedup_kept_corpus", None),
+    ("dedup_incremental_matches", None),
+    ("dedup_incremental_indexed", None),
+    ("embedding_near_dups", None),
+    ("embedding_near_dups_t90", _near_dups_t90),
+    ("embedding_near_dups_banded", _near_dups_banded),
+]
+
+
+def _run(name: str, runner, spark: SparkSession, sf_dir: str):
+    if runner is None:
+        return catalog.run_query(name, spark, sf_dir)
+    return runner(spark, sf_dir)
+
+ID_STRIDE = 10_000_000  # copy j shifts ids by j * stride (collision-free)
+
+
+def scaled_documents(spark: SparkSession, base: str, k: int):
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    parts = []
+    for j in range(k):
+        if j == 0:
+            parts.append(docs)
+            continue
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(j * ID_STRIDE)).alias("doc_id"),
+                # every token suffixed -> zero shared shingles across copies
+                F.regexp_replace("text", r"(\S+)", rf"$1_c{j}").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_embeddings(spark: SparkSession, base: str, k: int):
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    parts = []
+    for j in range(k):
+        if j == 0:
+            parts.append(emb)
+            continue
+        flipped = F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) == 0, x
+            ).otherwise(-x),
+        ).cast("array<float>")
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(j * ID_STRIDE)).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
+    """Materialize a k-scaled sf dir: scaled documents/embeddings
+    parquet, everything else symlinked from the base dir (the heavy
+    subset never touches those, but the catalog's table provider must
+    be able to resolve them)."""
+    out = tempfile.mkdtemp(prefix=f"scaled_x{k}_")
+    scaled_documents(spark, base, k).repartition(8).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    scaled_embeddings(spark, base, k).repartition(4).write.parquet(
+        f"{out}/embeddings.parquet"
+    )
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def fit_exponent(points: list[tuple[float, float]]) -> float:
+    """Least-squares slope of log(y) on log(x)."""
+    import math
+
+    xs = [math.log(x) for x, _ in points]
+    ys = [math.log(max(y, 1e-9)) for _, y in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return float("nan")
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> None:
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ks = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_KS", "1,3,10").split(",")
+    ]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    heavy = [
+        (n, r) for n, r in HEAVY if not only or n in only.split(",")
+    ]
+    spark = get_spark("scaling-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {k: build_scaled_dir(spark, base, k) for k in ks}
+    results: dict[str, dict] = {name: {"secs": {}, "rows": {}} for name, _ in heavy}
+
+    # Warm sweep at the smallest k, outside the measured window: JVM
+    # codegen + ML model fits otherwise land entirely inside the first
+    # measured query (observed 5.8s -> 1.0s on dedup_minhash_pairs).
+    for name, runner in heavy:
+        _run(name, runner, spark, dirs[ks[0]]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    for k in ks:  # k-major order: per-k JVM/load drift spreads over queries
+        for name, runner in heavy:
+            times = []
+            for _ in range(reps):
+                start = time.perf_counter()
+                _run(name, runner, spark, dirs[k]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.perf_counter() - start)
+            rows = _run(name, runner, spark, dirs[k]).count()
+            best = round(min(times), 3)
+            results[name]["secs"][k] = best
+            results[name]["rows"][k] = rows
+            print(
+                json.dumps(
+                    {"query": name, "k": k, "sec": best, "rows": rows},
+                    separators=(",", ":"),
+                ),
+                flush=True,
+            )
+
+    summary = {}
+    for name, _runner in heavy:
+        secs, rows = results[name]["secs"], results[name]["rows"]
+        t_exp = fit_exponent([(k, secs[k]) for k in ks])
+        r_exp = fit_exponent([(k, max(rows[k], 1)) for k in ks])
+        summary[name] = {
+            "secs": {str(k): secs[k] for k in ks},
+            "rows": {str(k): rows[k] for k in ks},
+            "runtime_exponent": round(t_exp, 2),
+            "output_exponent": round(r_exp, 2),
+        }
+        if len(ks) >= 2:
+            # Marginal exponent over the top two scales: at seconds-long
+            # absolute times the fixed per-job overhead (~1-2s of task
+            # scheduling) deflates the full fit; the marginal slope is
+            # the one that predicts the NEXT 10x.
+            import math
+
+            k1, k2 = ks[-2], ks[-1]
+            summary[name]["marginal_exponent"] = round(
+                math.log(secs[k2] / secs[k1]) / math.log(k2 / k1), 2
+            )
+    out_file = Path(__file__).resolve().parent / "SCALING.json"
+    if only and out_file.exists():
+        # Partial (SPARK_GRAFT_SCALE_ONLY) runs merge into the existing
+        # artifact instead of clobbering the other queries' curves.
+        try:
+            payload = json.loads(out_file.read_text())
+            payload["queries"].update(summary)
+        except (json.JSONDecodeError, OSError, KeyError):
+            payload = {
+                "metric": "scaling_exponents",
+                "base_sf_dir": base,
+                "ks": ks,
+                "reps": reps,
+                "queries": summary,
+            }
+    else:
+        payload = {
+            "metric": "scaling_exponents",
+            "base_sf_dir": base,
+            "ks": ks,
+            "reps": reps,
+            "queries": summary,
+        }
+    out_file.write_text(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps(payload, separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

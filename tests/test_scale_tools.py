@@ -612,3 +612,30 @@ def test_streaming_neardup_gate_first_seen_wins(spark, tmp_path):
     assert sorted(
         set(r.id for r in spark.read.parquet(idx).select("id").collect())
     ) == [1, 2, 3, 4, 5, 6]
+
+
+def test_lsh_and_banding_reproduces_r1_pairs(spark):
+    """AND-composition banding (projections_per_band=2, compensating
+    width) must reproduce the r=1 pair set exactly at the catalog's
+    0.3 threshold — recall is an output-equality contract here, not a
+    statistic.  Also pins that a band key agrees only when ALL of its
+    projections agree: with an absurdly tight bucket the banded join
+    returns a SUBSET of the r=1 candidates (never a superset)."""
+    from interlinked_spark.llm.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embedding_near_dup_pairs(
+        emb, cosine_threshold=0.3, num_hash_tables=12
+    ).select("left_id", "right_id")
+    banded = embedding_near_dup_pairs(
+        emb, cosine_threshold=0.3, num_hash_tables=28,
+        projections_per_band=2, bucket_length=1.25,
+    ).select("left_id", "right_id")
+    assert base.exceptAll(banded).count() == 0
+    assert banded.exceptAll(base).count() == 0  # exact verify owns the boundary
+
+    tight = embedding_near_dup_pairs(
+        emb, cosine_threshold=0.3, num_hash_tables=4,
+        projections_per_band=4, bucket_length=0.05,
+    ).select("left_id", "right_id")
+    assert tight.exceptAll(base).count() == 0
