@@ -374,6 +374,7 @@ def lsh_bucket_assignments(
     bucket_length: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    projections_per_band: int = 1,
 ) -> DataFrame:
     """The ``(id, entry, bucket)`` rows the LSH candidate join shuffles —
     the same banding :func:`lsh_similarity_join` builds internally
@@ -386,7 +387,8 @@ def lsh_bucket_assignments(
     ``bucket_length``, more tables, or pre-dedup of exact duplicates —
     is chosen from the histogram, not discovered mid-shuffle."""
     return _lsh_assignments(
-        df, num_hash_tables, bucket_length, id_col, vec_col, "id"
+        df, num_hash_tables, bucket_length, id_col, vec_col, "id",
+        projections_per_band=projections_per_band,
     )
 
 
