@@ -82,6 +82,15 @@ HEADLINE = [
     "dedup_shingle_skew",
     "stream_click_error_left_join",
     "doc_cdc_chunks",
+    # round 8 additions — materialized-index incremental dedup (includes
+    # a fresh index build per run), language-scoped dedup, stratified
+    # splits.  stream_dedup_neardup is deliberately NOT here: its cost
+    # is dominated by harness staging (4 single-file parquet writes +
+    # mtime pinning) plus 4 foreachBatch upsert cycles — an end-to-end
+    # demo gated at sf0.01, not a plan to regression-track.
+    "dedup_incremental_indexed",
+    "dedup_ngram_by_language",
+    "doc_dataset_splits_stratified",
 ]
 
 

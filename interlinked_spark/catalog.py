@@ -2634,6 +2634,65 @@ def q_dedup_clusters(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "dedup_kept_greedy",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), earlier AS (
+      SELECT b.doc_id AS d, a.doc_id AS e
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), st(acc, rej) AS (
+      SELECT COALESCE((SELECT list(d.doc_id) FROM documents d
+                WHERE NOT EXISTS (SELECT 1 FROM earlier x WHERE x.d = d.doc_id)), []),
+             []::BIGINT[]
+      UNION ALL
+      SELECT s.acc || COALESCE((SELECT list(d.doc_id) FROM documents d
+                WHERE NOT list_contains(s.acc || s.rej, d.doc_id)
+                  AND NOT EXISTS (SELECT 1 FROM earlier x WHERE x.d = d.doc_id
+                                  AND NOT list_contains(s.acc || s.rej, x.e))
+                  AND NOT EXISTS (SELECT 1 FROM earlier x WHERE x.d = d.doc_id
+                                  AND list_contains(s.acc, x.e))), []),
+             s.rej || COALESCE((SELECT list(d.doc_id) FROM documents d
+                WHERE NOT list_contains(s.acc || s.rej, d.doc_id)
+                  AND NOT EXISTS (SELECT 1 FROM earlier x WHERE x.d = d.doc_id
+                                  AND NOT list_contains(s.acc || s.rej, x.e))
+                  AND EXISTS (SELECT 1 FROM earlier x WHERE x.d = d.doc_id
+                              AND list_contains(s.acc, x.e))), [])
+      FROM st s
+      WHERE len(s.acc) + len(s.rej) < (SELECT count(*) FROM documents)
+    )
+    SELECT d.doc_id, list_contains(final.acc, d.doc_id) AS kept
+    FROM documents d,
+         (SELECT acc FROM st ORDER BY len(acc) + len(rej) DESC LIMIT 1) final
+    """,
+    d="table.documents",
+)
+def q_dedup_kept_greedy(d: DataFrame) -> DataFrame:
+    """First-fit dedup policy (§2b-K): greedy maximal independent set
+    in doc-id order over the 0.5-Jaccard near-dup graph — a doc is kept
+    iff no KEPT earlier doc is a near-dup, so a chain A~B~C keeps A and
+    C (contrast ``dedup_kept_corpus``'s one-per-cluster rule).  Engine:
+    iterative distributed resolution, one edge-set join + agg per round
+    (`operators/graph.greedy_first_fit`); oracle: the same greedy
+    fixpoint as a single-row recursive CTE accumulating accepted/
+    rejected lists (each round resolves at least the minimum unresolved
+    doc, so it terminates)."""
+    from .llm.dedup import near_dup_keep_greedy
+
+    return near_dup_keep_greedy(d, threshold=0.5)
+
+
+@defq(
     "customer_events_cogroup",
     oracle="""
     WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders, SUM(o_totalprice) AS spent

@@ -627,3 +627,36 @@ def near_dup_clusters(
             F.coalesce("component", F.col("id")).alias("cluster_id"),
         )
     )
+
+
+def near_dup_keep_greedy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """First-fit dedup policy: ``(id, kept)`` for every document, where
+    a document is kept iff no KEPT smaller-id document is within
+    ``threshold`` Jaccard (greedy maximal independent set on the
+    near-dup graph — ``operators/graph.greedy_first_fit``).
+
+    Contrast with the other two policies shipped here: cluster-canonical
+    (:func:`near_dup_clusters` + min-id survivor, exactly one doc per
+    connected component) under-keeps long chains (A~B~C keeps only A
+    even though A and C are NOT near-dups), and the streaming gate's
+    seen-anyone rule does the same one batch at a time.  First-fit is
+    the retention-maximizing rule: every discarded doc has a kept
+    near-dup witness, and no two kept docs are near-dups."""
+    from ..operators.graph import greedy_first_fit
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold,
+        max_shingle_df=max_shingle_df, checkpoint_mode=checkpoint_mode,
+    )
+    return greedy_first_fit(
+        pairs, df.select(id_col), v_col=id_col,
+        checkpoint_mode=checkpoint_mode,
+    )

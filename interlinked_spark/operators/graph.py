@@ -92,3 +92,77 @@ def connected_components(
         if not changed:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+
+def greedy_first_fit(
+    edges: DataFrame,
+    vertices: DataFrame,
+    v_col: str = "vertex",
+    left: str = "left_id",
+    right: str = "right_id",
+    max_iterations: int = 50,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Greedy maximal independent set in vertex-id order — the
+    FIRST-FIT acceptance policy: a vertex is kept iff no KEPT
+    smaller-id neighbor exists.  Returns ``(vertex, kept)`` for every
+    vertex of ``vertices`` (isolated vertices are kept).
+
+    This is the third dedup acceptance policy next to cluster-canonical
+    (``connected_components`` min-id survivor: exactly one per
+    component) and seen-anyone (the streaming gate's rule: reject on
+    ANY earlier neighbor, kept set can under-keep chains).  First-fit
+    keeps MORE: in a chain A~B~C it keeps A and C (B's rejection does
+    not poison C) — the data-retention-maximizing rule a training
+    pipeline wants when near-dup is a similarity, not an equivalence.
+
+    Distributed resolution by rounds: a vertex resolves once every
+    smaller-id neighbor is resolved — rejected if any resolved KEPT,
+    kept otherwise.  Each round is one join + one aggregate over the
+    EDGE set (the near-dup graph, tiny next to the corpus), rounds =
+    longest dependency chain (bounded by component diameter; cliques
+    resolve in 2).  The driver sees one unresolved-count scalar per
+    round, never the graph.  Progress is guaranteed — the minimum
+    unresolved vertex always resolves — so ``max_iterations`` is a
+    pathological-chain bound, not a tuning knob."""
+    earlier = materialize(
+        edges.select(F.col(right).alias("d"), F.col(left).alias("e")),
+        checkpoint_mode,
+    )
+    # st: 0 unknown, 1 kept, -1 rejected
+    status = materialize(
+        vertices.select(F.col(v_col).alias("v")).distinct().withColumn(
+            "st", F.lit(0)
+        ),
+        checkpoint_mode,
+    )
+    for _ in range(max_iterations):
+        nb = (
+            earlier.join(
+                status.select(F.col("v").alias("e"), F.col("st").alias("est")), "e"
+            )
+            .groupBy("d")
+            .agg(
+                F.max((F.col("est") == 1).cast("int")).alias("any_kept"),
+                F.max((F.col("est") == 0).cast("int")).alias("any_unknown"),
+            )
+        )
+        status = materialize(
+            status.join(nb, status["v"] == nb["d"], "left")
+            .select(
+                "v",
+                F.when(F.col("st") != 0, F.col("st"))
+                .when(F.col("any_kept") == 1, F.lit(-1))
+                .when(
+                    F.col("any_unknown").isNull() | (F.col("any_unknown") == 0),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("st"),
+            ),
+            checkpoint_mode,
+            eager=True,
+        )
+        if status.filter(F.col("st") == 0).limit(1).count() == 0:
+            return status.select(F.col("v").alias(v_col), (F.col("st") == 1).alias("kept"))
+    raise RuntimeError(f"greedy_first_fit did not converge in {max_iterations} iterations")

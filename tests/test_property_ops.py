@@ -339,3 +339,45 @@ def test_ngram_jaccard_group_col_never_crosses_groups(sp):
     }
     got = {(r.left_id, r.right_id): r.jaccard for r in grouped.collect()}
     assert got == ungrouped
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=18,
+    ),
+    n=st.integers(4, 12),
+)
+@OP_SETTINGS
+def test_greedy_first_fit_matches_sequential_reference(sp, edges, n):
+    """greedy_first_fit == the trivially-correct sequential greedy MIS:
+    walk ids ascending, keep a vertex iff no kept neighbor so far.
+    Also pins the two policy laws — kept set is independent (no edge
+    inside) and maximal (every rejected vertex has a kept earlier
+    neighbor)."""
+    from interlinked_spark.operators.graph import greedy_first_fit
+
+    es = sorted({(min(a, b), max(a, b)) for a, b in edges if max(a, b) < n})
+    adj = defaultdict(set)
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    kept = set()
+    for v in range(n):
+        if not (adj[v] & kept & set(range(v))):
+            kept.add(v)
+
+    edf = sp.createDataFrame(es or [(0, 1)], ["left_id", "right_id"])
+    if not es:
+        edf = edf.limit(0)
+    vdf = sp.range(n).withColumnRenamed("id", "vertex")
+    got = {r.vertex: r.kept for r in greedy_first_fit(edf, vdf).collect()}
+    assert got == {v: v in kept for v in range(n)}
+    for a, b in es:  # independence
+        assert not (got[a] and got[b])
+    for v in range(n):  # maximality w.r.t. earlier neighbors
+        if not got[v]:
+            assert any(e < v and got[e] for e in adj[v])
