@@ -114,10 +114,66 @@ def mix_report(d):
     return corpus_mix_summary(d)
 
 
+@wkf.depend(d="docs.canonical")
+@wkf.provide("dedup_index")
+def dedup_index(d):
+    """Materialized pipeline STATE as a routed resource: the accepted
+    corpus's inverted shingle index, built once per run and memoized —
+    tomorrow's batches match against THIS, never re-shingling the
+    corpus (`dedup.build_shingle_index` / `update_shingle_index`)."""
+    import tempfile
+
+    from interlinked_spark.llm.dedup import build_shingle_index
+
+    path = tempfile.mkdtemp(prefix="llm_pipeline_idx_")
+    build_shingle_index(d, path, num_files=4)
+    return path
+
+
+@wkf.depend(spark="spark", idx="dedup_index", raw="docs.raw")
+@wkf.provide("batch.matches")
+def batch_matches(spark, idx, raw):
+    """The daily-maintenance shape: a synthetic next-day batch (re-sent
+    copies of existing docs under new ids) matched against the stored
+    index — only the batch is shingled."""
+    from interlinked_spark.llm.dedup import ngram_jaccard_incremental_indexed
+
+    batch = raw.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return ngram_jaccard_incremental_indexed(spark, idx, batch, threshold=0.5)
+
+
+@wkf.depend(d="docs.canonical")
+@wkf.provide("splits_card")
+def splits_card(d):
+    """Per-language train/val/test counts: scarce languages hold out
+    more eval data; the assignment is one deterministic hash band per
+    key (`sampling.dataset_splits_stratified`), so every derived table
+    splits identically."""
+    from interlinked_spark.operators.sampling import dataset_splits_stratified
+
+    s = dataset_splits_stratified(
+        d,
+        "doc_id",
+        "lang",
+        {"en": {"train": 0.9, "val": 0.05, "test": 0.05}},
+        default={"train": 0.7, "val": 0.15, "test": 0.15},
+        salt="train-v1",
+    )
+    return s.groupBy("lang", "split").count().orderBy("lang", "split")
+
+
 if __name__ == "__main__":
-    out, mix = wkf.run("report", "mix_report")
+    out, mix, matches, splits = wkf.run(
+        "report", "mix_report", "batch.matches", "splits_card"
+    )
     row = out.first()
     assert row.n_docs > 0 and row.total_tokens > row.n_docs
     print(f"sampled {row.n_docs} canonical docs, ~{row.total_tokens} tokens "
           f"(~{row.total_bpe_est} BPE-estimated)")
     mix.show(truncate=False)
+    n_matches = matches.count()
+    assert n_matches > 0  # the re-sent copies must be caught by the index
+    print(f"next-day batch: {n_matches} near-dup matches against the stored index")
+    splits.show(truncate=False)
