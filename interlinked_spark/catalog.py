@@ -2158,6 +2158,55 @@ def q_embedding_near_dups(e: DataFrame) -> DataFrame:
     return embedding_near_dup_pairs(e, cosine_threshold=0.3, num_hash_tables=12)
 
 
+@WKF.depend(e="table.embeddings")
+@WKF.provide("vector_index")
+def _vector_index(e: DataFrame) -> str:
+    """Routed materialized LSH state: band assignments + raw vectors +
+    parameter meta for the corpus side (vec_id % 5 != 0), built once
+    per run and memoized — the embedding counterpart of
+    ``dedup_index.{n}`` (`llm/similarity.build_vector_index`)."""
+    import tempfile
+
+    from .llm.similarity import build_vector_index
+
+    path = tempfile.mkdtemp(prefix="vector_idx_")
+    build_vector_index(
+        e.filter(F.col("vec_id") % 5 != 0), path,
+        num_hash_tables=12, bucket_length=0.5,
+    )
+    return path
+
+
+@defq(
+    "similarity_incremental_indexed",
+    oracle="""
+    SELECT a.vec_id AS new_id, b.vec_id AS match_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 5 = 0 AND b.vec_id % 5 != 0
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+    """,
+    idx="vector_index",
+    e="table.embeddings",
+)
+def q_similarity_incremental_indexed(
+    idx: str, e: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """Incremental embedding matching against the MATERIALIZED vector
+    index (§2b-K): every 5th vector plays the new batch; only the batch
+    is banded (parameters + dim pinned by the stored meta), candidates
+    join the stored assignments on (entry, bucket), and the exact
+    cosine verifies from the stored vectors — the corpus is never
+    re-banded (`llm/similarity.lsh_incremental_matches`).  The oracle
+    is the exact all-pairs new x corpus cosine at the threshold, so the
+    hash match doubles as a 100%-recall measurement at the pinned
+    12-table banding."""
+    from .llm.similarity import lsh_incremental_matches
+
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    return lsh_incremental_matches(spark, idx, new, cosine_threshold=0.3)
+
+
 @defq(
     "similarity_ivf_topk",
     oracle="""

@@ -525,3 +525,152 @@ def ivf_top_k(
     return top_k_per_group(
         scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
     )
+
+
+def build_vector_index(
+    corpus: DataFrame,
+    path: str,
+    num_hash_tables: int = 6,
+    bucket_length: float = 0.5,
+    projections_per_band: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_files: int = 32,
+) -> None:
+    """Materialize the corpus's LSH state as a parquet resource — the
+    embedding counterpart of ``dedup.build_shingle_index``: band
+    assignments (``assignments/``: id, entry, bucket — hash-clustered
+    on (entry, bucket) so a batch's candidate lookup co-locates),
+    raw vectors for the exact-cosine verify (``vectors/``: id, vec),
+    and a one-row ``meta/`` parquet pinning the banding parameters +
+    dim, so the matcher can NEVER band a batch with different
+    parameters than the stored corpus (silent recall loss).
+
+    Cross-session determinism: BRP projections depend only on the
+    fixed seed and the vector dim (see ``_brp_model``), so assignments
+    written today match assignments computed tomorrow — the precondition
+    for persisting them at all."""
+    from ..sources.writers import write_table
+
+    assigns = _lsh_assignments(
+        corpus, num_hash_tables, bucket_length, id_col, vec_col, "id",
+        projections_per_band=projections_per_band,
+    )
+    write_table(
+        assigns.repartition(num_files, F.col("entry"), F.col("bucket")),
+        f"{path}/assignments",
+    )
+    write_table(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        f"{path}/vectors",
+    )
+    dim = corpus.select(F.size(vec_col).alias("d")).limit(1)
+    meta = dim.select(
+        F.lit(num_hash_tables).alias("num_hash_tables"),
+        F.lit(float(bucket_length)).alias("bucket_length"),
+        F.lit(int(projections_per_band)).alias("projections_per_band"),
+        F.col("d").alias("dim"),
+    )
+    write_table(meta.coalesce(1), f"{path}/meta")
+
+
+def update_vector_index(
+    accepted_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_files: int = 8,
+) -> None:
+    """Append a processed batch's vectors + band assignments to the
+    materialized index (parameters come from the stored meta — callers
+    cannot drift them).  Append-only, like the shingle index: the
+    caller owns acceptance policy."""
+    from ..sources.writers import write_table
+
+    spark = accepted_new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assigns = _lsh_assignments(
+        accepted_new,
+        int(meta.num_hash_tables),
+        float(meta.bucket_length),
+        id_col,
+        vec_col,
+        "id",
+        projections_per_band=int(meta.projections_per_band),
+    )
+    write_table(
+        assigns.repartition(num_files, F.col("entry"), F.col("bucket")),
+        f"{path}/assignments",
+        mode="append",
+    )
+    write_table(
+        accepted_new.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        f"{path}/vectors",
+        mode="append",
+    )
+
+
+def lsh_incremental_matches(
+    spark,
+    index_path: str,
+    new: DataFrame,
+    cosine_threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Match a NEW vector batch against the MATERIALIZED corpus index:
+    band only the batch (parameters + dim from the stored meta), join
+    candidates against the stored assignments on (entry, bucket), and
+    verify on the exact cosine from the stored vectors — the corpus is
+    never re-banded and its scan prunes to the candidate join columns.
+    Returns ``(new_id, match_id, cosine)`` with cosine >= threshold.
+
+    The daily-maintenance shape for embeddings, mirroring
+    ``dedup.ngram_jaccard_incremental_indexed``: cost is O(batch
+    postings x bucket density), not O(corpus).  Within-batch pairs are
+    NOT emitted (use ``embedding_near_dup_pairs`` on the batch for
+    that); id collisions between batch and corpus match the dedup
+    convention — same id never matches itself."""
+    from ..operators.checkpointing import materialize
+
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    new_assigns = _lsh_assignments(
+        new,
+        int(meta.num_hash_tables),
+        float(meta.bucket_length),
+        id_col,
+        vec_col,
+        "new_id",
+        projections_per_band=int(meta.projections_per_band),
+    )
+    corpus_assigns = spark.read.parquet(f"{index_path}/assignments").select(
+        F.col("id").alias("match_id"), "entry", "bucket"
+    )
+    if max_bucket_size is not None:
+        from ..operators.diagnostics import drop_hot_buckets
+
+        corpus_assigns = drop_hot_buckets(
+            corpus_assigns, ["entry", "bucket"], max_bucket_size
+        )
+    cand = (
+        materialize(new_assigns, checkpoint_mode)
+        .join(corpus_assigns, ["entry", "bucket"])
+        .filter(F.col("new_id") != F.col("match_id"))
+        .select("new_id", "match_id")
+        .dropDuplicates()
+    )
+    qraw = new.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("__qv"))
+    craw = spark.read.parquet(f"{index_path}/vectors").select(
+        F.col("id").alias("match_id"), F.col("vec").alias("__cv")
+    )
+    return (
+        cand.join(qraw, "new_id")
+        .join(craw, "match_id")
+        .withColumn(
+            "cosine", F.round(cosine_similarity_vec(F.col("__qv"), F.col("__cv")), 6)
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("new_id", "match_id", "cosine")
+    )

@@ -639,3 +639,77 @@ def test_lsh_and_banding_reproduces_r1_pairs(spark):
         projections_per_band=4, bucket_length=0.05,
     ).select("left_id", "right_id")
     assert tight.exceptAll(base).count() == 0
+
+
+def test_vector_index_never_rebands_corpus_and_appends_exactly(spark, tmp_path):
+    """The materialized vector index must (a) reproduce the brute-force
+    new-vs-corpus matches with the corpus parquet DELETED after the
+    build (zero corpus re-scans/re-bandings), (b) append a batch so the
+    stored assignments equal a full rebuild (cross-session banding
+    determinism), and (c) pin banding params in meta so the matcher
+    can't drift them."""
+    import shutil
+
+    from interlinked_spark.llm.similarity import (
+        build_vector_index,
+        cosine_similarity,
+        lsh_incremental_matches,
+        update_vector_index,
+    )
+
+    def vecs(ids_and_seeds):
+        rows = []
+        for vid, seed in ids_and_seeds:
+            base = [float((seed * 31 + i * 7) % 13 - 6) for i in range(8)]
+            rows.append((vid, base))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    corpus = vecs([(1, 3), (2, 5), (3, 9), (4, 11)])
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    stored = spark.read.parquet(corpus_path)
+
+    idx = str(tmp_path / "vidx")
+    build_vector_index(stored, idx, num_hash_tables=8, bucket_length=1.0)
+    shutil.rmtree(corpus_path)  # prove: never touched again
+
+    new = vecs([(10, 3), (11, 777)])  # 10 duplicates corpus vec 1
+    got = {
+        (r.new_id, r.match_id)
+        for r in lsh_incremental_matches(
+            spark, idx, new, cosine_threshold=0.999
+        ).collect()
+    }
+    assert (10, 1) in got
+    assert all(m != 11 for _, m in got) or (11, 1) not in got
+
+    # Brute-force twin on the same frames (corpus vectors FROM the index).
+    cv = spark.read.parquet(f"{idx}/vectors")
+    brute = {
+        (r.new_id, r.match_id)
+        for r in new.alias("n")
+        .crossJoin(cv.alias("c"))
+        .select(
+            F.col("n.vec_id").alias("new_id"),
+            F.col("c.id").alias("match_id"),
+            cosine_similarity(F.col("n.embedding"), F.col("c.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.999)
+        .collect()
+    }
+    assert got == brute
+
+    # Append == rebuild: assignments for the batch must equal what a
+    # fresh build over corpus+batch would store for those ids.
+    update_vector_index(new, idx)
+    idx2 = str(tmp_path / "vidx2")
+    rebuilt_input = cv.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    ).unionByName(new)
+    build_vector_index(rebuilt_input, idx2, num_hash_tables=8, bucket_length=1.0)
+    a1 = sorted(map(tuple, spark.read.parquet(f"{idx}/assignments").collect()))
+    a2 = sorted(map(tuple, spark.read.parquet(f"{idx2}/assignments").collect()))
+    assert a1 == a2
+
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert (meta.num_hash_tables, meta.bucket_length, meta.dim) == (8, 1.0, 8)
