@@ -2208,6 +2208,47 @@ def q_similarity_incremental_indexed(
 
 
 @defq(
+    "stream_vector_neardup",
+    oracle="""
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (
+      SELECT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+    )
+    """,
+    e="table.embeddings",
+)
+def q_stream_vector_neardup(e: DataFrame, spark: SparkSession) -> DataFrame:
+    """Streaming EMBEDDING near-dup gate (§2b-J x §2b-K): the
+    embeddings table replays as 4 id-ordered micro-batches; each batch
+    is LSH-matched against the materialized vector index of everything
+    seen (never re-banding the corpus) plus itself, vectors within 0.3
+    cosine of an earlier-seen vector are dropped, survivors append, and
+    the index absorbs the batch
+    (`streaming/ops.run_vector_neardup_gate_into_parquet`).  First-seen-
+    wins on id-ordered batches == the oracle's single anti-join against
+    the exact all-pairs cosine set; the banding (12 tables x 0.5) is
+    the measured-total-recall config, so the hash match is also a
+    recall gate."""
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import (
+        run_vector_neardup_gate_into_parquet,
+        stream_from_parquet,
+    )
+
+    staged = _stage_id_ordered_files(
+        e.select("vec_id", "embedding"), "vec_id", 4
+    )
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        accepted_path, _idx = run_vector_neardup_gate_into_parquet(
+            stream, cosine_threshold=0.3, num_hash_tables=12, bucket_length=0.5,
+        )
+    return spark.read.parquet(accepted_path).select("vec_id")
+
+
+@defq(
     "similarity_ivf_topk",
     oracle="""
     SELECT query_id, neighbor_id, cosine

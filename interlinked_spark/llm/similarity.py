@@ -564,12 +564,16 @@ def build_vector_index(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         f"{path}/vectors",
     )
-    dim = corpus.select(F.size(vec_col).alias("d")).limit(1)
-    meta = dim.select(
-        F.lit(num_hash_tables).alias("num_hash_tables"),
-        F.lit(float(bucket_length)).alias("bucket_length"),
-        F.lit(int(projections_per_band)).alias("projections_per_band"),
-        F.col("d").alias("dim"),
+    # Meta is a driver-built 1-row frame: deriving it FROM the corpus
+    # would write zero rows for an empty corpus (a freshly-seeded
+    # streaming-gate index) and break every later read.  Dim is null
+    # until the first non-empty build/append probes it.
+    dim_row = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim_val = int(dim_row[0]["d"]) if dim_row and dim_row[0]["d"] else None
+    meta = corpus.sparkSession.createDataFrame(
+        [(num_hash_tables, float(bucket_length), int(projections_per_band), dim_val)],
+        "num_hash_tables int, bucket_length double, "
+        "projections_per_band int, dim int",
     )
     write_table(meta.coalesce(1), f"{path}/meta")
 

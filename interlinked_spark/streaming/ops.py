@@ -532,3 +532,70 @@ def run_neardup_gate_into_parquet(
 
     foreach_batch_into(doc_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
     return accepted_path, index_path
+
+
+def run_vector_neardup_gate_into_parquet(
+    vec_stream: DataFrame,
+    accepted_path: Optional[str] = None,
+    index_path: Optional[str] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    num_hash_tables: int = 6,
+    bucket_length: float = 0.5,
+    projections_per_band: int = 1,
+    max_bucket_size: Optional[int] = None,
+    timeout_s: int = 300,
+) -> tuple[str, str]:
+    """Streaming EMBEDDING near-duplicate gate — the vector twin of
+    :func:`run_neardup_gate_into_parquet`: each micro-batch is LSH-
+    matched against the materialized vector index of everything seen
+    (:func:`~interlinked_spark.llm.similarity.lsh_incremental_matches`
+    — the corpus is never re-banded) plus banded against itself for
+    within-batch pairs; vectors within ``cosine_threshold`` of an
+    EARLIER-seen vector are dropped, survivors append to the accepted
+    table, and the index absorbs the batch.  Same first-seen-wins
+    semantics and the same replay-exactness: on id-ordered batches the
+    final accepted table equals "keep v iff no smaller-id vector has
+    cosine >= t" — one anti-join against the exact pair set.  Returns
+    ``(accepted_path, index_path)``.
+
+    Recall is the correctness boundary: the banding parameters must be
+    sized for measured-total recall at the threshold (the catalog pins
+    12 tables x 0.5 at cos >= 0.3) or the gate under-rejects."""
+    from ..llm.similarity import (
+        build_vector_index,
+        embedding_near_dup_pairs,
+        lsh_incremental_matches,
+        update_vector_index,
+    )
+
+    accepted_path = accepted_path or tempfile.mkdtemp(prefix="vec_accept_")
+    index_path = index_path or tempfile.mkdtemp(prefix="vec_gate_idx_")
+    spark = vec_stream.sparkSession
+    empty = spark.createDataFrame([], vec_stream.schema)
+    build_vector_index(
+        empty, index_path, num_hash_tables=num_hash_tables,
+        bucket_length=bucket_length, projections_per_band=projections_per_band,
+        id_col=id_col, vec_col=vec_col, num_files=1,
+    )
+
+    def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        vs_corpus = lsh_incremental_matches(
+            spark, index_path, batch_df, cosine_threshold=cosine_threshold,
+            id_col=id_col, vec_col=vec_col, max_bucket_size=max_bucket_size,
+        ).select(F.col("new_id").alias(id_col))
+        within = embedding_near_dup_pairs(
+            batch_df, cosine_threshold=cosine_threshold, id_col=id_col,
+            vec_col=vec_col, num_hash_tables=num_hash_tables,
+            projections_per_band=projections_per_band,
+            bucket_length=bucket_length,
+        ).select(F.col("right_id").alias(id_col))  # later id of each pair
+        rejected = vs_corpus.unionByName(within).distinct()
+        accepted = batch_df.join(rejected, id_col, "left_anti")
+        accepted.write.mode("append").parquet(accepted_path)
+        update_vector_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+
+    foreach_batch_into(vec_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
+    return accepted_path, index_path
