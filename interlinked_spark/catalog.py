@@ -2208,6 +2208,63 @@ def q_similarity_incremental_indexed(
 
 
 @defq(
+    "dedup_incremental_compacted",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, doc_id % 4 = 0 AS is_new,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS match_id,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM sh a JOIN sh b
+        ON (NOT b.is_new AND b.doc_id != a.doc_id)
+        OR (b.is_new AND b.doc_id < a.doc_id)
+      WHERE a.is_new AND len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT new_id, match_id,
+           ROUND(common / (la + lb - common), 6) AS jaccard
+    FROM pairs
+    WHERE common / (la + lb - common) >= 0.05
+    """,
+    d="table.documents",
+)
+def q_dedup_incremental_compacted(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """The index-maintenance LIFECYCLE as one oracle-gated query: build
+    the shingle index from half the corpus, append the other half
+    (`update_shingle_index`), COMPACT the accumulated small files
+    (`sources/writers.compact_table` — the OPTIMIZE analog for
+    append-only state), then match the new batch.  The oracle is the
+    SAME recompute SQL as ``dedup_incremental_matches``: build + append
+    + compact must be indistinguishable from a one-shot index, or the
+    maintenance loop corrupts state."""
+    import tempfile
+
+    from .llm.dedup import (
+        build_shingle_index,
+        ngram_jaccard_incremental_indexed,
+        update_shingle_index,
+    )
+    from .sources.writers import compact_table
+
+    path = tempfile.mkdtemp(prefix="shingle_idx_c_")
+    build_shingle_index(d.filter(F.col("doc_id") % 4 == 1), path, num_files=4)
+    update_shingle_index(d.filter(F.col("doc_id") % 4 == 2), path, num_files=4)
+    update_shingle_index(d.filter(F.col("doc_id") % 4 == 3), path, num_files=4)
+    before, after = compact_table(spark, path, num_files=4, cluster_cols=["s"])
+    assert after <= 4 < before  # the whole point of the op
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    return ngram_jaccard_incremental_indexed(spark, path, new, threshold=0.05)
+
+
+@defq(
     "stream_vector_neardup",
     oracle="""
     SELECT vec_id FROM embeddings

@@ -112,3 +112,50 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_table(
+    spark,
+    path: str,
+    num_files: int = 8,
+    cluster_cols: Optional[Sequence[str]] = None,
+) -> tuple[int, int]:
+    """Rewrite an append-grown parquet directory into ``num_files``
+    hash-clustered files — the OPTIMIZE/maintenance half of every
+    append-only resource here (shingle index, vector index, streaming
+    gate's accepted table): daily appends otherwise accumulate one
+    file set per batch, and at 100 TB the scan's task count and footer
+    overhead grow with FILE count, not data size.  Returns
+    ``(files_before, files_after)``.
+
+    Swap is staged-directory rename (write to ``<path>.__compact_tmp``,
+    then swap), NOT read-and-overwrite-in-place: overwriting the files
+    a plan is still lazily reading from requires materializing the
+    whole table first (memory pressure at scale) and loses the data on
+    a mid-write crash.  The rename window is the crash exposure; on a
+    production lake the same operation is table-format OPTIMIZE
+    (Delta/Iceberg), which makes the swap transactional — this is the
+    path-based equivalent, same topology."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def _count(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "part-*")))
+
+    before = _count(path)
+    df = spark.read.parquet(path)
+    if cluster_cols:
+        out = df.repartition(num_files, *[F.col(c) for c in cluster_cols])
+    else:
+        out = df.repartition(num_files)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_table(out, tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before, _count(path)
