@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_incremental_indexed",
     "dedup_ngram_by_language",
     "doc_dataset_splits_stratified",
+    "dedup_kept_greedy",
 ]
 
 
@@ -236,6 +237,13 @@ def main() -> None:
         "similarity_ivf_topk",
         "heavy_hitter_terms",
         "customer_events_cogroup",
+        # index-lifecycle queries: each run REBUILDS its materialized
+        # index from scratch (3 parquet writes) — a harness artifact the
+        # production loop amortizes, not a plan to regression-track.
+        "similarity_incremental_indexed",
+        "dedup_incremental_compacted",
+        "stream_dedup_neardup",
+        "stream_vector_neardup",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:
