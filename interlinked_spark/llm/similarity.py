@@ -121,8 +121,15 @@ _BRP_MODEL_CACHE: dict = {}
 # Semantically-equal plans (the bench loop re-reading the same parquet
 # with the same projection) hit this cache and skip the probe entirely.
 # Only non-empty probes are cached — an empty frame may gain rows later
-# (same path, appended data) and must re-probe.
+# (same path, appended data) and must re-probe.  Known trades, accepted
+# deliberately: semanticHash is path-based for file scans, so rewriting
+# a parquet path with DIFFERENT-dim vectors inside one application
+# serves a stale dim — the resulting wrong-dim model then fails LOUDLY
+# in transform (breeze dot on mismatched lengths raises), it never
+# mis-buckets silently; and the cache is size-bounded below so a
+# long-lived app (one plan per micro-batch) cannot grow it unboundedly.
 _DIM_CACHE: dict = {}
+_DIM_CACHE_MAX = 256
 
 
 def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
@@ -156,6 +163,8 @@ def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
         if not dim_row or not dim_row[0]["d"]:
             return None
         dim = int(dim_row[0]["d"])
+        if len(_DIM_CACHE) >= _DIM_CACHE_MAX:  # FIFO bound (insertion order)
+            _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
         _DIM_CACHE[plan_key] = dim
 
     key = (app_id, num_hash_tables, bucket_length, dim)
@@ -578,6 +587,25 @@ def build_vector_index(
     write_table(meta.coalesce(1), f"{path}/meta")
 
 
+def _check_index_dim(meta, batch: DataFrame, vec_col: str, caller: str):
+    """Enforce the stored index dim against a batch (one limit(1) probe):
+    a dim-mismatched batch would band with DIFFERENT random projections
+    (the BRP model is keyed per dim), making its buckets incommensurate
+    with the stored assignments — zero candidates, zero matches, and a
+    gate that silently accepts every near-dup.  Fails loudly instead.
+    Returns the probed batch dim (None for an empty batch)."""
+    row = batch.select(F.size(vec_col).alias("d")).limit(1).collect()
+    batch_dim = int(row[0]["d"]) if row and row[0]["d"] else None
+    if meta.dim is not None and batch_dim is not None and batch_dim != int(meta.dim):
+        raise ValueError(
+            f"{caller}: batch vectors have dim {batch_dim} but the index "
+            f"was built at dim {int(meta.dim)} — a mismatched batch bands "
+            "with different projections and silently matches nothing. "
+            "Rebuild the index or fix the upstream embedder."
+        )
+    return batch_dim
+
+
 def update_vector_index(
     accepted_new: DataFrame,
     path: str,
@@ -593,6 +621,23 @@ def update_vector_index(
 
     spark = accepted_new.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
+    batch_dim = _check_index_dim(meta, accepted_new, vec_col, "update_vector_index")
+    if meta.dim is None and batch_dim is not None:
+        # First non-empty append into an empty-seeded index: pin the dim
+        # so every later batch is validated against it.
+        meta_df = spark.createDataFrame(
+            [
+                (
+                    int(meta.num_hash_tables),
+                    float(meta.bucket_length),
+                    int(meta.projections_per_band),
+                    batch_dim,
+                )
+            ],
+            "num_hash_tables int, bucket_length double, "
+            "projections_per_band int, dim int",
+        )
+        write_table(meta_df.coalesce(1), f"{path}/meta")
     assigns = _lsh_assignments(
         accepted_new,
         int(meta.num_hash_tables),
@@ -640,6 +685,7 @@ def lsh_incremental_matches(
     from ..operators.checkpointing import materialize
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    _check_index_dim(meta, new, vec_col, "lsh_incremental_matches")
     new_assigns = _lsh_assignments(
         new,
         int(meta.num_hash_tables),

@@ -125,8 +125,16 @@ def greedy_first_fit(
     round, never the graph.  Progress is guaranteed — the minimum
     unresolved vertex always resolves — so ``max_iterations`` is a
     pathological-chain bound, not a tuning knob."""
+    # Normalize orientation: "earlier" is defined by ID ORDER, not by
+    # which column a pair arrived in — a mis-oriented edge (7, 3) must
+    # mean "3 gates 7", and a pair present in both orientations must
+    # not deadlock the rounds.  Self-loops are dropped (a vertex cannot
+    # gate itself).
     earlier = materialize(
-        edges.select(F.col(right).alias("d"), F.col(left).alias("e")),
+        edges.select(
+            F.greatest(F.col(left), F.col(right)).alias("d"),
+            F.least(F.col(left), F.col(right)).alias("e"),
+        ).filter(F.col("d") != F.col("e")),
         checkpoint_mode,
     )
     # st: 0 unknown, 1 kept, -1 rejected

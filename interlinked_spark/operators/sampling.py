@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 _HEX_SPACE = 16**8  # first 8 hex chars of md5
 
 
+def _hash_prefix(key_col: str, salt: str) -> F.Column:
+    """THE hash expression of this module — the first 8 hex chars of
+    ``md5(salt || key)``.  Every sampler/splitter and every ``*_sql``
+    twin must stay in lockstep with this exact expression; keep it in
+    one place (review-caught duplication: it existed at four sites)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str,
@@ -35,8 +45,7 @@ def hash_sample(
         # against it lexicographically would keep only ~6% of rows.
         return df
     threshold = format(int(fraction * _HEX_SPACE), "08x")
-    prefix = F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
-    return df.filter(prefix < F.lit(threshold))
+    return df.filter(_hash_prefix(key_col, salt) < F.lit(threshold))
 
 
 def hash_sample_sql(key_col: str, fraction: float, salt: str = "") -> str:
@@ -73,7 +82,7 @@ def stratified_hash_sample(
     for frac in fractions.values():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fractions must be in [0, 1], got {frac}")
-    prefix = F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+    prefix = _hash_prefix(key_col, salt)
     threshold = None
     for stratum, frac in fractions.items():
         hexcap = F.lit("g" if frac >= 1.0 else format(int(frac * _HEX_SPACE), "08x"))
@@ -116,15 +125,20 @@ def dataset_splits(
     rounding remainder of the hex space).
     """
     bounds, last = _split_bounds(weights)
-    prefix = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    return df.withColumn(
+        out_col, _band_expr(_hash_prefix(key_col, salt), bounds, last)
     )
-    # Nest from the LAST band outward so the smallest bound is tested
-    # first — exactly SQL CASE's first-match-wins over cumulative bands.
+
+
+def _band_expr(prefix: F.Column, bounds, last: str) -> F.Column:
+    """Nested first-match-wins band CASE over cumulative hex bounds —
+    nested from the LAST band outward so the smallest bound is tested
+    first, exactly SQL CASE's semantics (shared by the flat and
+    stratified splitters; the SQL twins mirror it via ``_split_bounds``)."""
     expr = F.lit(last)  # last band absorbs the hex-space remainder
     for label, bound in reversed(bounds):
         expr = F.when(prefix < F.lit(bound), F.lit(label)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return expr
 
 
 def _split_bounds(weights: dict[str, float]) -> tuple[list[tuple[str, str]], str]:
@@ -191,28 +205,24 @@ def dataset_splits_stratified(
     """
     layouts = {s: _split_bounds(w) for s, w in weights.items()}
     hash_col = f"__{out_col}_hash"
-    prefix = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
-    )
-
-    def band_expr(bounds, last):
-        expr = F.lit(last)
-        for label, bound in reversed(bounds):
-            expr = F.when(F.col(hash_col) < F.lit(bound), F.lit(label)).otherwise(expr)
-        return expr
 
     if default is not None:
-        out = band_expr(*_split_bounds(default))
+        out = _band_expr(F.col(hash_col), *_split_bounds(default))
     else:
         out = F.lit(None).cast("string")
     for stratum, (bounds, last) in reversed(list(layouts.items())):
         out = F.when(
-            F.col(strata_col) == F.lit(stratum), band_expr(bounds, last)
+            F.col(strata_col) == F.lit(stratum),
+            _band_expr(F.col(hash_col), bounds, last),
         ).otherwise(out)
     # The hash rides as a materialized column (not inlined per WHEN arm)
     # so the expression tree stays O(strata x labels), not O(strata x
     # labels x md5-subtree) — the HOF-blowup lesson applied to CASE.
-    return df.withColumn(hash_col, prefix).withColumn(out_col, out).drop(hash_col)
+    return (
+        df.withColumn(hash_col, _hash_prefix(key_col, salt))
+        .withColumn(out_col, out)
+        .drop(hash_col)
+    )
 
 
 def dataset_splits_stratified_sql(
@@ -226,14 +236,19 @@ def dataset_splits_stratified_sql(
     helper): a stratum CASE whose arms are the per-stratum band CASEs
     from :func:`dataset_splits_sql` — identical ``_split_bounds`` layout,
     so the two can never diverge.  No ELSE when ``default`` is None
-    (SQL CASE then yields NULL, matching the Spark side)."""
+    (SQL CASE then yields NULL, matching the Spark side).  Degenerate
+    cases mirror the Spark side too: zero strata emits the bare default
+    expression (or NULL) — ``CASE END`` with no arms is invalid SQL —
+    and stratum values have their single quotes doubled."""
     arms = [
-        f"WHEN {strata_col} = '{s}' THEN {dataset_splits_sql(key_col, w, salt)}"
+        f"WHEN {strata_col} = '{s.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {dataset_splits_sql(key_col, w, salt)}"
         for s, w in weights.items()
     ]
-    tail = (
-        f" ELSE {dataset_splits_sql(key_col, default, salt)}"
-        if default is not None
-        else ""
+    default_sql = (
+        dataset_splits_sql(key_col, default, salt) if default is not None else None
     )
+    if not arms:
+        return default_sql if default_sql is not None else "CAST(NULL AS VARCHAR)"
+    tail = f" ELSE {default_sql}" if default_sql is not None else ""
     return "CASE " + " ".join(arms) + tail + " END"

@@ -132,10 +132,15 @@ def compact_table(
     then swap), NOT read-and-overwrite-in-place: overwriting the files
     a plan is still lazily reading from requires materializing the
     whole table first (memory pressure at scale) and loses the data on
-    a mid-write crash.  The rename window is the crash exposure; on a
-    production lake the same operation is table-format OPTIMIZE
-    (Delta/Iceberg), which makes the swap transactional — this is the
-    path-based equivalent, same topology."""
+    a mid-write crash.  Crash recovery: residue from a killed prior
+    compaction is cleaned up-front — a leftover ``__compact_old`` with
+    the table still present is a completed swap's unremoved backup
+    (deleted); ``__compact_old`` WITHOUT the table is a kill between
+    the two renames, and the backup is restored before compacting.
+    The two-rename window is the remaining exposure; on a production
+    lake the same operation is table-format OPTIMIZE (Delta/Iceberg),
+    which makes the swap transactional — this is the path-based
+    equivalent, same topology."""
     import glob
     import os
     import shutil
@@ -145,15 +150,21 @@ def compact_table(
     def _count(p: str) -> int:
         return len(glob.glob(os.path.join(p, "part-*")))
 
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # completed swap, backup never removed
+        else:
+            os.rename(old, path)  # killed between the renames: restore
+
     before = _count(path)
     df = spark.read.parquet(path)
     if cluster_cols:
         out = df.repartition(num_files, *[F.col(c) for c in cluster_cols])
     else:
         out = df.repartition(num_files)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
     write_table(out, tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -271,6 +271,13 @@ def main() -> None:
         try:
             payload = json.loads(out_file.read_text())
             payload["queries"].update(summary)
+            # Per-query curves carry their own k axis (the secs/rows
+            # keys); the top-level ks/reps describe the LATEST writer,
+            # so refresh them or merged entries get read against a
+            # stale axis.
+            payload["ks"] = ks
+            payload["reps"] = reps
+            payload["base_sf_dir"] = base
         except (json.JSONDecodeError, OSError, KeyError):
             payload = {
                 "metric": "scaling_exponents",

@@ -713,3 +713,73 @@ def test_vector_index_never_rebands_corpus_and_appends_exactly(spark, tmp_path):
 
     meta = spark.read.parquet(f"{idx}/meta").first()
     assert (meta.num_hash_tables, meta.bucket_length, meta.dim) == (8, 1.0, 8)
+
+
+def test_greedy_first_fit_normalizes_edge_orientation(spark):
+    """'Earlier' is id order, not column position: a mis-oriented edge
+    (7, 3) must mean 3 gates 7, and a pair present in both orientations
+    must not deadlock the rounds."""
+    from interlinked_spark.operators.graph import greedy_first_fit
+
+    edges = spark.createDataFrame(
+        [(7, 3), (3, 7), (5, 5)], ["left_id", "right_id"]  # + self-loop noise
+    )
+    verts = spark.createDataFrame([(3,), (5,), (7,)], ["vertex"])
+    got = {r.vertex: r.kept for r in greedy_first_fit(edges, verts).collect()}
+    assert got == {3: True, 5: True, 7: False}
+
+
+def test_compact_table_recovers_from_crash_residue(spark, tmp_path):
+    """Leftover __compact_old residue must not wedge the next compaction:
+    with the table present the stale backup is discarded; with the table
+    MISSING (kill between the two renames) the backup is restored."""
+    import os
+
+    from interlinked_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(6).write.parquet(path)
+    rows = lambda: spark.read.parquet(path).count()  # noqa: E731
+
+    os.makedirs(path + ".__compact_old")  # stale backup, table present
+    before, after = compact_table(spark, path, num_files=2)
+    assert before >= 6 and after <= 2 and rows() == 100
+
+    os.rename(path, path + ".__compact_old")  # killed between renames
+    before, after = compact_table(spark, path, num_files=2)
+    assert rows() == 100
+
+
+def test_vector_index_rejects_dim_mismatch(spark, tmp_path):
+    """A batch whose vectors have a different dim than the stored index
+    must fail loudly (a mismatched batch bands with different
+    projections and would silently match nothing)."""
+    import pytest as _pytest
+
+    from interlinked_spark.llm.similarity import (
+        build_vector_index,
+        lsh_incremental_matches,
+        update_vector_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    idx = str(tmp_path / "vidx")
+    build_vector_index(corpus, idx, num_hash_tables=4)
+    bad = spark.createDataFrame(
+        [(9, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="dim 2 .* dim 4"):
+        lsh_incremental_matches(spark, idx, bad, cosine_threshold=0.5)
+    with _pytest.raises(ValueError, match="dim 2 .* dim 4"):
+        update_vector_index(bad, idx)
+
+    # Empty-seeded index pins its dim on the first non-empty append.
+    idx2 = str(tmp_path / "vidx2")
+    build_vector_index(corpus.limit(0), idx2, num_hash_tables=4)
+    assert spark.read.parquet(f"{idx2}/meta").first().dim is None
+    update_vector_index(corpus, idx2)
+    assert spark.read.parquet(f"{idx2}/meta").first().dim == 4
+    with _pytest.raises(ValueError):
+        update_vector_index(bad, idx2)
