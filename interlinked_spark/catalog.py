@@ -2265,6 +2265,69 @@ def q_dedup_incremental_compacted(d: DataFrame, spark: SparkSession) -> DataFram
 
 
 @defq(
+    "events_hll_state_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound,
+           TRUE AS merge_exact
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_hll_state_distinct(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Materialized mergeable-sketch state (§2b-D approx family,
+    persisted): distinct users per event_type maintained as per-group
+    HLL sketches across THREE batches (build + two appends — the
+    history is scanned once per batch, never re-scanned;
+    `operators/sketches.py`).  Two derived assertions ride in the
+    output: ``within_bound`` (estimate within 3x the HLL rse of the
+    exact count, deterministic for fixed data) and ``merge_exact`` —
+    the merged-state estimate EQUALS the one-shot sketch estimate,
+    because Datasketches HLL union is register-wise max, so batching
+    cannot change the registers.  A wrong estimate or a broken merge
+    flips a boolean and fails the hash compare."""
+    import tempfile
+
+    from .operators.sketches import (
+        build_sketch_state,
+        sketch_distinct_state,
+        sketch_state_estimates,
+        update_sketch_state,
+    )
+
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    path = tempfile.mkdtemp(prefix="hll_state_")
+    build_sketch_state(
+        ev.filter(F.col("event_id") % 3 == 0), ["event_type"], "user_id", path
+    )
+    for r in (1, 2):
+        update_sketch_state(
+            ev.filter(F.col("event_id") % 3 == r), ["event_type"], "user_id", path
+        )
+    est = sketch_state_estimates(spark, path, ["event_type"])
+    oneshot = sketch_distinct_state(ev, ["event_type"], "user_id").select(
+        "event_type", F.hll_sketch_estimate("sketch").alias("__one")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    # 3x the lg_k=12 relative standard error (1.04/sqrt(4096) ~ 1.6%).
+    return (
+        exact.join(est, "event_type")
+        .join(oneshot, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact")) / F.col("n_exact")
+                <= 0.05
+            ).alias("within_bound"),
+            (F.col("n_distinct_est") == F.col("__one")).alias("merge_exact"),
+        )
+    )
+
+
+@defq(
     "stream_vector_neardup",
     oracle="""
     SELECT vec_id FROM embeddings

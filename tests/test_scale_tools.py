@@ -783,3 +783,43 @@ def test_vector_index_rejects_dim_mismatch(spark, tmp_path):
     assert spark.read.parquet(f"{idx2}/meta").first().dim == 4
     with _pytest.raises(ValueError):
         update_vector_index(bad, idx2)
+
+
+def test_sketch_state_batching_invariant_and_precision_pinned(spark, tmp_path):
+    """HLL sketch state: (a) union of per-batch sketches == one-shot
+    sketch EXACTLY for any batch split (register-wise max), (b) updates
+    inherit the build's lg_k from meta — a caller cannot drift
+    precision, (c) estimates track exact counts within the rse bound."""
+    from interlinked_spark.operators.sketches import (
+        build_sketch_state,
+        sketch_distinct_state,
+        sketch_state_estimates,
+        update_sketch_state,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 1300).alias("v")
+    )
+    path = str(tmp_path / "hll")
+    build_sketch_state(df.filter(F.col("id") % 4 == 0), ["g"], "v", path, lg_k=13)
+    for r in (1, 2, 3):
+        update_sketch_state(df.filter(F.col("id") % 4 == r), ["g"], "v", path)
+
+    merged = {
+        r.g: r.n_distinct_est
+        for r in sketch_state_estimates(spark, path, ["g"]).collect()
+    }
+    oneshot = {
+        r.g: r.one
+        for r in sketch_distinct_state(df, ["g"], "v", lg_k=13)
+        .select("g", F.hll_sketch_estimate("sketch").alias("one"))
+        .collect()
+    }
+    assert merged == oneshot  # exact equality, not approximate
+
+    exact = {r.g: r.n for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+    for g, est in merged.items():
+        assert abs(est - exact[g]) / exact[g] <= 0.04  # 3x rse at lg_k=13
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert meta.lg_k == 13
