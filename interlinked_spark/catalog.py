@@ -2265,6 +2265,41 @@ def q_dedup_incremental_compacted(d: DataFrame, spark: SparkSession) -> DataFram
 
 
 @defq(
+    "zordered_scan_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10 AND 60
+    GROUP BY 1
+    """,
+)
+def q_zordered_scan_agg(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Z-order clustered sink + 2-D skipping scan (§2b-A), driver-gated:
+    write events Morton-curve-clustered on (user_id, value) — per-column
+    quantile-grid buckets, bits interleaved, range-partitioned on the
+    z-value (`sources/writers.write_zordered`) — and read back with a
+    predicate on BOTH columns.  Each file covers a small hyper-rectangle
+    of the key space, so the 2-D predicate skips files on footer stats
+    in both dimensions at once (a 1-D sort gives one dimension and
+    sacrifices the other; span narrowing pinned in
+    ``test_round5_ops.py``).  The path-based Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``."""
+    import tempfile
+
+    from .sources.writers import write_zordered
+
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    path = tempfile.mkdtemp(prefix="zorder_scan_")
+    write_zordered(ev, path, ["user_id", "value"], n_files=8)
+    back = spark.read.parquet(path).filter(
+        F.col("user_id").between(100, 300) & F.col("value").between(10, 60)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@defq(
     "events_hll_state_distinct",
     oracle="""
     SELECT event_type,

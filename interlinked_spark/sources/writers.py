@@ -170,3 +170,92 @@ def compact_table(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return before, _count(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Z-order (Morton-curve) clustered layout — multi-dimensional data
+    skipping (§2b-A scale notes): each z-order column is quantized into
+    ``2^bits`` rank buckets on its own quantile grid, the bucket bits
+    are INTERLEAVED into one z-value, and files are range-partitioned +
+    sorted on it.  Every file then covers a small hyper-rectangle of
+    the combined key space, so a predicate on ANY of the columns (or
+    several at once) skips files on footer min/max stats —
+    :func:`write_clustered` gives that for one dimension at the cost of
+    every other; Z-ordering shares the locality across dimensions.
+    This is path-based Delta/Iceberg ``OPTIMIZE ZORDER BY``, same
+    topology.
+
+    Quantile-grid quantization (``approxQuantile``, one distributed
+    pass, ``2^bits`` boundaries per column collected driver-side — KBs)
+    rather than min/max scaling: Zipf-skewed columns would otherwise
+    collapse into a handful of buckets and the curve degenerates to the
+    first column's order.  The z-value itself is built JVM-side from
+    shift/or expressions; timestamps quantize on their epoch seconds."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    zorder_cols = list(zorder_cols)
+    nq = 1 << bits
+
+    def numeric(c: str):
+        if isinstance(df.schema[c].dataType, TimestampType):
+            return F.unix_timestamp(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
+    probe = df.select(
+        *[numeric(c).alias(f"__z{i}") for i, c in enumerate(zorder_cols)]
+    )
+    grids = probe.approxQuantile(
+        [f"__z{i}" for i in range(len(zorder_cols))],
+        [j / nq for j in range(1, nq)],
+        0.001,
+    )
+
+    nd = len(zorder_cols)
+    staged = df
+    for i, c in enumerate(zorder_cols):
+        # bucket = count of grid boundaries at-or-below the value
+        # (0..2^bits-1): rank-space quantization, robust to skew.  The
+        # boundary array is a literal (KBs) evaluated per row with one
+        # filter+size — no join, no shuffle.  Duplicate boundaries are
+        # KEPT deliberately: a low-cardinality column (15 users at the
+        # smallest SF) repeats each boundary ~nq/cardinality times, and
+        # counting the repeats is what spreads its buckets across the
+        # FULL 0..2^bits-1 range — deduping them would park the column
+        # in the low bits and hand the curve's high bits entirely to
+        # the other columns (a caught bug: user_id spans stopped
+        # narrowing at all).  Buckets MATERIALIZE as columns before the
+        # bit loop (the HOF-blowup rule: the z-value references each
+        # bucket ``bits`` times, and inlining would duplicate the
+        # 2^bits-element HOF subtree per bit).
+        bounds = F.array(*[F.lit(float(b)) for b in sorted(grids[i])])
+        v = numeric(c)
+        staged = staged.withColumn(
+            f"__zb{i}", F.size(F.filter(bounds, lambda b: b <= v)).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(nd):
+        bucket = F.col(f"__zb{i}")
+        for j in range(bits):
+            # bit j of column i lands at interleaved position j*nd + i
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * nd + i
+                )
+            )
+    out = (
+        staged.withColumn("__zval", z)
+        .repartitionByRange(n_files, F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .drop("__zval", *[f"__zb{i}" for i in range(nd)])
+    )
+    write_table(out, path, fmt=fmt, mode=mode, **options)

@@ -112,3 +112,39 @@ def test_flag_contaminated_hand_case(spark):
     )
     got = {r.doc_id: r.n_hit_grams for r in flag_contaminated(docs, bench, n=5).collect()}
     assert got == {1: 2, 3: 1}, got
+
+
+def test_zordered_write_narrows_both_dimensions(spark, tmp_path):
+    """write_zordered's contract: every file covers a small
+    hyper-rectangle, so footer-stat spans narrow in BOTH z-order
+    dimensions at once — a 1-D clustered layout of the same data
+    narrows only its own column and leaves the other near-global.
+    Row multiset preserved."""
+    from interlinked_spark.sources.writers import write_clustered, write_zordered
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    z, c = str(tmp_path / "z"), str(tmp_path / "c")
+    write_zordered(ev, z, ["user_id", "value"], n_files=8)
+    write_clustered(ev, c, ["user_id"], n_files=8)
+
+    def mean_span(path, col):
+        rngs = _file_ranges(path, col)
+        assert rngs, path
+        lo = min(a for a, _ in rngs)
+        hi = max(b for _, b in rngs)
+        return sum((b - a) / (hi - lo) for a, b in rngs) / len(rngs)
+
+    # z-order: meaningfully narrowed in BOTH dims
+    assert mean_span(z, "user_id") < 0.6
+    assert mean_span(z, "value") < 0.6
+    # 1-D clustering: narrow in its own dim, near-global in the other
+    assert mean_span(c, "user_id") < 0.2
+    assert mean_span(c, "value") > mean_span(z, "value")
+
+    got = spark.read.parquet(z).groupBy().agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+    ).first()
+    want = ev.groupBy().agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+    ).first()
+    assert (got.n, got.s) == (want.n, want.s)
