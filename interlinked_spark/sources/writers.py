@@ -114,6 +114,40 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+
+def _recover_swap_residue(path: str) -> None:
+    """Clean residue of a killed staged-directory swap (shared by
+    :func:`compact_table` / :func:`delete_rows`): a leftover
+    ``__compact_old`` with the table still present is a completed
+    swap's unremoved backup (deleted); WITHOUT the table it is a kill
+    between the two renames, and the backup is restored."""
+    import os
+    import shutil
+
+    shutil.rmtree(path.rstrip("/") + ".__compact_tmp", ignore_errors=True)
+    old = path.rstrip("/") + ".__compact_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+
+
+def _swap_in(out: DataFrame, path: str) -> None:
+    """Write ``out`` to the staging dir and swap it in over ``path``
+    (two renames — the crash window :func:`_recover_swap_residue`
+    covers)."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    write_table(out, tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact_table(
     spark,
     path: str,
@@ -143,32 +177,20 @@ def compact_table(
     equivalent, same topology."""
     import glob
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
     def _count(p: str) -> int:
         return len(glob.glob(os.path.join(p, "part-*")))
 
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    if os.path.exists(old):
-        if os.path.exists(path):
-            shutil.rmtree(old)  # completed swap, backup never removed
-        else:
-            os.rename(old, path)  # killed between the renames: restore
-
+    _recover_swap_residue(path)
     before = _count(path)
     df = spark.read.parquet(path)
     if cluster_cols:
         out = df.repartition(num_files, *[F.col(c) for c in cluster_cols])
     else:
         out = df.repartition(num_files)
-    write_table(out, tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_in(out, path)
     return before, _count(path)
 
 
@@ -259,3 +281,33 @@ def write_zordered(
         .drop("__zval", *[f"__zb{i}" for i in range(nd)])
     )
     write_table(out, path, fmt=fmt, mode=mode, **options)
+
+
+def delete_rows(
+    spark,
+    path: str,
+    keys_df: DataFrame,
+    on: Sequence[str],
+) -> tuple[int, int]:
+    """Delete rows matching ``keys_df`` on the ``on`` columns from a
+    parquet directory — the takedown/right-to-erasure path for every
+    persisted resource here (accepted corpus, shingle/vector index
+    postings, sketch state).  Anti-join rewrite through the same
+    staged-directory swap as :func:`compact_table` (same crash-recovery
+    contract), because parquet files are immutable: there is no
+    in-place delete, only rewrite-without.  Returns
+    ``(rows_before, rows_after)``.
+
+    The keys side is broadcast (a deletion list is small by nature); at
+    lake scale the same anti-join runs as Delta/Iceberg DELETE with
+    file-level pruning — identical topology, transactional swap."""
+    from pyspark.sql import functions as F
+
+    _recover_swap_residue(path)
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.join(
+        F.broadcast(keys_df.select(*on).dropDuplicates()), list(on), "left_anti"
+    )
+    _swap_in(kept, path)
+    return before, spark.read.parquet(path).count()

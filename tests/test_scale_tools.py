@@ -823,3 +823,50 @@ def test_sketch_state_batching_invariant_and_precision_pinned(spark, tmp_path):
 
     meta = spark.read.parquet(f"{path}/meta").first()
     assert meta.lg_k == 13
+
+
+def test_delete_rows_takedown_purges_index_state(spark, tmp_path):
+    """Right-to-erasure over persisted state: delete_rows removes a
+    document's rows from BOTH the accepted table and the shingle index
+    (anti-join + staged swap, same crash contract as compact_table);
+    afterwards no match references the deleted id and a re-sent copy of
+    the deleted text is ACCEPTED again — no ghost postings."""
+    from interlinked_spark.llm.dedup import (
+        build_shingle_index,
+        ngram_jaccard_incremental_indexed,
+    )
+    from interlinked_spark.sources.writers import compact_table, delete_rows
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    accepted = str(tmp_path / "accepted")
+    corpus.write.parquet(accepted)
+    idx = str(tmp_path / "idx")
+    build_shingle_index(corpus, idx, num_files=2)
+
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta")], ["doc_id", "text"]
+    )
+    assert ngram_jaccard_incremental_indexed(spark, idx, probe, threshold=0.5).count() == 1
+
+    takedown = spark.createDataFrame([(1,)], ["doc_id"])
+    b, a = delete_rows(spark, accepted, takedown, on=["doc_id"])
+    assert (b, a) == (2, 1)
+    delete_rows(spark, idx, takedown.withColumnRenamed("doc_id", "id"), on=["id"])
+
+    # Deleted doc no longer gates anything; unrelated postings intact.
+    assert ngram_jaccard_incremental_indexed(spark, idx, probe, threshold=0.5).count() == 0
+    other = spark.createDataFrame(
+        [(11, "one two three four five six seven eight")], ["doc_id", "text"]
+    )
+    got = ngram_jaccard_incremental_indexed(spark, idx, other, threshold=0.5).collect()
+    assert [(r.new_id, r.match_id) for r in got] == [(11, 2)]
+
+    # Swap machinery composes: compaction after deletion keeps results.
+    compact_table(spark, idx, num_files=1, cluster_cols=["s"])
+    assert ngram_jaccard_incremental_indexed(spark, idx, probe, threshold=0.5).count() == 0
