@@ -92,6 +92,8 @@ HEADLINE = [
     "dedup_ngram_by_language",
     "doc_dataset_splits_stratified",
     "dedup_kept_greedy",
+    "events_hll_state_distinct",
+    "zordered_scan_agg",
 ]
 
 
