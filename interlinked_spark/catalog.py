@@ -4663,3 +4663,9 @@ def q_part_name_all_tokens(p: DataFrame) -> DataFrame:
         F.size(toks).alias("n_words"),
         F.array_join(toks, "-").alias("joined"),
     )
+
+
+# The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
+# registers itself via defq on import — keep this at module end so the
+# registry above is fully built first.
+from . import tpch  # noqa: E402,F401
