@@ -4665,6 +4665,94 @@ def q_part_name_all_tokens(p: DataFrame) -> DataFrame:
     )
 
 
+@defq(
+    "doc_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                          t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM toks WHERE n_tok > 0),
+    ex AS (
+      SELECT off, n_tok, u.seq AS seq_id
+      FROM pos, unnest(generate_series(off // 256, (off + n_tok - 1) // 256)) AS u(seq))
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(off + n_tok, (seq_id + 1) * 256)
+                    - GREATEST(off, seq_id * 256)) AS BIGINT) AS tokens_filled
+    FROM ex GROUP BY seq_id
+    """,
+    d="table.documents",
+)
+def q_doc_pack_sequences(d: DataFrame) -> DataFrame:
+    """Sequence packing (§2b-K training-pipeline): concat-split the
+    token-counted corpus into capacity-256 training sequences via the
+    distributed two-phase prefix sum (``llm/packing.py`` — no global
+    single-partition window), then per-sequence doc counts and fill.
+    Every sequence but the last is exactly full (property-pinned)."""
+    from .llm.packing import pack_sequences
+    from .llm.text import token_stats
+
+    toks = token_stats(d).select("doc_id", "n_bpe_est")
+    return pack_sequences(
+        toks, "n_bpe_est", "doc_id", capacity=256, bucket_width=100
+    )
+
+
+@defq(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH fr AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(LEAST(1.0,
+                   200.0 * pow(CAST(SUM(n_chars) AS DOUBLE), 0.5)
+                   / SUM(pow(CAST(SUM(n_chars) AS DOUBLE), 0.5)) OVER ()
+                   / COUNT(*)), 6) AS fraction
+      FROM documents GROUP BY source)
+    SELECT d.source, fr.n_rows, fr.fraction,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_selected
+    FROM documents d JOIN fr ON d.source = fr.source
+    WHERE substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN fraction >= 1.0 THEN 'g'
+               ELSE lpad(lower(hex(CAST(floor(fraction * 4294967296) AS BIGINT))), 8, '0') END
+    GROUP BY d.source, fr.n_rows, fr.fraction
+    """,
+    d="table.documents",
+)
+def q_corpus_temperature_mix(d: DataFrame) -> DataFrame:
+    """Temperature-resampled corpus mix (§2b-K training-pipeline): per
+    source w_s = token_mass^0.5 / sum, target 200 docs, deterministic
+    md5-band selection (``operators/sampling.py::temperature_sample``)
+    — the multilingual-pretraining resampling rule, one scan + one
+    broadcast join, no driver-side fraction dict."""
+    selected = sampling.temperature_sample(
+        d, "source", "doc_id", tau=0.5, target_rows=200, size_col="n_chars"
+    )
+    fr = sampling.temperature_fractions(
+        d, "source", tau=0.5, target_rows=200, size_col="n_chars"
+    ).select(F.col("source").alias("_s"), "n_rows", "fraction")
+    agg = group_agg(
+        selected,
+        ["source"],
+        {
+            "n_selected": F.count("*").cast("bigint"),
+            "chars_selected": F.sum("n_chars").cast("bigint"),
+        },
+    )
+    return equi_join(agg, F.broadcast(fr), on=F.col("source") == F.col("_s")).select(
+        "source", "n_rows", "fraction", "n_selected", "chars_selected"
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

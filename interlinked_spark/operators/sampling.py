@@ -252,3 +252,115 @@ def dataset_splits_stratified_sql(
         return default_sql if default_sql is not None else "CAST(NULL AS VARCHAR)"
     tail = f" ELSE {default_sql}" if default_sql is not None else ""
     return "CASE " + " ".join(arms) + tail + " END"
+
+
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str,
+    tau: float,
+    target_rows: int,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum sampling fractions for a temperature-weighted corpus
+    mix (the multilingual/multi-source pretraining resampling rule):
+    stratum weight w_s = size_s^tau / sum(size_t^tau), where size is the
+    row count (or ``sum(size_col)`` — e.g. token mass — when given), and
+    the expected sample from stratum s is ``target_rows * w_s`` rows.
+    tau = 1 keeps natural proportions, tau = 0 is uniform over strata,
+    between the two it up-weights the tail — the standard knob.
+
+    Fully distributed: one aggregate per stratum, a one-row total
+    broadcast back — no driver-side collect, any number of strata.
+    Fractions are rounded to 6 dp (and capped at 1) so the downstream
+    md5 threshold is bit-identical in every engine, including the SQL
+    oracle twin."""
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    size = F.count("*") if size_col is None else F.sum(size_col)
+    counts = df.groupBy(strata_col).agg(
+        F.count("*").cast("bigint").alias("n_rows"), size.cast("double").alias("_size")
+    )
+    total = counts.agg(F.sum(F.pow("_size", F.lit(tau))).alias("_wtot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "fraction",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows))
+                    * F.pow("_size", F.lit(tau))
+                    / F.col("_wtot")
+                    / F.col("n_rows"),
+                ),
+                6,
+            ),
+        )
+        .select(strata_col, "n_rows", "fraction")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    tau: float,
+    target_rows: int,
+    size_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-resampled corpus: each stratum keeps
+    the :func:`hash_sample` md5 band sized by its
+    :func:`temperature_fractions` fraction.  The fraction table is a
+    tiny per-stratum aggregate broadcast back onto the corpus — the
+    whole selection is one scan + one broadcast join, reproducible
+    across runs/engines/partitionings, no driver-side fraction dict."""
+    fr = temperature_fractions(df, strata_col, tau, target_rows, size_col).select(
+        F.col(strata_col).alias("_frs"), "fraction"
+    )
+    threshold = F.when(F.col("fraction") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("fraction") * _HEX_SPACE).cast("bigint"))),
+            8,
+            "0",
+        )
+    )
+    joined = df.join(F.broadcast(fr), F.col(strata_col) == F.col("_frs"), "inner")
+    return (
+        joined.filter(_hash_prefix(key_col, salt) < threshold)
+        .drop("_frs")
+    )
+
+
+def temperature_fractions_sql(
+    strata_col: str,
+    tau: float,
+    target_rows: int,
+    size_col: str | None = None,
+    table: str = "documents",
+) -> str:
+    """ANSI-SQL twin of :func:`temperature_fractions` as a CTE body
+    (oracle parity helper): yields ``(strata, n_rows, fraction)`` with
+    the identical pow/round/cap arithmetic."""
+    size = "COUNT(*)" if size_col is None else f"SUM({size_col})"
+    return f"""
+    SELECT {strata_col},
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(LEAST(1.0,
+                 {float(target_rows)} * pow(CAST({size} AS DOUBLE), {tau})
+                 / SUM(pow(CAST({size} AS DOUBLE), {tau})) OVER ()
+                 / COUNT(*)), 6) AS fraction
+    FROM {table} GROUP BY {strata_col}
+    """
+
+
+def temperature_sample_sql_predicate(key_col: str, salt: str = "") -> str:
+    """The md5-band membership predicate against a joined ``fraction``
+    column (SQL twin of the :func:`temperature_sample` filter)."""
+    return (
+        f"substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < "
+        "CASE WHEN fraction >= 1.0 THEN 'g' "
+        f"ELSE lpad(lower(hex(CAST(floor(fraction * {_HEX_SPACE}) AS BIGINT))), 8, '0') END"
+    )

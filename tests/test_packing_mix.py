@@ -1,0 +1,129 @@
+"""Sequence packing + temperature-mix invariants (round-8 training
+pipeline additions; SURVEY §5.2 tier-3 property style).
+
+Packing pins: the two-phase distributed prefix sum equals the
+single-window definition; every sequence except the last is exactly
+full; token mass is conserved; docs longer than the capacity span the
+right number of sequences.  Mix pins: fractions are capped/rounded,
+tau = 1 with row-count sizing is natural sampling (uniform fraction),
+selection is a deterministic subset keyed on md5 bands.
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from interlinked_spark.llm.packing import (
+    global_running_sum,
+    pack_sequences,
+    packed_assignments,
+)
+from interlinked_spark.operators.sampling import (
+    temperature_fractions,
+    temperature_sample,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_tokens(spark):
+    from interlinked_spark.llm.text import token_stats
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    return token_stats(d).select("doc_id", "n_bpe_est").cache()
+
+
+def test_global_running_sum_matches_single_window(docs_tokens):
+    two_phase = global_running_sum(docs_tokens, "n_bpe_est", "doc_id", bucket_width=37)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    single = docs_tokens.withColumn(
+        "expected", F.coalesce(F.sum("n_bpe_est").over(w), F.lit(0)).cast("bigint")
+    )
+    joined = two_phase.join(single.select("doc_id", "expected"), "doc_id")
+    assert joined.filter(F.col("offset") != F.col("expected")).count() == 0
+
+
+def test_global_running_sum_rejects_bad_bucket(docs_tokens):
+    with pytest.raises(ValueError):
+        global_running_sum(docs_tokens, "n_bpe_est", "doc_id", bucket_width=0)
+
+
+def test_pack_all_full_but_last_and_mass_conserved(docs_tokens):
+    cap = 256
+    seqs = pack_sequences(docs_tokens, "n_bpe_est", "doc_id", cap, bucket_width=50)
+    rows = {r["seq_id"]: r for r in seqs.collect()}
+    assert sorted(rows) == list(range(len(rows)))  # contiguous ids from 0
+    last = max(rows)
+    for sid, r in rows.items():
+        assert r["n_docs"] >= 1
+        if sid != last:
+            assert r["tokens_filled"] == cap, f"seq {sid} not full"
+        else:
+            assert 0 < r["tokens_filled"] <= cap
+    total = docs_tokens.filter(F.col("n_bpe_est") > 0).agg(
+        F.sum("n_bpe_est")
+    ).collect()[0][0]
+    assert sum(r["tokens_filled"] for r in rows.values()) == total
+
+
+def test_pack_long_doc_spans_sequences(spark):
+    # One 1000-token doc at capacity 300 must span ceil-wise: rows 0..3.
+    df = spark.createDataFrame(
+        [(1, 10), (2, 1000), (3, 10)], ["doc_id", "n_tok"]
+    )
+    placed = packed_assignments(df, "n_tok", "doc_id", capacity=300, bucket_width=10)
+    spans = {r["doc_id"]: (r["seq_first"], r["seq_last"]) for r in placed.collect()}
+    assert spans[1] == (0, 0)
+    assert spans[2] == (0, 3)  # offset 10, ends at 1009 -> seq 3
+    assert spans[3] == (3, 3)
+
+
+def test_pack_drops_zero_token_docs(spark):
+    df = spark.createDataFrame([(1, 0), (2, 5)], ["doc_id", "n_tok"])
+    placed = packed_assignments(df, "n_tok", "doc_id", capacity=8, bucket_width=10)
+    assert [r["doc_id"] for r in placed.collect()] == [2]
+
+
+def test_pack_rejects_bad_capacity(spark):
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "n_tok"])
+    with pytest.raises(ValueError):
+        packed_assignments(df, "n_tok", "doc_id", capacity=0, bucket_width=10)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+def test_temperature_tau1_rowcount_is_natural(docs):
+    # tau=1 with row-count sizing: expected_s = target * n_s / N, so
+    # fraction = target / N for every stratum.
+    fr = temperature_fractions(docs, "source", tau=1.0, target_rows=100)
+    n_total = docs.count()
+    want = round(100.0 / n_total, 6)
+    fracs = {r["source"]: r["fraction"] for r in fr.collect()}
+    assert all(abs(f - want) < 1e-9 for f in fracs.values())
+
+
+def test_temperature_fractions_capped_and_guarded(docs):
+    fr = temperature_fractions(docs, "source", tau=0.5, target_rows=10**9)
+    assert all(r["fraction"] == 1.0 for r in fr.collect())
+    with pytest.raises(ValueError):
+        temperature_fractions(docs, "source", tau=-0.1, target_rows=10)
+    with pytest.raises(ValueError):
+        temperature_fractions(docs, "source", tau=0.5, target_rows=0)
+
+
+def test_temperature_sample_deterministic_subset(docs):
+    a = temperature_sample(docs, "source", "doc_id", 0.5, 200, size_col="n_chars")
+    b = temperature_sample(docs, "source", "doc_id", 0.5, 200, size_col="n_chars")
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and 0 < len(ids_a) < docs.count()
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(ids_a) <= all_ids
+    # different salt -> different (but same-band-rate) selection
+    c = temperature_sample(docs, "source", "doc_id", 0.5, 200, size_col="n_chars", salt="x")
+    ids_c = sorted(r["doc_id"] for r in c.select("doc_id").collect())
+    assert ids_c != ids_a
