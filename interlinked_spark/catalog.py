@@ -4753,6 +4753,45 @@ def q_corpus_temperature_mix(d: DataFrame) -> DataFrame:
     )
 
 
+def _trade_edges_sql() -> str:
+    return (
+        "SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s, "
+        "'C' || CAST(o_custkey AS VARCHAR) AS d "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+
+
+@defq(
+    "trade_pagerank",
+    oracle=None,  # assigned below: unrolled CTE chain from pagerank_sql
+    li="table.lineitem",
+    o="table.orders",
+)
+def q_trade_pagerank(li: DataFrame, o: DataFrame) -> DataFrame:
+    """Fixed-iteration PageRank (§2b iterative-algorithm family, beyond
+    connected components): supplier -> customer trade edges, 5
+    iterations, damping 0.85, dangling customer mass redistributed
+    uniformly.  Oracle = the same recurrence unrolled into a SQL CTE
+    chain (``operators/graph.py::pagerank_sql``)."""
+    from .operators.graph import pagerank
+
+    edges = equi_join(
+        li.select("l_orderkey", "l_suppkey"),
+        o.select("o_orderkey", "o_custkey"),
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("vertex", F.round("pagerank", 8).alias("pagerank"))
+
+
+from .operators.graph import pagerank_sql as _pagerank_sql  # noqa: E402
+
+ORACLES["trade_pagerank"] = _pagerank_sql(_trade_edges_sql(), iterations=5, damping=0.85)
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

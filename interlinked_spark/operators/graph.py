@@ -174,3 +174,114 @@ def greedy_first_fit(
         if status.filter(F.col("st") == 0).limit(1).count() == 0:
             return status.select(F.col("v").alias(v_col), (F.col("st") == 1).alias("kept"))
     raise RuntimeError(f"greedy_first_fit did not converge in {max_iterations} iterations")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Fixed-iteration PageRank on a directed graph; returns
+    ``(vertex, pagerank)`` with ranks summing to 1 (dangling mass is
+    redistributed uniformly each iteration — the standard correction,
+    NOT dropped, so the distribution stays a distribution).
+
+    Each iteration is one keyed join + one aggregate: edge weights
+    ``1/outdeg(src)`` are precomputed ONCE and reused, so the loop body
+    shuffles only the (vertex, rank) frame — the same per-round cost
+    profile as :func:`connected_components`.  The dangling-mass scalar
+    stays in-plan as a one-row broadcast (no driver collect).  Rounds
+    are checkpointed to keep lineage flat; a fixed iteration count (the
+    production norm for ranking) rather than convergence detection, so
+    the result is deterministic and SQL-twinnable by unrolling."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct(),
+        checkpoint_mode,
+    )
+    verts = materialize(
+        e.select(F.col("s").alias("vertex"))
+        .union(e.select(F.col("d").alias("vertex")))
+        .distinct(),
+        checkpoint_mode,
+    )
+    n = verts.count()  # one scalar, once — iteration bodies stay lazy
+    weights = materialize(
+        e.join(
+            e.groupBy("s").agg((1.0 / F.count("*")).alias("w")).select(
+                F.col("s").alias("ws"), "w"
+            ),
+            F.col("s") == F.col("ws"),
+        ).select("s", "d", "w"),
+        checkpoint_mode,
+    )
+    has_out = weights.select(F.col("s").alias("vertex")).distinct()
+    pr = verts.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            pr.join(weights, pr["vertex"] == weights["s"])
+            .groupBy("d")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
+        )
+        dangling = (
+            pr.join(has_out, "vertex", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+        )
+        pr = materialize(
+            verts.join(contrib, verts["vertex"] == contrib["d"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vertex",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n)
+                ).alias("pr"),
+            ),
+            checkpoint_mode,
+        )
+    return pr.select("vertex", F.col("pr").alias("pagerank"))
+
+
+def pagerank_sql(
+    edges_cte: str, iterations: int = 5, damping: float = 0.85, round_dp: int = 8
+) -> str:
+    """ANSI-SQL twin of :func:`pagerank` (oracle parity helper): the
+    fixed iteration count unrolls into a CTE chain — ``edges_cte`` must
+    yield columns ``(s, d)``.  Emits ``(vertex, pagerank)`` rounded to
+    ``round_dp`` (cross-engine float-sum noise is ~1e-16 relative, far
+    below an 8-dp boundary)."""
+    d = damping
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "verts AS (SELECT s AS v FROM edges UNION SELECT d FROM edges)",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "w AS (SELECT s, d, 1.0 / (COUNT(*) OVER (PARTITION BY s)) AS w FROM edges)",
+        "pr0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS pr FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT w.d AS v, SUM(p.pr * w.w) AS contrib "
+            f"FROM {p} p JOIN w ON p.v = w.s GROUP BY w.d)"
+        )
+        parts.append(
+            f"g{i} AS (SELECT COALESCE(SUM(p.pr), 0) AS dang FROM {p} p "
+            "WHERE NOT EXISTS (SELECT 1 FROM w WHERE w.s = p.v))"
+        )
+        parts.append(
+            f"pr{i} AS (SELECT v.v, (1 - {d}) / (SELECT n FROM nv) + {d} * "
+            f"(COALESCE(c.contrib, 0) + (SELECT dang FROM g{i}) / (SELECT n FROM nv)) AS pr "
+            f"FROM verts v LEFT JOIN c{i} c ON v.v = c.v)"
+        )
+    chain = ",\n    ".join(parts)
+    return (
+        f"{chain}\n    SELECT v AS vertex, ROUND(pr, {round_dp}) AS pagerank "
+        f"FROM pr{iterations}"
+    )

@@ -127,3 +127,37 @@ def test_temperature_sample_deterministic_subset(docs):
     c = temperature_sample(docs, "source", "doc_id", 0.5, 200, size_col="n_chars", salt="x")
     ids_c = sorted(r["doc_id"] for r in c.select("doc_id").collect())
     assert ids_c != ids_a
+
+
+# ---- pagerank (round-8 iterative-algorithm addition) ----------------
+
+
+def test_pagerank_sums_to_one_and_uniform_on_cycle(spark):
+    from interlinked_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    pr = {r["vertex"]: r["pagerank"] for r in pagerank(cycle, iterations=7).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert all(abs(v - 1.0 / 3) < 1e-9 for v in pr.values())
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from interlinked_spark.operators.graph import pagerank
+
+    # a -> b, b dangling: mass must NOT leak (sum stays 1) and b > a.
+    chain = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    pr = {r["vertex"]: r["pagerank"] for r in pagerank(chain, iterations=10).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr["b"] > pr["a"]
+
+
+def test_pagerank_guards(spark):
+    from interlinked_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.0)
