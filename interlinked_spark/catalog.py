@@ -4753,6 +4753,198 @@ def q_corpus_temperature_mix(d: DataFrame) -> DataFrame:
     )
 
 
+@defq(
+    "corpus_mix_kl",
+    oracle="""
+    WITH fr AS (
+      SELECT source,
+             CAST(SUM(n_chars) AS DOUBLE) AS mass,
+             ROUND(LEAST(1.0,
+                   200.0 * pow(CAST(SUM(n_chars) AS DOUBLE), 0.5)
+                   / SUM(pow(CAST(SUM(n_chars) AS DOUBLE), 0.5)) OVER ()
+                   / COUNT(*)), 6) AS fraction
+      FROM documents GROUP BY source),
+    sel AS (
+      SELECT d.source, CAST(SUM(d.n_chars) AS DOUBLE) AS sel_mass
+      FROM documents d JOIN fr ON d.source = fr.source
+      WHERE substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE WHEN fraction >= 1.0 THEN 'g'
+                 ELSE lpad(lower(hex(CAST(floor(fraction * 4294967296) AS BIGINT))), 8, '0') END
+      GROUP BY d.source)
+    SELECT fr.source,
+           ROUND(fr.mass / SUM(fr.mass) OVER (), 6) AS p_natural,
+           ROUND(COALESCE(sel.sel_mass, 0) / SUM(COALESCE(sel.sel_mass, 0)) OVER (), 6) AS q_selected,
+           ROUND(CASE WHEN COALESCE(sel.sel_mass, 0) = 0 THEN 0
+                 ELSE (sel.sel_mass / SUM(COALESCE(sel.sel_mass, 0)) OVER ())
+                      * ln((sel.sel_mass / SUM(COALESCE(sel.sel_mass, 0)) OVER ())
+                           / (fr.mass / SUM(fr.mass) OVER ())) END, 6) AS kl_term
+    FROM fr LEFT JOIN sel ON fr.source = sel.source
+    """,
+    d="table.documents",
+)
+def q_corpus_mix_kl(d: DataFrame) -> DataFrame:
+    """Mix-shift diagnostics (§2b-K training-pipeline): per-source
+    natural vs temperature-resampled token-mass shares and the KL(q‖p)
+    contribution of each source — the dataset-card number that says how
+    far the resampled mix is from the natural corpus.  One aggregate
+    per distribution + a window total; sources with nothing selected
+    contribute 0 (the KL convention for q=0)."""
+    natural = group_agg(
+        d, ["source"], {"mass": F.sum("n_chars").cast("double")}
+    )
+    selected = group_agg(
+        sampling.temperature_sample(
+            d, "source", "doc_id", tau=0.5, target_rows=200, size_col="n_chars"
+        ),
+        ["source"],
+        {"sel_mass": F.sum("n_chars").cast("double")},
+    ).select(F.col("source").alias("_ss"), "sel_mass")
+    w = Window.partitionBy()
+    joined = (
+        equi_join(natural, selected, on=F.col("source") == F.col("_ss"), how="left")
+        .withColumn("sel_mass", F.coalesce("sel_mass", F.lit(0.0)))
+        .withColumn("p_raw", F.col("mass") / F.sum("mass").over(w))
+        .withColumn("q_raw", F.col("sel_mass") / F.sum("sel_mass").over(w))
+    )
+    kl = F.when(F.col("sel_mass") == 0, F.lit(0.0)).otherwise(
+        F.col("q_raw") * F.log(F.col("q_raw") / F.col("p_raw"))
+    )
+    return joined.select(
+        "source",
+        F.round("p_raw", 6).alias("p_natural"),
+        F.round("q_raw", 6).alias("q_selected"),
+        F.round(kl, 6).alias("kl_term"),
+    )
+
+
+@defq(
+    "doc_length_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                          t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    bounds AS (
+      SELECT quantile_cont(n_tok, 0.25) AS b1,
+             quantile_cont(n_tok, 0.50) AS b2,
+             quantile_cont(n_tok, 0.75) AS b3
+      FROM toks)
+    SELECT CASE WHEN n_tok <= b1 THEN 0 WHEN n_tok <= b2 THEN 1
+                WHEN n_tok <= b3 THEN 2 ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+    FROM toks, bounds GROUP BY bucket
+    """,
+    d="table.documents",
+)
+def q_doc_length_buckets(d: DataFrame) -> DataFrame:
+    """Quantile length-bucketing (§2b-K batch shaping): global exact
+    quartile boundaries of the token count (one tiny aggregate,
+    broadcast back) assign every document a bucket — the pre-step for
+    length-grouped batching that keeps padding waste bounded.  Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share interpolation."""
+    from .llm.text import token_stats
+
+    toks = token_stats(d).select("doc_id", F.col("n_bpe_est").alias("n_tok"))
+    bounds = toks.agg(
+        F.expr("percentile(n_tok, 0.25)").alias("b1"),
+        F.expr("percentile(n_tok, 0.50)").alias("b2"),
+        F.expr("percentile(n_tok, 0.75)").alias("b3"),
+    )
+    bucket = (
+        F.when(F.col("n_tok") <= F.col("b1"), 0)
+        .when(F.col("n_tok") <= F.col("b2"), 1)
+        .when(F.col("n_tok") <= F.col("b3"), 2)
+        .otherwise(3)
+    )
+    return group_agg(
+        toks.crossJoin(F.broadcast(bounds)).withColumn("bucket", bucket),
+        ["bucket"],
+        {
+            "n_docs": F.count("*").cast("bigint"),
+            "tokens": F.sum("n_tok").cast("bigint"),
+            "min_tok": F.min("n_tok").cast("bigint"),
+            "max_tok": F.max("n_tok").cast("bigint"),
+        },
+    )
+
+
+@WKF.depend(d="table.documents")
+@WKF.provide("pack_state.{cap:int}")
+def _pack_state(d: DataFrame, cap: str) -> str:
+    """Routed MATERIALIZED packing state (capacity from the route
+    param): batch 0 (``doc_id % 4 != 0``) is packed into a fresh state
+    dir once per run and memoized — the same resource-as-state pattern
+    as ``dedup_index.{n}``."""
+    import tempfile
+
+    from .llm.packing import init_packing_state, pack_incremental
+    from .llm.text import token_stats
+
+    path = tempfile.mkdtemp(prefix=f"pack_state_{cap}_")
+    init_packing_state(d.sparkSession, path, capacity=int(cap))
+    batch0 = token_stats(d.filter(F.col("doc_id") % 4 != 0)).select(
+        "doc_id", "n_bpe_est"
+    )
+    pack_incremental(batch0, path, "n_bpe_est", "doc_id", bucket_width=100, batch_id=0)
+    return path
+
+
+@defq(
+    "doc_pack_incremental",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                          t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tok,
+             CAST(doc_id % 4 = 0 AS INTEGER) AS batch_seq,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY (doc_id % 4 = 0), doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM toks WHERE n_tok > 0)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_bpe_est,
+           off AS "offset",
+           CAST(off // 256 AS BIGINT) AS seq_first,
+           CAST((off + n_tok - 1) // 256 AS BIGINT) AS seq_last,
+           batch_seq
+    FROM pos
+    """,
+    st="pack_state.256",
+    d="table.documents",
+)
+def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Incremental packing against the MATERIALIZED state (§2b-K
+    production loop): the new batch (``doc_id % 4 == 0``) is laid down
+    AFTER the committed corpus using only the stored ``next_offset`` —
+    zero re-scans of already-packed batches — then the full coordinate
+    table reads back partition-pruned by the committed batch counter.
+    Oracle = one recompute over both batches in commit order."""
+    from .llm.packing import pack_incremental, read_packed
+    from .llm.text import token_stats
+
+    batch1 = token_stats(d.filter(F.col("doc_id") % 4 == 0)).select(
+        "doc_id", "n_bpe_est"
+    )
+    pack_incremental(batch1, st, "n_bpe_est", "doc_id", bucket_width=100, batch_id=1)
+    packed = read_packed(spark, st)
+    return packed.select(
+        "doc_id",
+        F.col("n_bpe_est").cast("bigint").alias("n_bpe_est"),
+        "offset",
+        "seq_first",
+        "seq_last",
+        F.col("batch_seq").cast("int").alias("batch_seq"),
+    )
+
+
 def _trade_edges_sql() -> str:
     return (
         "SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s, "

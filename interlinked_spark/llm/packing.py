@@ -122,3 +122,105 @@ def pack_sequences(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(overlap).cast("bigint").alias("tokens_filled"),
     )
+
+
+# ---- materialized packing state (the production append loop) --------
+#
+# A training corpus is packed incrementally: each accepted batch is
+# laid down AFTER everything already packed, so the only state needed
+# is the running token offset (plus the batch counter).  The state dir
+# layout:
+#
+#   <path>/meta/                one-row parquet: next_offset, n_batches, capacity
+#   <path>/assignments/batch_seq=K/   per-doc coordinates of batch K
+#
+# Each batch writes its OWN partition directory (overwrite) before the
+# meta swap commits it — a retried failed batch rewrites the same
+# partition instead of appending duplicates, so the loop is idempotent
+# per batch.  The meta swap reuses the staged-rename machinery of
+# sources/writers.py (crash residue recovered on next read).
+
+
+def init_packing_state(spark, path: str, capacity: int) -> None:
+    """Create an empty packing state dir (idempotent layout)."""
+    import os
+
+    from ..sources.writers import write_table
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    os.makedirs(f"{path}/assignments", exist_ok=True)
+    meta = spark.createDataFrame(
+        [(0, 0, capacity)], "next_offset bigint, n_batches int, capacity int"
+    )
+    write_table(meta, f"{path}/meta")
+
+
+def _read_meta(spark, path: str):
+    from ..sources.writers import _recover_swap_residue
+
+    _recover_swap_residue(f"{path}/meta")
+    return spark.read.parquet(f"{path}/meta").collect()[0]
+
+
+def pack_incremental(
+    batch: DataFrame,
+    state_path: str,
+    token_col: str,
+    order_col: str,
+    bucket_width: int,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Pack one accepted batch AFTER everything already in the state:
+    batch-local two-phase prefix sum shifted by the stored
+    ``next_offset``, coordinates written to the batch's own partition,
+    then the meta row swaps forward (commit point).  The previously
+    packed corpus is scanned ZERO times — per-batch cost depends only
+    on the batch.  Returns the batch's absolute coordinates.
+
+    ``batch_id`` is the producer's idempotency key: a replay of an
+    ALREADY-COMMITTED batch id returns the stored partition untouched
+    (exactly-once layout under at-least-once drivers); the next
+    uncommitted id packs normally; skipping ahead raises."""
+    from ..sources.writers import _swap_in
+
+    spark = batch.sparkSession
+    meta = _read_meta(spark, state_path)
+    base, n_batches, capacity = meta["next_offset"], meta["n_batches"], meta["capacity"]
+    if batch_id is not None:
+        if batch_id < n_batches:
+            return spark.read.parquet(
+                f"{state_path}/assignments/batch_seq={batch_id}"
+            )
+        if batch_id > n_batches:
+            raise ValueError(
+                f"batch_id {batch_id} skips ahead of committed count {n_batches}"
+            )
+    placed = packed_assignments(
+        batch, token_col, order_col, capacity, bucket_width
+    ).select(
+        F.col(order_col),
+        (F.col("offset") + F.lit(base)).cast("bigint").alias("offset"),
+        F.col(token_col),
+    )
+    placed = placed.withColumn(
+        "seq_first", F.expr(f"offset DIV {capacity}")
+    ).withColumn("seq_last", F.expr(f"(offset + {token_col} - 1) DIV {capacity}"))
+    part_dir = f"{state_path}/assignments/batch_seq={n_batches}"
+    placed.write.mode("overwrite").parquet(part_dir)
+    batch_tokens = placed.agg(F.sum(token_col)).collect()[0][0] or 0
+    new_meta = spark.createDataFrame(
+        [(int(base + batch_tokens), int(n_batches) + 1, int(capacity))],
+        "next_offset bigint, n_batches int, capacity int",
+    )
+    _swap_in(new_meta, f"{state_path}/meta")
+    return placed
+
+
+def read_packed(spark, state_path: str) -> DataFrame:
+    """All committed per-doc packing coordinates (partition-pruned by
+    ``batch_seq`` when filtered).  Uncommitted partitions (a batch
+    whose meta swap never landed) are excluded by the counter."""
+    meta = _read_meta(spark, state_path)
+    df = spark.read.parquet(f"{state_path}/assignments")
+    return df.filter(F.col("batch_seq") < meta["n_batches"])

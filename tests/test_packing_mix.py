@@ -161,3 +161,72 @@ def test_pagerank_guards(spark):
         pagerank(e, iterations=0)
     with pytest.raises(ValueError):
         pagerank(e, damping=1.0)
+
+
+# ---- incremental packing state --------------------------------------
+
+
+def test_pack_incremental_continues_offsets(spark, tmp_path):
+    from interlinked_spark.llm.packing import (
+        init_packing_state,
+        pack_incremental,
+        packed_assignments,
+        read_packed,
+    )
+
+    b0 = spark.createDataFrame([(1, 30), (2, 50)], ["doc_id", "n_tok"])
+    b1 = spark.createDataFrame([(3, 20), (4, 40)], ["doc_id", "n_tok"])
+    path = str(tmp_path / "st")
+    init_packing_state(spark, path, capacity=64)
+    pack_incremental(b0, path, "n_tok", "doc_id", bucket_width=10, batch_id=0)
+    pack_incremental(b1, path, "n_tok", "doc_id", bucket_width=10, batch_id=1)
+    got = {
+        r["doc_id"]: (r["offset"], r["seq_first"], r["seq_last"])
+        for r in read_packed(spark, path).collect()
+    }
+    full = packed_assignments(
+        b0.union(b1), "n_tok", "doc_id", capacity=64, bucket_width=10
+    )
+    want = {
+        r["doc_id"]: (r["offset"], r["seq_first"], r["seq_last"])
+        for r in full.collect()
+    }
+    assert got == want  # batches in id order == one-shot recompute
+
+
+def test_pack_incremental_replay_is_idempotent(spark, tmp_path):
+    from interlinked_spark.llm.packing import (
+        init_packing_state,
+        pack_incremental,
+        read_packed,
+    )
+
+    b0 = spark.createDataFrame([(1, 30)], ["doc_id", "n_tok"])
+    path = str(tmp_path / "st")
+    init_packing_state(spark, path, capacity=64)
+    pack_incremental(b0, path, "n_tok", "doc_id", bucket_width=10, batch_id=0)
+    again = pack_incremental(b0, path, "n_tok", "doc_id", bucket_width=10, batch_id=0)
+    assert [r["offset"] for r in again.collect()] == [0]
+    assert read_packed(spark, path).count() == 1  # no duplicate rows
+    with pytest.raises(ValueError):
+        pack_incremental(b0, path, "n_tok", "doc_id", bucket_width=10, batch_id=5)
+
+
+def test_read_packed_excludes_uncommitted_partition(spark, tmp_path):
+    from interlinked_spark.llm.packing import (
+        init_packing_state,
+        pack_incremental,
+        read_packed,
+    )
+
+    b0 = spark.createDataFrame([(1, 30)], ["doc_id", "n_tok"])
+    path = str(tmp_path / "st")
+    init_packing_state(spark, path, capacity=64)
+    pack_incremental(b0, path, "n_tok", "doc_id", bucket_width=10, batch_id=0)
+    # A batch whose meta swap never landed: partition present, counter not bumped.
+    b0.selectExpr("doc_id", "0 AS n_tok_ignored", "99 AS offset").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/assignments/batch_seq=1")
+    committed = read_packed(spark, path)
+    assert committed.count() == 1
+    assert [r["batch_seq"] for r in committed.collect()] == [0]

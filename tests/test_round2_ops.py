@@ -377,6 +377,10 @@ def test_whole_catalog_plan_audit(spark):
         "doc_unigram_logprob",     # broadcast ONE-ROW token-total frame
         "referential_audit",       # cross join of three ONE-ROW audit counts
         "click_purchase_funnel",   # cross join of two ONE-ROW funnel counts
+        "corpus_temperature_mix",  # broadcast ONE-ROW weight-total frame
+        "corpus_mix_kl",           # broadcast ONE-ROW weight/mass totals
+        "doc_length_buckets",      # broadcast ONE-ROW quartile-bounds frame
+        "tpch_q22",                # theta vs broadcast ONE-ROW avg-acctbal frame
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
