@@ -1,8 +1,10 @@
 """End-to-end LLM training-data pipeline as a workflow: quality filter
 -> repetition gate -> span-level boilerplate gate (CDC chunks) ->
 benchmark decontamination -> exact dedup -> near-dup clustering ->
-canonical pick -> deterministic sample -> mix report.  Every stage is a routed resource, so any intermediate is
-addressable (`run("docs.canonical")`) and memoized within a run.
+canonical pick -> deterministic sample -> mix report -> stratified
+splits -> temperature-resampled mix -> sequence packing.  Every stage
+is a routed resource, so any intermediate is addressable
+(`run("docs.canonical")`) and memoized within a run.
 
     PYTHONPATH=. python examples/llm_pipeline.py
 """
@@ -164,9 +166,41 @@ def splits_card(d):
     return s.groupBy("lang", "split").count().orderBy("lang", "split")
 
 
+@wkf.depend(d="docs.canonical")
+@wkf.provide("mix.resampled")
+def mix_resampled(d, tau: float = 0.5, target_docs: int = 100):
+    """Temperature-resample the canonical corpus: per-source token-mass
+    weights w_s ∝ mass^tau, deterministic md5-band selection — the
+    pretraining mix knob (`sampling.temperature_sample`)."""
+    from interlinked_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(
+        d, "source", "doc_id", tau=tau, target_rows=target_docs, size_col="n_chars"
+    )
+
+
+@wkf.depend(d="mix.resampled")
+@wkf.provide("packed_card")
+def packed_card(d, capacity: int = 256):
+    """Lay the resampled mix into fixed-capacity training sequences
+    (concat-split; `llm.packing.pack_sequences` over the distributed
+    prefix sum) and report the fill profile — the final shape that
+    actually hits the trainer."""
+    from interlinked_spark.llm.packing import pack_sequences
+
+    toks = token_stats(d).select("doc_id", "n_bpe_est")
+    seqs = pack_sequences(toks, "n_bpe_est", "doc_id", capacity, bucket_width=100)
+    return seqs.agg(
+        F.count("*").alias("n_sequences"),
+        F.sum("tokens_filled").alias("tokens_packed"),
+        F.round(F.avg("n_docs"), 2).alias("avg_docs_per_seq"),
+        F.min("tokens_filled").alias("min_fill"),
+    )
+
+
 if __name__ == "__main__":
-    out, mix, matches, splits = wkf.run(
-        "report", "mix_report", "batch.matches", "splits_card"
+    out, mix, matches, splits, packed = wkf.run(
+        "report", "mix_report", "batch.matches", "splits_card", "packed_card"
     )
     row = out.first()
     assert row.n_docs > 0 and row.total_tokens > row.n_docs
@@ -177,3 +211,9 @@ if __name__ == "__main__":
     assert n_matches > 0  # the re-sent copies must be caught by the index
     print(f"next-day batch: {n_matches} near-dup matches against the stored index")
     splits.show(truncate=False)
+    prow = packed.first()
+    assert prow.n_sequences > 0 and prow.min_fill > 0
+    print(
+        f"packed the resampled mix into {prow.n_sequences} sequences "
+        f"({prow.tokens_packed} tokens, avg {prow.avg_docs_per_seq} docs/seq)"
+    )

@@ -103,6 +103,10 @@ HEAVY = [
     ("embedding_near_dups", None),
     ("embedding_near_dups_t90", _near_dups_t90),
     ("embedding_near_dups_banded", _near_dups_banded),
+    # round 8b: the concat-split packer — two-phase prefix sum + explode
+    # should be LINEAR in corpus tokens (copies shift doc_id by the
+    # stride, so bucket counts grow k-fold while bucket width stays put)
+    ("doc_pack_sequences", None),
 ]
 
 
