@@ -183,6 +183,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint_mode: str = "local",
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank on a directed graph; returns
     ``(vertex, pagerank)`` with ranks summing to 1 (dangling mass is
@@ -223,7 +224,7 @@ def pagerank(
     )
     has_out = weights.select(F.col("s").alias("vertex")).distinct()
     pr = verts.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contrib = (
             pr.join(weights, pr["vertex"] == weights["s"])
             .groupBy("d")
@@ -233,7 +234,7 @@ def pagerank(
             pr.join(has_out, "vertex", "left_anti")
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
         )
-        pr = materialize(
+        pr = (
             verts.join(contrib, verts["vertex"] == contrib["d"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -243,9 +244,14 @@ def pagerank(
                     + damping
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n)
                 ).alias("pr"),
-            ),
-            checkpoint_mode,
+            )
         )
+        # Materializing every round costs an action each; every
+        # ``checkpoint_every`` rounds bounds lineage at that depth for
+        # roughly half the checkpoint cost (the last round always
+        # materializes so callers get a computed frame).
+        if it % max(1, checkpoint_every) == 0 or it == iterations:
+            pr = materialize(pr, checkpoint_mode)
     return pr.select("vertex", F.col("pr").alias("pagerank"))
 
 
