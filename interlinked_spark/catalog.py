@@ -4945,6 +4945,50 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
     )
 
 
+@defq(
+    "stream_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                          t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM toks WHERE n_tok > 0)
+    SELECT doc_id, off AS "offset",
+           CAST(off // 256 AS BIGINT) AS seq_first,
+           CAST((off + n_tok - 1) // 256 AS BIGINT) AS seq_last
+    FROM pos
+    """,
+    d="table.documents",
+)
+def q_stream_pack_sequences(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Streaming sequence packer (§2b-J x §2b-K): the documents table
+    replays as 4 id-ordered micro-batches; each batch lays down after
+    the committed corpus via the materialized packing state, with the
+    foreachBatch batch id as the idempotency key
+    (`streaming/ops.run_packing_into_state`).  Because batches arrive
+    id-ordered, the final coordinates equal the one-shot concat-split
+    recompute over the id-ordered corpus — the oracle's window cumsum —
+    for ANY micro-batch boundaries."""
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import run_packing_into_state, stream_from_parquet
+    from .llm.packing import read_packed
+
+    staged = _stage_id_ordered_files(d.select("doc_id", "text"), "doc_id", 4)
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        state = run_packing_into_state(stream, capacity=256, bucket_width=100)
+    return read_packed(spark, state).select(
+        "doc_id", "offset", "seq_first", "seq_last"
+    )
+
+
 def _trade_edges_sql() -> str:
     return (
         "SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s, "

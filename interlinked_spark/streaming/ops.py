@@ -599,3 +599,46 @@ def run_vector_neardup_gate_into_parquet(
 
     foreach_batch_into(vec_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
     return accepted_path, index_path
+
+
+def run_packing_into_state(
+    doc_stream: DataFrame,
+    state_path: Optional[str] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 256,
+    bucket_width: int = 100,
+    timeout_s: int = 300,
+) -> str:
+    """Streaming sequence packer (§2b-J x §2b-K): each document
+    micro-batch is token-counted and laid down AFTER the committed
+    corpus via the materialized packing state
+    (:func:`~interlinked_spark.llm.packing.pack_incremental` — the
+    stored ``next_offset`` is the only cross-batch state, previously
+    packed batches are never re-scanned).  Returns the state path;
+    read coordinates back with :func:`~interlinked_spark.llm.packing.
+    read_packed`.
+
+    The foreachBatch ``batch_id`` doubles as the packing idempotency
+    key: Structured Streaming replays the last uncommitted batch id on
+    restart, and :func:`pack_incremental` turns that replay into a
+    partition rewrite + stored-result return instead of duplicated
+    coordinates — end-to-end exactly-once layout under the engine's
+    at-least-once foreachBatch contract.  When batches arrive in id
+    order the final coordinates equal the one-shot concat-split
+    recompute over the id-ordered corpus (the catalog oracle)."""
+    from ..llm.packing import init_packing_state, pack_incremental
+    from ..llm.text import token_stats
+
+    state_path = state_path or tempfile.mkdtemp(prefix="pack_state_stream_")
+    spark = doc_stream.sparkSession
+    init_packing_state(spark, state_path, capacity)
+
+    def pack_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = token_stats(batch_df, text_col=text_col).select(id_col, "n_bpe_est")
+        pack_incremental(
+            toks, state_path, "n_bpe_est", id_col, bucket_width, batch_id=batch_id
+        )
+
+    foreach_batch_into(doc_stream, pack_batch, timeout_s=timeout_s, output_mode="append")
+    return state_path

@@ -230,3 +230,41 @@ def test_read_packed_excludes_uncommitted_partition(spark, tmp_path):
     committed = read_packed(spark, path)
     assert committed.count() == 1
     assert [r["batch_seq"] for r in committed.collect()] == [0]
+
+
+def test_stream_packing_batch_boundary_invariance(spark):
+    """2-batch vs 4-batch replays of the same id-ordered corpus land
+    identical coordinates (the streaming packer's oracle precondition),
+    and both equal the one-shot recompute."""
+    from interlinked_spark.catalog import _stage_id_ordered_files
+    from interlinked_spark.llm.packing import (
+        pack_incremental,  # noqa: F401 (import path smoke)
+        packed_assignments,
+        read_packed,
+    )
+    from interlinked_spark.llm.text import token_stats
+    from interlinked_spark.streaming import replay_shuffle_partitions
+    from interlinked_spark.streaming.ops import (
+        run_packing_into_state,
+        stream_from_parquet,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    coords = {}
+    for n_batches in (2, 4):
+        staged = _stage_id_ordered_files(d, "doc_id", n_batches)
+        stream = stream_from_parquet(spark, staged)
+        with replay_shuffle_partitions(spark, 8):
+            state = run_packing_into_state(stream, capacity=256, bucket_width=100)
+        coords[n_batches] = {
+            r["doc_id"]: (r["offset"], r["seq_first"], r["seq_last"])
+            for r in read_packed(spark, state).collect()
+        }
+    assert coords[2] == coords[4]
+    toks = token_stats(d).select("doc_id", "n_bpe_est")
+    oneshot = packed_assignments(toks, "n_bpe_est", "doc_id", 256, bucket_width=100)
+    want = {
+        r["doc_id"]: (r["offset"], r["seq_first"], r["seq_last"])
+        for r in oneshot.collect()
+    }
+    assert coords[4] == want
