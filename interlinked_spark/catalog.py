@@ -4946,6 +4946,49 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "doc_pack_by_language",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                          t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM toks WHERE n_tok > 0),
+    ex AS (
+      SELECT lang, off, n_tok, u.seq AS seq_id
+      FROM pos, unnest(generate_series(off // 256, (off + n_tok - 1) // 256)) AS u(seq))
+    SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(off + n_tok, (seq_id + 1) * 256)
+                    - GREATEST(off, seq_id * 256)) AS BIGINT) AS tokens_filled
+    FROM ex GROUP BY lang, seq_id
+    """,
+    d="table.documents",
+)
+def q_doc_pack_by_language(d: DataFrame) -> DataFrame:
+    """Language-scoped sequence packing (§2b-K): per-language token
+    streams — a sequence NEVER mixes languages (the constraint
+    language-balanced training imposes); prefix sums partition by
+    (lang, bucket), so the layout stays one narrow shuffle."""
+    from .llm.packing import pack_sequences
+    from .llm.text import token_stats
+
+    toks = token_stats(d).select("doc_id", "n_bpe_est").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return pack_sequences(
+        toks, "n_bpe_est", "doc_id", capacity=256, bucket_width=100,
+        group_col="lang",
+    )
+
+
+@defq(
     "stream_pack_sequences",
     oracle="""
     WITH toks AS (

@@ -30,6 +30,7 @@ def global_running_sum(
     order_col: str,
     bucket_width: int,
     out_col: str = "offset",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exclusive global running sum of ``value_col`` in ``order_col``
     order, WITHOUT a global single-partition window.
@@ -42,29 +43,42 @@ def global_running_sum(
     order_col ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` as long as
     ``order_col`` is unique; ties within a key would make the global
     order ambiguous, so keys must be unique (ids).
-    """
+
+    With ``group_col`` the sum restarts per group (``PARTITION BY
+    group ORDER BY order_col``): buckets nest inside groups and the
+    prefix table holds one row per (group, bucket) — still tiny, still
+    one narrow shuffle."""
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    grp = [group_col] if group_col else []
     bucket = F.expr(f"CAST({order_col} AS BIGINT) DIV {bucket_width}").alias("_bucket")
     bucketed = df.withColumn("_bucket", bucket)
-    intra = Window.partitionBy("_bucket").orderBy(order_col).rowsBetween(
+    intra = Window.partitionBy(*grp, "_bucket").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
     with_intra = bucketed.withColumn("_intra", F.coalesce(F.sum(value_col).over(intra), F.lit(0)))
-    totals = bucketed.groupBy("_bucket").agg(F.sum(value_col).alias("_btotal"))
-    # One row per bucket: the unpartitioned window is over a table whose
-    # size is corpus_size / bucket_width — thousands of rows at worst.
-    prefix_w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    totals = bucketed.groupBy(*grp, "_bucket").agg(F.sum(value_col).alias("_btotal"))
+    # One row per (group,) bucket: this window's partitions are tiny —
+    # corpus_size / bucket_width rows at worst.
+    prefix_w = (
+        Window.partitionBy(*grp) if grp else Window.partitionBy()
+    ).orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
     prefixes = totals.select(
+        *grp,
         F.col("_bucket").alias("_pbucket"),
         F.coalesce(F.sum("_btotal").over(prefix_w), F.lit(0)).alias("_bprefix"),
     )
-    joined = with_intra.join(
-        F.broadcast(prefixes), F.col("_bucket") == F.col("_pbucket"), "inner"
-    )
+    if grp:
+        prefixes = prefixes.withColumnRenamed(group_col, "_pgroup")
+        cond = (F.col("_bucket") == F.col("_pbucket")) & (
+            F.col(group_col) == F.col("_pgroup")
+        )
+    else:
+        cond = F.col("_bucket") == F.col("_pbucket")
+    joined = with_intra.join(F.broadcast(prefixes), cond, "inner")
     return joined.withColumn(
         out_col, (F.col("_intra") + F.col("_bprefix")).cast("bigint")
-    ).drop("_bucket", "_pbucket", "_intra", "_bprefix")
+    ).drop("_bucket", "_pbucket", "_pgroup", "_intra", "_bprefix")
 
 
 def packed_assignments(
@@ -73,18 +87,24 @@ def packed_assignments(
     order_col: str,
     capacity: int,
     bucket_width: int,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-document packing coordinates: exclusive token ``offset`` in
     the concatenated stream, plus the first/last sequence ids the
     document lands in (``seq_first``/``seq_last``; a document longer
     than the residual capacity spans multiple sequences — concat-split
     semantics).  Zero-token documents are dropped (they occupy no
-    stream space)."""
+    stream space).
+
+    With ``group_col``, streams (and so sequence id spaces) are
+    per-group: a sequence never mixes documents from two groups — the
+    language/split-scoped layout trainers need."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     nonempty = df.filter(F.col(token_col) > 0)
     placed = global_running_sum(
-        nonempty, token_col, order_col, bucket_width, out_col="offset"
+        nonempty, token_col, order_col, bucket_width, out_col="offset",
+        group_col=group_col,
     )
     return placed.withColumn(
         "seq_first", F.expr(f"offset DIV {capacity}")
@@ -99,18 +119,24 @@ def pack_sequences(
     order_col: str,
     capacity: int,
     bucket_width: int,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-sequence packing summary: for every training sequence, how
     many documents contribute to it and how many of its ``capacity``
     token slots are filled (== ``capacity`` for every sequence but the
-    last — the invariant the property tests pin).
+    last — per group when ``group_col`` is given; the invariant the
+    property tests pin).
 
     The doc -> sequence expansion is an ``explode(sequence(...))`` —
     output rows bound by ``ceil(tokens / capacity) + 1`` per document,
     so the expansion is proportional to corpus token count / capacity,
     never quadratic."""
-    placed = packed_assignments(df, token_col, order_col, capacity, bucket_width)
+    grp = [group_col] if group_col else []
+    placed = packed_assignments(
+        df, token_col, order_col, capacity, bucket_width, group_col=group_col
+    )
     exploded = placed.select(
+        *grp,
         F.col("offset"),
         F.col(token_col).alias("_tok"),
         F.explode(F.sequence("seq_first", "seq_last")).alias("seq_id"),
@@ -118,7 +144,7 @@ def pack_sequences(
     overlap = F.least(
         F.col("offset") + F.col("_tok"), (F.col("seq_id") + 1) * capacity
     ) - F.greatest(F.col("offset"), F.col("seq_id") * capacity)
-    return exploded.groupBy("seq_id").agg(
+    return exploded.groupBy(*grp, "seq_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(overlap).cast("bigint").alias("tokens_filled"),
     )

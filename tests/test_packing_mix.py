@@ -268,3 +268,41 @@ def test_stream_packing_batch_boundary_invariance(spark):
         for r in oneshot.collect()
     }
     assert coords[4] == want
+
+
+def test_grouped_packing_never_mixes_groups(spark):
+    from interlinked_spark.llm.packing import packed_assignments
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 100), (3, "a", 200), (4, "b", 50)],
+        ["doc_id", "grp", "n_tok"],
+    )
+    placed = packed_assignments(
+        df, "n_tok", "doc_id", capacity=128, bucket_width=10, group_col="grp"
+    )
+    rows = {r["doc_id"]: r for r in placed.collect()}
+    # per-group offsets restart at 0
+    assert rows[1]["offset"] == 0 and rows[2]["offset"] == 0
+    assert rows[3]["offset"] == 100 and rows[4]["offset"] == 100
+    # group column survives for downstream partitioning
+    assert rows[3]["grp"] == "a"
+
+
+def test_grouped_pack_sequences_full_but_last_per_group(spark, docs_tokens):
+    from interlinked_spark.llm.packing import pack_sequences
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "lang")
+    toks = docs_tokens.join(d, "doc_id")
+    seqs = pack_sequences(
+        toks, "n_bpe_est", "doc_id", 256, bucket_width=100, group_col="lang"
+    )
+    by_lang = {}
+    for r in seqs.collect():
+        by_lang.setdefault(r["lang"], {})[r["seq_id"]] = r["tokens_filled"]
+    assert len(by_lang) > 1
+    for lang, fills in by_lang.items():
+        assert sorted(fills) == list(range(len(fills)))
+        last = max(fills)
+        for sid, filled in fills.items():
+            if sid != last:
+                assert filled == 256, f"{lang} seq {sid} not full"
