@@ -275,6 +275,10 @@ def main() -> None:
         # rebuilds its packing state (2 parquet writes) per run — the
         # production loop amortizes this; not a plan to gate on.
         "doc_pack_incremental",
+        "doc_pack_by_language",
+        "stream_pack_sequences",
+        "doc_lexical_stats",
+        "embedding_contamination",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

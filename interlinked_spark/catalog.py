@@ -4946,6 +4946,92 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "embedding_contamination",
+    oracle="""
+    WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE label = 9),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 9)
+    SELECT c.vec_id,
+           MAX(ROUND(list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)) AS max_cos,
+           CAST(MAX(ROUND(list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)) >= 0.3 AS BOOLEAN) AS contaminated
+    FROM corpus c JOIN bench b ON true
+    GROUP BY c.vec_id
+    """,
+    e="table.embeddings",
+)
+def q_embedding_contamination(e: DataFrame) -> DataFrame:
+    """SEMANTIC benchmark decontamination (§2b-K): every corpus vector
+    scored by its max cosine against the held-out benchmark set (label
+    9 plays the eval suite) — the embedding-space complement of the
+    n-gram `doc_contamination_flags`.  Exact brute-force here (bench
+    side broadcasts); at scale swap the same contract onto
+    `lsh_similarity_join`/the vector index, which the catalog gates
+    separately."""
+    from .llm.similarity import cosine_top_k
+
+    bench = e.filter(F.col("label") == 9).select("vec_id", "embedding")
+    corpus = e.filter(F.col("label") != 9).select("vec_id", "embedding")
+    top1 = cosine_top_k(bench, corpus, k=1)
+    return top1.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("cosine").alias("max_cos"),
+        (F.col("cosine") >= 0.3).alias("contaminated"),
+    )
+
+
+@defq(
+    "doc_lexical_stats",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    counts AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS word_entropy,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_frac
+    FROM counts GROUP BY doc_id
+    """,
+    d="table.documents",
+)
+def q_doc_lexical_stats(d: DataFrame) -> DataFrame:
+    """Lexical diversity signals (§2b-K quality scoring): per-doc word
+    entropy (ln n - Σc·ln c / n — one aggregate, no per-word
+    normalization pass), type-token ratio, and hapax fraction — the
+    repetitive/templated-text detectors that complement the dup-gram
+    signals.  Two keyed aggregates, no window, no UDF."""
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("c"))
+    n = F.sum("c").cast("double")
+    return group_agg(
+        counts,
+        ["doc_id"],
+        {
+            "n_words": F.sum("c").cast("bigint"),
+            "n_distinct": F.count("*").cast("bigint"),
+            "ttr": F.round(F.count("*") / n, 6),
+            "word_entropy": F.round(
+                F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n, 6
+            ),
+            "hapax_frac": F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ),
+        },
+    )
+
+
+@defq(
     "doc_pack_by_language",
     oracle="""
     WITH toks AS (

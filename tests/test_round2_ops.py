@@ -381,6 +381,7 @@ def test_whole_catalog_plan_audit(spark):
         "corpus_mix_kl",           # broadcast ONE-ROW weight/mass totals
         "doc_length_buckets",      # broadcast ONE-ROW quartile-bounds frame
         "tpch_q22",                # theta vs broadcast ONE-ROW avg-acctbal frame
+        "embedding_contamination", # documented brute-force: broadcast bench side
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
