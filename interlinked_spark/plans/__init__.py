@@ -1,3 +1,4 @@
+from .advisor import advise
 from .inspect import (
     physical_plan,
     plan_has,
@@ -8,6 +9,7 @@ from .inspect import (
 )
 
 __all__ = [
+    "advise",
     "physical_plan",
     "plan_has",
     "pushed_filters",

@@ -306,3 +306,41 @@ def test_grouped_pack_sequences_full_but_last_per_group(spark, docs_tokens):
         for sid, filled in fills.items():
             if sid != last:
                 assert filled == 256, f"{lang} seq {sid} not full"
+
+
+# ---- plan advisor ---------------------------------------------------
+
+
+def test_plan_advisor_flags_and_clears(spark):
+    from interlinked_spark.plans import advise
+
+    a = spark.range(100).withColumnRenamed("id", "x")
+    b = spark.range(100).withColumnRenamed("id", "y")
+    cross = a.crossJoin(b)
+    codes = {f["code"] for f in advise(cross)}
+    # tiny sides broadcast (BNLJ); big sides go CartesianProduct —
+    # either is the nested-loop smell family
+    assert codes & {"cartesian-product", "broadcast-nested-loop"}
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gw = a.withColumn("r", F.sum("x").over(Window.orderBy("x")))
+    codes = {f["code"] for f in advise(gw)}
+    assert "single-partition-exchange" in codes
+
+    from pyspark.sql.functions import udf
+
+    slow = a.withColumn("u", udf(lambda v: v + 1)("x"))
+    codes = {f["code"] for f in advise(slow)}
+    assert "python-row-udf" in codes
+
+    # a clean catalog plan yields no findings
+    from interlinked_spark import catalog
+
+    clean = catalog.run_query("pricing_summary", spark, SF_SMOKE)
+    assert advise(clean) == []
+    # severity ordering: high before warn
+    mixed = advise(cross.withColumn("r", F.sum("x").over(Window.orderBy("x"))))
+    sevs = [f["severity"] for f in mixed]
+    assert sevs == sorted(sevs, key=lambda s: {"high": 0, "warn": 1}[s])
