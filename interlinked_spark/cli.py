@@ -117,6 +117,35 @@ def deps_cmd(args) -> None:
     rich.print(top)
 
 
+def advise_cmd(args) -> None:
+    """Resolve each target and print plan-advisor findings (engine
+    extension beyond the reference's run/deps/validate — the CLI face
+    of ``plans.advise``).  Non-DataFrame resources are skipped with a
+    note; exit status 1 when any ``high``-severity finding exists so CI
+    can gate on it."""
+    from .plans import advise
+
+    wkf = find_workflow(args.source)
+    config = load_conf(args.config)
+    if config is not None:
+        wkf = wkf.config(config)
+    worst_high = False
+    for target in args.targets:
+        res = wkf.run(target)
+        if not hasattr(res, "_jdf"):
+            print(f"{target}: not a DataFrame ({type(res).__name__}) — skipped")
+            continue
+        findings = advise(res)
+        if not findings:
+            print(f"{target}: no findings")
+            continue
+        for f in findings:
+            print(f"{target}: [{f['severity']}] {f['code']} — {f['reason']}")
+            worst_high = worst_high or f["severity"] == "high"
+    if worst_high:
+        raise SystemExit(1)
+
+
 def validate_cmd(args) -> None:
     wkf = find_workflow(args.source)
     try:
@@ -153,6 +182,13 @@ def main(argv=None) -> None:
 
     p_validate = sub.add_parser("validate", description="Validate workflow graph")
     p_validate.set_defaults(func=validate_cmd)
+
+    p_advise = sub.add_parser(
+        "advise", description="Plan-advisor findings for DataFrame targets"
+    )
+    p_advise.add_argument("-c", "--config", help="Load parameters from toml/json config")
+    p_advise.add_argument("targets", nargs="*", help="Resource names to advise on")
+    p_advise.set_defaults(func=advise_cmd)
 
     p_run = sub.add_parser("run", description="Resolve and run targets")
     p_run.add_argument("-s", "--show", action="store_true", help="Show output")

@@ -1,4 +1,4 @@
-from .advisor import advise
+from .advisor import advise, advise_shuffle_conf
 from .inspect import (
     physical_plan,
     plan_has,
@@ -10,6 +10,7 @@ from .inspect import (
 
 __all__ = [
     "advise",
+    "advise_shuffle_conf",
     "physical_plan",
     "plan_has",
     "pushed_filters",

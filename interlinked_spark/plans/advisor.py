@@ -87,3 +87,37 @@ def advise(df: DataFrame) -> list[dict]:
     order = {"high": 0, "warn": 1}
     findings.sort(key=lambda f: order[f["severity"]])
     return findings
+
+
+def advise_shuffle_conf(
+    input_bytes: int,
+    cores: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Spill-aware sizing for a job of ``input_bytes`` on ``cores``
+    parallel slots: shuffle partition count = input / target partition
+    size (so a post-shuffle partition fits comfortably in executor
+    memory), floored at 2x cores (full parallelism + stragglers), and
+    ``maxPartitionBytes`` = the target (so the SCAN side produces the
+    same granularity).  At 100 TB with the 128 MB default this yields
+    ~800k shuffle partitions — far above the 200 default that makes
+    every partition 500 GB and spills.
+
+    Returns ``{"spark.sql.shuffle.partitions": n,
+    "spark.sql.files.maxPartitionBytes": bytes}`` — advisory numbers to
+    pass to the session builder; AQE coalescing then shrinks small
+    stages at runtime, so oversizing is cheap and undersizing is not."""
+    if input_bytes < 0:
+        raise ValueError(f"input_bytes must be >= 0, got {input_bytes}")
+    if cores <= 0:
+        raise ValueError(f"cores must be positive, got {cores}")
+    if target_partition_bytes <= 0:
+        raise ValueError(
+            f"target_partition_bytes must be positive, got {target_partition_bytes}"
+        )
+    by_size = -(-input_bytes // target_partition_bytes)  # ceil div
+    partitions = max(2 * cores, by_size)
+    return {
+        "spark.sql.shuffle.partitions": int(partitions),
+        "spark.sql.files.maxPartitionBytes": int(target_partition_bytes),
+    }

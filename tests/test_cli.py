@@ -99,3 +99,19 @@ def test_example_scripts_run():
             timeout=240,
         )
         assert out.returncode == 0, (script, out.stderr[-500:])
+
+
+def test_advise_skips_non_dataframe():
+    out = run_cli("examples.basic", "advise", "echo.hello")
+    assert "not a DataFrame" in out.stdout
+    assert out.returncode == 0
+
+
+def test_advise_reports_clean_and_warn():
+    # a plain scan is clean; the quality filter (all-derived predicate)
+    # legitimately draws the unpushed-filter advisory — warn severity
+    # does NOT fail the exit status (only high does).
+    out = run_cli("examples.llm_pipeline:wkf", "advise", "docs.raw", "docs.clean")
+    assert "docs.raw: no findings" in out.stdout
+    assert "docs.clean: [warn] unpushed-filter" in out.stdout
+    assert out.returncode == 0

@@ -344,3 +344,22 @@ def test_plan_advisor_flags_and_clears(spark):
     mixed = advise(cross.withColumn("r", F.sum("x").over(Window.orderBy("x"))))
     sevs = [f["severity"] for f in mixed]
     assert sevs == sorted(sevs, key=lambda s: {"high": 0, "warn": 1}[s])
+
+
+def test_advise_shuffle_conf_sizing():
+    from interlinked_spark.plans import advise_shuffle_conf
+
+    mb = 1024 * 1024
+    # tiny input: parallelism floor wins
+    c = advise_shuffle_conf(10 * mb, cores=32)
+    assert c["spark.sql.shuffle.partitions"] == 64
+    # 100 TB at 128 MB: ~819k partitions, never the 200 default
+    c = advise_shuffle_conf(100 * 1024 * 1024 * mb, cores=1000)
+    assert c["spark.sql.shuffle.partitions"] == -(-100 * 1024 * 1024 * mb // (128 * mb))
+    assert c["spark.sql.files.maxPartitionBytes"] == 128 * mb
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        advise_shuffle_conf(-1, 4)
+    with _pytest.raises(ValueError):
+        advise_shuffle_conf(10, 0)
