@@ -279,6 +279,8 @@ def main() -> None:
         "stream_pack_sequences",
         "doc_lexical_stats",
         "embedding_contamination",
+        "orders_retention_cohorts",
+        "brand_basket_pairs",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -4946,6 +4946,89 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "orders_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(f.cohort AS DATE) AS cohort_month,
+           CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                + (month(o.o_orderdate) - month(f.cohort)) AS INTEGER) AS months_since,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY cohort_month, months_since
+    """,
+    o="table.orders",
+)
+def q_orders_retention_cohorts(o: DataFrame) -> DataFrame:
+    """Retention cohort analysis (§2b-D/E analytics shape): customers
+    grouped by first-order month, activity counted by months-since —
+    the BI retention triangle.  Two keyed aggregates + one equi-join on
+    the customer key; the cohort frame re-shuffles on the SAME key it
+    was aggregated on, so AQE reuses the exchange."""
+    firsts = group_agg(
+        o.select("o_custkey", F.date_trunc("month", "o_orderdate").alias("m")),
+        ["o_custkey"],
+        {"cohort": F.min("m")},
+    ).select(F.col("o_custkey").alias("f_custkey"), "cohort")
+    joined = equi_join(o, firsts, on=F.col("o_custkey") == F.col("f_custkey"))
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("int")
+    return group_agg(
+        joined.select(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            months_since.alias("months_since"),
+            "o_custkey",
+        ),
+        ["cohort_month", "months_since"],
+        {
+            "active_customers": F.count_distinct("o_custkey").cast("bigint"),
+            "n_orders": F.count("*").cast("bigint"),
+        },
+    )
+
+
+@defq(
+    "brand_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY brand_a, brand_b
+    """,
+    li="table.lineitem",
+    p="table.part",
+)
+def q_brand_basket_pairs(li: DataFrame, p: DataFrame) -> DataFrame:
+    """Market-basket co-occurrence (§2b-C/K): brand pairs bought in the
+    same order.  The self-join is keyed on the ORDER (bounded fan-out:
+    pairs per order <= items-per-order choose 2, items/order is a small
+    constant) — never a cross join; `brand_a < brand_b` halves and
+    canonicalizes the pair space before the aggregate."""
+    items = equi_join(
+        li.select("l_orderkey", "l_partkey"),
+        p.select("p_partkey", "p_brand"),
+        on=F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_orderkey", "p_brand").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("brand_b"))
+    pairs = equi_join(
+        a, b, on=(F.col("k") == F.col("k2")) & (F.col("brand_a") < F.col("brand_b"))
+    )
+    return group_agg(
+        pairs, ["brand_a", "brand_b"], {"n_orders": F.count("*").cast("bigint")}
+    )
+
+
+@defq(
     "embedding_contamination",
     oracle="""
     WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE label = 9),
