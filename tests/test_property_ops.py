@@ -381,3 +381,65 @@ def test_greedy_first_fit_matches_sequential_reference(sp, edges, n):
     for v in range(n):  # maximality w.r.t. earlier neighbors
         if not got[v]:
             assert any(e < v and got[e] for e in adj[v])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 40)),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    bucket_width=st.integers(1, 60),
+    capacity=st.integers(1, 50),
+)
+@OP_SETTINGS
+def test_packing_matches_python_reference(sp, rows, bucket_width, capacity):
+    """packed_assignments == the trivial sequential packer: sort by id,
+    running offset, span arithmetic — for ANY bucket_width (the
+    two-phase decomposition must be invisible)."""
+    from interlinked_spark.llm.packing import packed_assignments
+
+    df = sp.createDataFrame(rows, "doc_id int, n_tok int") if rows else None
+    if df is None:
+        return
+    placed = packed_assignments(df, "n_tok", "doc_id", capacity, bucket_width)
+    got = {
+        r["doc_id"]: (r["offset"], r["seq_first"], r["seq_last"])
+        for r in placed.collect()
+    }
+    want = {}
+    off = 0
+    for doc_id, n_tok in sorted(rows):
+        if n_tok <= 0:
+            continue
+        want[doc_id] = (off, off // capacity, (off + n_tok - 1) // capacity)
+        off += n_tok
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 100), st.sampled_from("abc"), st.integers(1, 30)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+@OP_SETTINGS
+def test_grouped_prefix_sum_matches_python_reference(sp, rows):
+    from interlinked_spark.llm.packing import global_running_sum
+
+    df = sp.createDataFrame(rows, "doc_id int, grp string, n_tok int")
+    got = {
+        r["doc_id"]: r["offset"]
+        for r in global_running_sum(
+            df, "n_tok", "doc_id", bucket_width=7, group_col="grp"
+        ).collect()
+    }
+    want = {}
+    per_group = defaultdict(int)
+    for doc_id, grp, n_tok in sorted(rows):
+        want[doc_id] = per_group[grp]
+        per_group[grp] += n_tok
+    assert got == want
