@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .catalog import ORACLES, WKF, _rev, defq  # noqa: F401  (registry)
+from .catalog import _rev, defq
 from .operators import (
     anti_join,
     broadcast_join,
