@@ -281,6 +281,8 @@ def main() -> None:
         "embedding_contamination",
         "orders_retention_cohorts",
         "brand_basket_pairs",
+        "event_value_mad_outliers",
+        "customer_rfm_segments",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

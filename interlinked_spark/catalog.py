@@ -4946,6 +4946,129 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "event_value_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, med.med,
+             quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type, med.med)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(mad.med, 4) AS med,
+           ROUND(mad.mad, 4) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - mad.med) > 3 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    GROUP BY e.event_type, mad.med, mad.mad
+    """,
+    ev="table.events",
+)
+def q_event_value_mad_outliers(ev: DataFrame) -> DataFrame:
+    """Robust anomaly flagging (§2b-D robust stats): per-type median +
+    MAD (median absolute deviation), outliers = |v - med| > 3*MAD —
+    the heavy-tail-safe alternative to z-scores.  Two grouped
+    percentile aggregates with the (tiny) stats frames broadcast back;
+    the fact table shuffles on its group key only."""
+    med = group_agg(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        {"med": F.expr("percentile(value, 0.5)")},
+    ).select(F.col("event_type").alias("_mt"), "med")
+    with_med = ev.select("event_type", "value").join(
+        F.broadcast(med), F.col("event_type") == F.col("_mt")
+    )
+    mad = group_agg(
+        with_med.withColumn("dev", F.abs(F.col("value") - F.col("med"))),
+        ["event_type"],
+        {"med2": F.first("med"), "mad": F.expr("percentile(dev, 0.5)")},
+    ).select(F.col("event_type").alias("_at"), "med2", "mad")
+    flagged = ev.select("event_type", "value").join(
+        F.broadcast(mad), F.col("event_type") == F.col("_at")
+    )
+    return group_agg(
+        flagged,
+        ["event_type"],
+        {
+            "n_events": F.count("*").cast("bigint"),
+            "med": F.round(F.first("med2"), 4),
+            "mad": F.round(F.first("mad"), 4),
+            "n_outliers": F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med2")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("bigint"),
+        },
+    )
+
+
+@defq(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency,
+             COUNT(*) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT quantile_cont(recency, 0.5) AS r_med,
+             quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med
+      FROM rfm)
+    SELECT CAST(CASE WHEN recency <= r_med THEN 1 ELSE 0 END AS INTEGER)
+             + CAST(CASE WHEN frequency > f_med THEN 1 ELSE 0 END AS INTEGER)
+             + CAST(CASE WHEN monetary > m_med THEN 1 ELSE 0 END AS INTEGER) AS rfm_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(monetary), 2) AS total_monetary
+    FROM rfm, b GROUP BY rfm_score
+    """,
+    o="table.orders",
+)
+def q_customer_rfm_segments(o: DataFrame) -> DataFrame:
+    """RFM segmentation (§2b-D BI shape): recency / frequency /
+    monetary per customer, scored against the median of each metric
+    (one-row bounds broadcast), customers bucketed by combined score.
+    The per-customer aggregate is the only fact-table shuffle."""
+    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
+    rfm = group_agg(
+        o.crossJoin(F.broadcast(anchor)).select(
+            "o_custkey",
+            F.datediff(F.col("_anchor"), F.col("o_orderdate")).alias("age"),
+            "o_totalprice",
+        ),
+        ["o_custkey"],
+        {
+            "recency": F.min("age"),
+            "frequency": F.count("*"),
+            "monetary": F.sum("o_totalprice"),
+        },
+    )
+    bounds = rfm.agg(
+        F.expr("percentile(recency, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+    )
+    score = (
+        F.when(F.col("recency") <= F.col("r_med"), 1).otherwise(0)
+        + F.when(F.col("frequency") > F.col("f_med"), 1).otherwise(0)
+        + F.when(F.col("monetary") > F.col("m_med"), 1).otherwise(0)
+    ).cast("int")
+    return group_agg(
+        rfm.crossJoin(F.broadcast(bounds)).withColumn("rfm_score", score),
+        ["rfm_score"],
+        {
+            "n_customers": F.count("*").cast("bigint"),
+            "total_monetary": F.round(F.sum("monetary"), 2),
+        },
+    )
+
+
+@defq(
     "orders_retention_cohorts",
     oracle="""
     WITH firsts AS (
