@@ -283,6 +283,7 @@ def main() -> None:
         "brand_basket_pairs",
         "event_value_mad_outliers",
         "customer_rfm_segments",
+        "brand_association_rules",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

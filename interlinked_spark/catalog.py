@@ -5152,6 +5152,77 @@ def q_brand_basket_pairs(li: DataFrame, p: DataFrame) -> DataFrame:
 
 
 @defq(
+    "brand_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    singles AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY p_brand),
+    totals AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    pairs AS (
+      SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      GROUP BY antecedent, consequent)
+    SELECT p.antecedent, p.consequent, p.n_both,
+           ROUND(p.n_both / CAST(sa.n AS DOUBLE), 6) AS confidence,
+           ROUND((p.n_both / CAST(sa.n AS DOUBLE))
+                 / (sc.n / CAST(t.n_orders AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON p.antecedent = sa.p_brand
+    JOIN singles sc ON p.consequent = sc.p_brand
+    CROSS JOIN totals t
+    WHERE p.n_both >= 20
+    """,
+    li="table.lineitem",
+    p="table.part",
+)
+def q_brand_association_rules(li: DataFrame, p: DataFrame) -> DataFrame:
+    """Association rules over order baskets (§2b-C/D/K): confidence
+    P(B|A) and lift vs the consequent's base rate, min-support
+    pruned BEFORE the rule join so the rule space never materializes
+    below the threshold.  Brand counts are a tiny dim (broadcast);
+    the only big shuffles are the two order-keyed aggregates."""
+    items = equi_join(
+        li.select("l_orderkey", "l_partkey"),
+        p.select("p_partkey", "p_brand"),
+        on=F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_orderkey", "p_brand").distinct()
+    singles = group_agg(
+        items, ["p_brand"], {"n": F.count("*").cast("bigint")}
+    )
+    totals = items.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("antecedent"))
+    b = items.select(F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("consequent"))
+    pairs = group_agg(
+        equi_join(
+            a, b,
+            on=(F.col("k") == F.col("k2")) & (F.col("antecedent") != F.col("consequent")),
+        ),
+        ["antecedent", "consequent"],
+        {"n_both": F.count("*").cast("bigint")},
+    ).filter(F.col("n_both") >= 20)
+    sa = singles.select(F.col("p_brand").alias("_a"), F.col("n").alias("n_a"))
+    sc = singles.select(F.col("p_brand").alias("_c"), F.col("n").alias("n_c"))
+    joined = (
+        pairs.join(F.broadcast(sa), F.col("antecedent") == F.col("_a"))
+        .join(F.broadcast(sc), F.col("consequent") == F.col("_c"))
+        .crossJoin(F.broadcast(totals))
+    )
+    conf = F.col("n_both") / F.col("n_a")
+    base = F.col("n_c") / F.col("n_orders")
+    return joined.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / base, 6).alias("lift"),
+    )
+
+
+@defq(
     "embedding_contamination",
     oracle="""
     WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE label = 9),
