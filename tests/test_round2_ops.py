@@ -383,6 +383,7 @@ def test_whole_catalog_plan_audit(spark):
         "tpch_q22",                # theta vs broadcast ONE-ROW avg-acctbal frame
         "embedding_contamination", # documented brute-force: broadcast bench side
         "customer_rfm_segments",   # cross joins of ONE-ROW anchor/bounds frames
+        "brand_association_rules", # cross join of the ONE-ROW order-total frame
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
