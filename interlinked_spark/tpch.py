@@ -729,3 +729,53 @@ def q_tpch_q22(o: DataFrame, c: DataFrame) -> DataFrame:
         ["cntrycode"],
         {"numcust": F.count("*"), "totacctbal": F.round(F.sum("c_acctbal"), 2)},
     )
+
+
+# Q1/Q3/Q5 aliases: the implementations live in the main catalog
+# (pricing_summary / top_orders / region_revenue predate this module);
+# registering them under suite names makes every runnable TPC-H query
+# addressable as q.tpch_q* without duplicating the logic or the
+# oracle.  Oracle strings are SHARED objects (assigned below), so a fix
+# to the primary entry can never diverge from its alias.
+
+
+@defq("tpch_q01", li="table.lineitem")
+def q_tpch_q01(li: DataFrame) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — suite alias of
+    ``pricing_summary`` (§2b-A/B/D; same plan, same oracle object)."""
+    from . import catalog as _c
+
+    return _c.q_pricing_summary(li)
+
+
+@defq("tpch_q03", c="table.customer", o="table.orders", li="table.lineitem")
+def q_tpch_q03(c: DataFrame, o: DataFrame, li: DataFrame) -> DataFrame:
+    """TPC-H Q3 (shipping priority) — suite alias of ``top_orders``
+    (§2b-C/F; same plan, same oracle object)."""
+    from . import catalog as _c
+
+    return _c.q_top_orders(c, o, li)
+
+
+@defq(
+    "tpch_q05",
+    li="table.lineitem",
+    o="table.orders",
+    c="table.customer",
+    n="table.nation",
+    r="table.region",
+)
+def q_tpch_q05(li, o, c, n, r) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) — suite alias of
+    ``region_revenue`` (§2b-C star join; same plan, same oracle
+    object)."""
+    from . import catalog as _c
+
+    return _c.q_region_revenue(li, o, c, n, r)
+
+
+from .catalog import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["tpch_q01"] = _ORACLES["pricing_summary"]
+_ORACLES["tpch_q03"] = _ORACLES["top_orders"]
+_ORACLES["tpch_q05"] = _ORACLES["region_revenue"]
