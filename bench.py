@@ -284,6 +284,7 @@ def main() -> None:
         "event_value_mad_outliers",
         "customer_rfm_segments",
         "brand_association_rules",
+        "customer_balance_winsorized",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

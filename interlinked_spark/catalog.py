@@ -4946,6 +4946,49 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "customer_balance_winsorized",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM customer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c_acctbal < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN c_acctbal > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           ROUND(AVG(c_acctbal), 4) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(c_acctbal, lo), hi)), 4) AS mean_winsorized,
+           ROUND(b.lo, 4) AS lo, ROUND(b.hi, 4) AS hi
+    FROM customer, b GROUP BY b.lo, b.hi
+    """,
+    c="table.customer",
+)
+def q_customer_balance_winsorized(c: DataFrame) -> DataFrame:
+    """Winsorization (§2b-D numeric hygiene): clip a heavy-tailed
+    metric at its p05/p95 (one-row bounds broadcast) and report the
+    clipped counts + mean shift — the outlier treatment that keeps
+    downstream aggregates robust without dropping rows."""
+    bounds = c.agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("b_lo"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("b_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("b_lo")), F.col("b_hi"))
+    joined = c.select("c_acctbal").crossJoin(F.broadcast(bounds))
+    return joined.groupBy().agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("c_acctbal") < F.col("b_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("c_acctbal") > F.col("b_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_raw"),
+        F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        F.round(F.first("b_lo"), 4).alias("lo"),
+        F.round(F.first("b_hi"), 4).alias("hi"),
+    )
+
+
+@defq(
     "event_value_mad_outliers",
     oracle="""
     WITH med AS (
