@@ -285,6 +285,7 @@ def main() -> None:
         "customer_rfm_segments",
         "brand_association_rules",
         "customer_balance_winsorized",
+        "doc_zipf_fit",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

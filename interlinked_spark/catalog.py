@@ -4946,6 +4946,50 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "doc_zipf_fit",
+    oracle="""
+    WITH vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM vocab),
+    pts AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM ranked)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND((SUM(x*y) - SUM(x)*SUM(y)/COUNT(*))
+                 / (SUM(x*x) - SUM(x)*SUM(x)/COUNT(*)), 6) AS zipf_slope
+    FROM pts
+    """,
+    d="table.documents",
+)
+def q_doc_zipf_fit(d: DataFrame) -> DataFrame:
+    """Zipf exponent of the corpus vocabulary (§2b-K corpus
+    statistics): OLS slope of ln(count) on ln(rank) — the sanity
+    number that catches synthetic/templated corpora (natural text
+    fits ~-1).  The rank window runs over the VOCABULARY (orders of
+    magnitude smaller than the corpus), which is the documented
+    exception to the no-global-window rule; the corpus itself only
+    passes through one keyed aggregate."""
+    words = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    rk = F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+    pts = vocab.withColumn("rk", rk).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count("*")
+    slope = (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / n) / (
+        F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / n
+    )
+    return pts.agg(
+        n.cast("bigint").alias("vocab_size"), F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+@defq(
     "customer_balance_winsorized",
     oracle="""
     WITH b AS (
