@@ -363,3 +363,52 @@ def test_advise_shuffle_conf_sizing():
         advise_shuffle_conf(-1, 4)
     with _pytest.raises(ValueError):
         advise_shuffle_conf(10, 0)
+
+
+def test_temperature_sample_10x_stress(spark, docs):
+    """10x perturbation-duplicated corpus: fractions shrink ~10x for
+    the same absolute target (the arithmetic is size-aware, not
+    rate-based), selection stays deterministic, and the original
+    corpus's kept set is NOT simply replicated (hash bands are id-keyed,
+    so shifted copies sample independently)."""
+    big = docs
+    for j in range(1, 10):
+        big = big.union(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(j * 10_000_000))
+        )
+    big = big.cache()
+    fr_small = {
+        r["source"]: r["fraction"]
+        for r in temperature_fractions(
+            docs, "source", 0.5, 100, size_col="n_chars"
+        ).collect()
+    }
+    fr_big = {
+        r["source"]: r["fraction"]
+        for r in temperature_fractions(
+            big, "source", 0.5, 100, size_col="n_chars"
+        ).collect()
+    }
+    for s in fr_small:
+        # 10x rows per stratum at ~10x mass: weight shares are ~equal,
+        # so fraction scales ~1/10 (exact up to the 6dp round).
+        assert abs(fr_big[s] - fr_small[s] / 10) < 5e-3, (s, fr_small[s], fr_big[s])
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            big, "source", "doc_id", 0.5, 100, size_col="n_chars"
+        ).select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            big, "source", "doc_id", 0.5, 100, size_col="n_chars"
+        ).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+    # copies sample independently: the selected set is not 10 shifted
+    # replicas of one base set
+    base = {i for i in a if i < 10_000_000}
+    shifted_hits = {i % 10_000_000 for i in a if i >= 10_000_000}
+    assert shifted_hits != base
+    big.unpersist()
