@@ -286,6 +286,7 @@ def main() -> None:
         "brand_association_rules",
         "customer_balance_winsorized",
         "doc_zipf_fit",
+        "region_quarter_growth",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -4946,6 +4946,66 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "region_quarter_growth",
+    oracle="""
+    WITH q AS (
+      SELECT r.r_name,
+             CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             CAST(quarter(o.o_orderdate) AS INTEGER) AS qtr,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, yr, qtr)
+    SELECT r_name, yr, qtr, revenue,
+           ROUND(revenue / lag(revenue) OVER
+                 (PARTITION BY r_name ORDER BY yr, qtr) - 1, 6) AS qoq_growth
+    FROM q
+    """,
+    li="table.lineitem",
+    o="table.orders",
+    c="table.customer",
+    n="table.nation",
+    r="table.region",
+)
+def q_region_quarter_growth(li, o, c, n, r) -> DataFrame:
+    """Quarter-over-quarter growth per region (§2b-D/E): the analytic
+    lag runs over the AGGREGATED frame (regions x quarters — tiny),
+    partitioned by region; the fact table pays one star join + one
+    aggregate, never a window."""
+    joined = broadcast_join(
+        broadcast_join(
+            equi_join(
+                equi_join(li, o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                          on=F.col("l_orderkey") == F.col("o_orderkey")),
+                c.select("c_custkey", "c_nationkey"),
+                on=F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            n,
+            on=F.col("c_nationkey") == F.col("n_nationkey"),
+        ),
+        r,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    q = group_agg(
+        joined.select(
+            "r_name",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+            _rev().alias("rev"),
+        ),
+        ["r_name", "yr", "qtr"],
+        {"revenue": F.round(F.sum("rev"), 2)},
+    )
+    w = Window.partitionBy("r_name").orderBy("yr", "qtr")
+    return q.withColumn(
+        "qoq_growth", F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6)
+    )
+
+
+@defq(
     "doc_zipf_fit",
     oracle="""
     WITH vocab AS (
