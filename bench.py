@@ -287,6 +287,8 @@ def main() -> None:
         "customer_balance_winsorized",
         "doc_zipf_fit",
         "region_quarter_growth",
+        "doc_shingle_novelty",
+        "nation_revenue_hhi",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -4946,6 +4946,112 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "doc_shingle_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL))) AS s
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)),
+    firsts AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN firsts f ON sh.s = f.s
+    GROUP BY sh.doc_id
+    """,
+    d="table.documents",
+)
+def q_doc_shingle_novelty(d: DataFrame) -> DataFrame:
+    """Cumulative novelty scoring (§2b-K): the share of a document's
+    3-gram shingles it INTRODUCES to the id-ordered corpus (min-id
+    owner wins) — low novelty = boilerplate/late near-dup, the ordering
+    signal curriculum builders use.  One shingle aggregate keyed on the
+    shingle (the same shuffle as the dedup posting build), joined back
+    to the exploded shingles."""
+    from .llm.dedup import _with_shingles
+
+    sh = _with_shingles(d, text_col="text", id_col="doc_id", n=3).select(
+        F.col("id").alias("doc_id"), F.explode("sh").alias("s")
+    )
+    firsts = group_agg(
+        sh.select(F.col("s").alias("fs"), "doc_id"),
+        ["fs"],
+        {"first_id": F.min("doc_id")},
+    )
+    joined = equi_join(sh, firsts, on=F.col("s") == F.col("fs"))
+    return group_agg(
+        joined,
+        ["doc_id"],
+        {
+            "n_shingles": F.count("*").cast("bigint"),
+            "n_novel": F.sum(
+                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint"),
+            "novelty": F.round(
+                F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ),
+        },
+    )
+
+
+@defq(
+    "nation_revenue_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    shares AS (SELECT r / SUM(r) OVER () AS share FROM rev)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+           ROUND(SUM(share * share), 6) AS hhi,
+           ROUND(MAX(share), 6) AS top_share
+    FROM shares
+    """,
+    li="table.lineitem",
+    o="table.orders",
+    c="table.customer",
+    n="table.nation",
+)
+def q_nation_revenue_hhi(li, o, c, n) -> DataFrame:
+    """Revenue concentration (§2b-D): Herfindahl-Hirschman index of
+    national revenue shares (sum of squared shares) + the top share —
+    the concentration number behind mix dashboards.  The window total
+    runs over the 25-row aggregate only."""
+    joined = broadcast_join(
+        equi_join(
+            equi_join(li, o.select("o_orderkey", "o_custkey"),
+                      on=F.col("l_orderkey") == F.col("o_orderkey")),
+            c.select("c_custkey", "c_nationkey"),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        ),
+        n,
+        on=F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    rev = group_agg(
+        joined.select("n_name", _rev().alias("v")), ["n_name"], {"r": F.sum("v")}
+    )
+    w = Window.partitionBy()
+    share = F.col("r") / F.sum("r").over(w)
+    return rev.withColumn("share", share).agg(
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(F.max("share"), 6).alias("top_share"),
+    )
+
+
+@defq(
     "region_quarter_growth",
     oracle="""
     WITH q AS (
