@@ -289,6 +289,8 @@ def main() -> None:
         "region_quarter_growth",
         "doc_shingle_novelty",
         "nation_revenue_hhi",
+        "user_engagement_stickiness",
+        "orders_repeat_latency",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

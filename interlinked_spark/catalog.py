@@ -4946,6 +4946,94 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "user_engagement_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    wau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d)
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    ev="table.events",
+)
+def q_user_engagement_stickiness(ev: DataFrame) -> DataFrame:
+    """DAU/WAU stickiness (§2b-C/D engagement analytics): daily actives
+    over trailing-7-day actives.  The trailing-window distinct runs as
+    a range join of the (tiny, broadcast) day grid against the
+    day-user pairs — the raw event table is reduced to distinct
+    (day, user) first, so the range join fan-out is bounded by 7x
+    users-per-day, never events."""
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    wau = group_agg(
+        du.join(
+            F.broadcast(days),
+            F.col("d").between(F.col("day") - F.expr("INTERVAL 6 DAYS"), F.col("day")),
+        ),
+        ["day"],
+        {"wau": F.count_distinct("user_id").cast("bigint")},
+    )
+    dau = group_agg(
+        du.select(F.col("d").alias("day2"), "user_id"),
+        ["day2"],
+        {"dau": F.count("*").cast("bigint")},
+    )
+    joined = equi_join(dau, wau, on=F.col("day2") == F.col("day"))
+    return joined.select(
+        F.col("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+    )
+
+
+@defq(
+    "orders_repeat_latency",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders)
+    SELECT CAST(COUNT(nxt) AS BIGINT) AS n_with_next,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, nxt) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+           ROUND(SUM(CASE WHEN date_diff('day', o_orderdate, nxt) <= 30
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(nxt) AS DOUBLE), 6) AS repeat_30d_rate,
+           ROUND(AVG(date_diff('day', o_orderdate, nxt)), 4) AS avg_gap_days
+    FROM seq
+    """,
+    o="table.orders",
+)
+def q_orders_repeat_latency(o: DataFrame) -> DataFrame:
+    """Repeat-purchase latency (§2b-E): per-customer lead over order
+    dates (window partitioned by the customer key — parallel), then the
+    30-day repeat rate and mean gap in one aggregate."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderdate", F.lead("o_orderdate").over(w).alias("nxt")
+    )
+    gap = F.datediff(F.col("nxt"), F.col("o_orderdate"))
+    return seq.agg(
+        F.count("nxt").cast("bigint").alias("n_with_next"),
+        F.sum(F.when(gap <= 30, 1).otherwise(0)).cast("bigint").alias("n_within_30d"),
+        F.round(
+            F.sum(F.when(gap <= 30, 1).otherwise(0)) / F.count("nxt").cast("double"), 6
+        ).alias("repeat_30d_rate"),
+        F.round(F.avg(gap), 4).alias("avg_gap_days"),
+    )
+
+
+@defq(
     "doc_shingle_novelty",
     oracle="""
     WITH sh AS (

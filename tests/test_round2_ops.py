@@ -385,6 +385,7 @@ def test_whole_catalog_plan_audit(spark):
         "customer_rfm_segments",   # cross joins of ONE-ROW anchor/bounds frames
         "brand_association_rules", # cross join of the ONE-ROW order-total frame
         "customer_balance_winsorized",  # cross join of the ONE-ROW bounds frame
+        "user_engagement_stickiness",   # range join vs broadcast ~30-row day grid
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
