@@ -291,6 +291,7 @@ def main() -> None:
         "nation_revenue_hhi",
         "user_engagement_stickiness",
         "orders_repeat_latency",
+        "events_hourly_autocorr",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

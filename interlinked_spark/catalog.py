@@ -4946,6 +4946,38 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "events_hourly_autocorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(a.n, b.n), 6) AS lag1_autocorr
+    FROM hourly a JOIN hourly b ON b.h = a.h + INTERVAL 1 HOUR
+    """,
+    ev="table.events",
+)
+def q_events_hourly_autocorr(ev: DataFrame) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series (§2b-E/H
+    time-series diagnostics): the persistence number behind capacity
+    forecasts.  The series is the (tiny) hourly aggregate; the shifted
+    self-join and Pearson corr run over it, never over raw events."""
+    hourly = group_agg(
+        ev.select(F.date_trunc("hour", "ts").alias("h")),
+        ["h"],
+        {"n": F.count("*").cast("double")},
+    )
+    nxt = hourly.select(
+        (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h2"), F.col("n").alias("n2")
+    )
+    pairs = equi_join(hourly, nxt, on=F.col("h") == F.col("h2"))
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.corr("n", "n2"), 6).alias("lag1_autocorr"),
+    )
+
+
+@defq(
     "user_engagement_stickiness",
     oracle="""
     WITH du AS (
