@@ -292,6 +292,7 @@ def main() -> None:
         "user_engagement_stickiness",
         "orders_repeat_latency",
         "events_hourly_autocorr",
+        "nation_trade_imbalance",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

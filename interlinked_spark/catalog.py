@@ -4946,6 +4946,74 @@ def q_doc_pack_incremental(st: str, d: DataFrame, spark: SparkSession) -> DataFr
 
 
 @defq(
+    "nation_trade_imbalance",
+    oracle="""
+    WITH sup AS (
+      SELECT n.n_name, SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    cust AS (
+      SELECT n.n_name, SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT sup.n_name,
+           ROUND(sup.r, 2) AS supply_revenue,
+           ROUND(cust.r, 2) AS demand_revenue,
+           ROUND((sup.r - cust.r) / (sup.r + cust.r), 6) AS imbalance
+    FROM sup JOIN cust ON sup.n_name = cust.n_name
+    """,
+    li="table.lineitem",
+    o="table.orders",
+    c="table.customer",
+    s="table.supplier",
+    n="table.nation",
+)
+def q_nation_trade_imbalance(li, o, c, s, n) -> DataFrame:
+    """Supply-vs-demand trade imbalance per nation (§2b-C/D): the same
+    fact table aggregated along its two dimension paths (supplier
+    nation, customer nation), joined on the 25-row nation frame —
+    imbalance in (-1, 1) says who produces vs consumes."""
+    sup = group_agg(
+        broadcast_join(
+            equi_join(li, s.select("s_suppkey", "s_nationkey"),
+                      on=F.col("l_suppkey") == F.col("s_suppkey")),
+            n,
+            on=F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("n_name", _rev().alias("v")),
+        ["n_name"],
+        {"sr": F.sum("v")},
+    ).select(F.col("n_name").alias("sn"), "sr")
+    cust = group_agg(
+        broadcast_join(
+            equi_join(
+                equi_join(li, o.select("o_orderkey", "o_custkey"),
+                          on=F.col("l_orderkey") == F.col("o_orderkey")),
+                c.select("c_custkey", "c_nationkey"),
+                on=F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            n,
+            on=F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("n_name", _rev().alias("v")),
+        ["n_name"],
+        {"cr": F.sum("v")},
+    )
+    joined = equi_join(cust, F.broadcast(sup), on=F.col("n_name") == F.col("sn"))
+    return joined.select(
+        "n_name",
+        F.round("sr", 2).alias("supply_revenue"),
+        F.round("cr", 2).alias("demand_revenue"),
+        F.round((F.col("sr") - F.col("cr")) / (F.col("sr") + F.col("cr")), 6).alias(
+            "imbalance"
+        ),
+    )
+
+
+@defq(
     "events_hourly_autocorr",
     oracle="""
     WITH hourly AS (
