@@ -5875,6 +5875,120 @@ from .operators.graph import pagerank_sql as _pagerank_sql  # noqa: E402
 ORACLES["trade_pagerank"] = _pagerank_sql(_trade_edges_sql(), iterations=5, damping=0.85)
 
 
+
+# =====================================================================
+# K — distributed k-means + SemDeDup semantic dedup
+# =====================================================================
+
+
+def _kmeans_assign_sql(iters: int = 3, k: int = 8, d: int = 64) -> str:
+    """DuckDB CTE chain deriving the FINAL k-means assignment
+    (``afinal(vec_id, v, cid, d)``) by unrolling the exact recurrence
+    ``llm/embeddings.kmeans_fit`` runs: lowest-id seeds rounded to 6dp,
+    squared-distance argmin with (rounded-distance, cid) tiebreak, 6dp
+    per-coordinate mean updates, empty clusters carrying forward.  The
+    SINGLE source of truth shared by the kmeans and semdedup oracles."""
+    dist = (
+        f"round(list_sum(list_transform(range(1, {d + 1}), i -> "
+        "(e.v[i]-s.c[i])*(e.v[i]-s.c[i]))), 6)"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, v, cid, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+            FROM (SELECT e.vec_id, e.v, s.cid, {dist} AS d
+                  FROM emb e CROSS JOIN {cents} s))
+          WHERE rk = 1)"""
+
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+                 list_transform(v, x -> round(x, 6)) AS c
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(assign(f"a{it}", f"c{it - 1}"))
+        parts.append(f"""m{it} AS (
+          SELECT cid, list(m ORDER BY dim) AS c
+          FROM (SELECT a.cid, t.i AS dim, round(avg(a.v[t.i]), 6) AS m
+                FROM a{it} a CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS i) t
+                GROUP BY a.cid, t.i)
+          GROUP BY cid)""")
+        parts.append(f"""c{it} AS (
+          SELECT p.cid, COALESCE(m.c, p.c) AS c
+          FROM c{it - 1} p LEFT JOIN m{it} m ON p.cid = m.cid)""")
+    parts.append(assign("afinal", f"c{iters}"))
+    return "WITH " + ",\n".join(parts)
+
+
+@defq(
+    "embedding_kmeans_clusters",
+    oracle=_kmeans_assign_sql()
+    + """
+    SELECT CAST(cid AS INTEGER) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member,
+           ROUND(SUM(d), 2) AS inertia
+    FROM afinal GROUP BY cid
+    """,
+    e="table.embeddings",
+)
+def q_embedding_kmeans_clusters(e: DataFrame) -> DataFrame:
+    """Distributed Lloyd k-means (§2b-K clustering — the iterative-ML
+    family next to PageRank/CC): fixed 3 iterations, k=8, deterministic
+    lowest-id seeds.  Assignment is a narrow no-shuffle projection
+    against broadcast-literal centroids; the update is ONE keyed
+    aggregate per iteration (map-side combine; only k*d doubles cross
+    the exchange per partition) — at 100 TB the per-iteration cost is a
+    single scan + tiny shuffle, and the driver only ever holds the
+    k x d centroid matrix.  Oracle = the recurrence unrolled into a
+    DuckDB CTE chain (same 6dp rounding at every step)."""
+    from .llm.embeddings import kmeans_assign, kmeans_fit
+
+    fit = kmeans_fit(e, k=8, iters=3)
+    asg = kmeans_assign(e, fit)
+    return asg.groupBy(F.col("cluster_id").cast("int").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("id").cast("bigint").alias("min_member"),
+        F.round(F.sum("sq_dist"), 2).alias("inertia"),
+    )
+
+
+@defq(
+    "embedding_semdedup",
+    oracle=_kmeans_assign_sql()
+    + """
+    , dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+    SELECT CAST(a.cid AS INTEGER) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM afinal a LEFT JOIN dropped dr ON a.vec_id = dr.id
+    GROUP BY a.cid
+    """,
+    e="table.embeddings",
+)
+def q_embedding_semdedup(e: DataFrame) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means partition,
+    then drop any vector whose cluster holds a lower-id vector within
+    cosine 0.3.  The quadratic step is confined WITHIN clusters
+    (candidate mass = sum |cluster|^2, guarded by ``max_cluster_size``)
+    — the paper's k-scales-with-n posture, enforced loudly
+    (`llm/embeddings.semdedup_keep`)."""
+    from .llm.embeddings import kmeans_fit, semdedup_keep
+
+    fit = kmeans_fit(e, k=8, iters=3)
+    keep = semdedup_keep(e, fit, cosine_threshold=0.3)
+    return keep.groupBy(F.col("cluster_id").cast("int").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -142,3 +142,185 @@ def quantize_int8(
             F.aggregate("__err", F.lit(0.0), lambda a, v: a + v) / F.size("__x"), 6
         ).alias("mean_abs_err"),
     )
+
+
+def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """``array<struct<cid:int, c:array<double>>>`` literal for a small
+    (k x d) centroid set — k*d scalar literals, evaluated row-local so
+    the assignment step is a narrow projection with NO join and NO
+    shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for cid, c in centroids
+        ]
+    )
+
+
+def _assign_cols(vec_col: str, centroids) -> tuple[F.Column, F.Column]:
+    """(cluster_id, sq_dist) columns: argmin over the centroid literal.
+
+    Squared distance is a sequential ``aggregate(zip_with(...))`` fold
+    (index order — the same IEEE reduction DuckDB's ``list_sum`` over a
+    ``list_transform(range(...))`` performs), rounded to 6dp before the
+    argmin so knife-edge reduction noise cannot flip an assignment;
+    ties break on the lower centroid id via struct ordering."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.transform(
+        _centroid_literal(centroids),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return best["cid"], best["d"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd k-means with a FIXED iteration count and fully
+    deterministic arithmetic (§2b-K clustering; the SemDeDup partition
+    step).
+
+    * **Seeds**: the ``k`` rows with the smallest ids — deterministic,
+      one ordered take of k rows (no RNG, no kmeans++ sampling pass).
+    * **Assign**: narrow projection against the broadcast-literal
+      centroids (:func:`_assign_cols`) — no join, no shuffle.
+    * **Update**: ``posexplode`` to (cid, dim, val) then one keyed
+      aggregate — map-side partial combine applies, and only k*d
+      doubles cross the exchange per partition.  Per-coordinate means
+      are rounded to 6dp so cross-engine / cross-run reduction-order
+      noise cannot propagate into the next assignment.
+    * **Empty clusters** carry their previous centroid forward.
+
+    The driver holds only the k x d centroid matrix (`collect` of k
+    rows per iteration — O(1) in corpus size, same policy as
+    :func:`pca_fit`'s partials).  Returns ``[(cid, [coords]), ...]``.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    seeds = (
+        df.select(
+            F.col(id_col).alias("id"),
+            # HALF_UP via F.round (matches DuckDB's round), NOT Python's
+            # banker's round — seed coords feed every later assignment.
+            F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("v"),
+        )
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_fit: need >= {k} rows, got {len(seeds)}")
+    centroids = [(i, list(r.v)) for i, r in enumerate(seeds)]
+    base = df.select(F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        cid_col, _d = _assign_cols("__v", centroids)
+        means = (
+            base.select(cid_col.alias("cid"), F.posexplode("__v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .collect()
+        )
+        updated = {r.cid: [p.m for p in r.dm] for r in means}
+        centroids = [(cid, updated.get(cid, c)) for cid, c in centroids]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Tag each row with its nearest centroid: ``(id, cluster_id,
+    sq_dist)`` — a narrow projection (no join/shuffle), suitable for a
+    100-TB scoring pass."""
+    cid_col, d_col = _assign_cols(vec_col, centroids)
+    return df.select(
+        F.col(id_col).alias("id"),
+        cid_col.alias("cluster_id"),
+        d_col.alias("sq_dist"),
+    )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    cosine_threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): partition by k-means cluster, then drop any vector
+    whose cluster contains a LOWER-id vector within ``cosine_threshold``
+    (the paper keeps one representative per semantic duplicate group;
+    lowest-id is our deterministic stand-in for its random choice).
+
+    Scale posture: the quadratic step is confined WITHIN clusters — the
+    pair join is an equi-join on ``cluster_id`` with ``id < id`` and
+    exact-cosine filter, so candidate mass is sum(|cluster|^2), not
+    n^2.  The paper's own control for this is k scaling with n (keep
+    n/k bounded); ``max_cluster_size`` is the guard rail that fails
+    loudly instead of silently degrading to all-pairs when k was chosen
+    too small for the corpus.
+
+    Returns ``(id, cluster_id, kept)`` for every input row.
+    """
+    from .similarity import cosine_similarity
+
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        _assign_cols(vec_col, centroids)[0].alias("cluster_id"),
+    )
+    if max_cluster_size is not None:
+        hot = (
+            tagged.groupBy("cluster_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cluster_size)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"semdedup_keep: cluster {hot[0].cluster_id} has {hot[0].n} rows "
+                f"(> max_cluster_size={max_cluster_size}); raise k in kmeans_fit "
+                "(SemDeDup scales k with n) or raise/disable max_cluster_size"
+            )
+    left = tagged.select("cluster_id", F.col("id").alias("a_id"), F.col("__v").alias("a_v"))
+    right = tagged.select("cluster_id", F.col("id").alias("b_id"), F.col("__v").alias("b_v"))
+    dominated = (
+        left.join(right, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(cosine_similarity(F.col("a_v"), F.col("b_v")), 6)
+            >= F.lit(float(cosine_threshold))
+        )
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    return tagged.join(dominated.withColumn("__drop", F.lit(True)), "id", "left").select(
+        "id",
+        "cluster_id",
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+    )

@@ -1,0 +1,61 @@
+"""k-means + SemDeDup (round 8c): determinism, guard rails, and the
+narrow-assignment scale pin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from interlinked_spark.llm.embeddings import kmeans_assign, kmeans_fit, semdedup_keep
+
+from .conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_kmeans_deterministic(emb):
+    a = kmeans_fit(emb, k=4, iters=2)
+    b = kmeans_fit(emb, k=4, iters=2)
+    assert a == b
+
+
+def test_kmeans_validates_inputs(emb):
+    with pytest.raises(ValueError):
+        kmeans_fit(emb, k=0)
+    with pytest.raises(ValueError):
+        kmeans_fit(emb.limit(2), k=5)
+
+
+def test_kmeans_assign_is_narrow(emb):
+    """The assignment pass must be a pure projection: no Exchange, no
+    join — the property that makes the per-iteration cost one scan."""
+    fit = kmeans_fit(emb, k=4, iters=1)
+    plan = kmeans_assign(emb, fit)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_kmeans_partitions_all_rows(emb):
+    fit = kmeans_fit(emb, k=8, iters=3)
+    asg = kmeans_assign(emb, fit)
+    n = emb.count()
+    assert asg.count() == n
+    cids = {r.cluster_id for r in asg.select("cluster_id").distinct().collect()}
+    assert cids <= set(range(8))
+
+
+def test_semdedup_cluster_minimum_always_kept(emb):
+    """The lowest-id member of every cluster has no lower-id neighbor,
+    so it can never be dominated."""
+    fit = kmeans_fit(emb, k=8, iters=3)
+    keep = semdedup_keep(emb, fit, cosine_threshold=0.3)
+    mins = keep.groupBy("cluster_id").agg(F.min("id").alias("id")).select("id")
+    bad = keep.join(mins, "id").filter(~F.col("kept")).count()
+    assert bad == 0
+
+
+def test_semdedup_hot_cluster_guard(emb):
+    fit = kmeans_fit(emb, k=2, iters=1)
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup_keep(emb, fit, max_cluster_size=10)
