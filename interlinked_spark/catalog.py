@@ -5989,6 +5989,143 @@ def q_embedding_semdedup(e: DataFrame) -> DataFrame:
     )
 
 
+
+# =====================================================================
+# D — portable count-min sketch + bloom runtime filter
+# =====================================================================
+
+
+@defq(
+    "token_cms_estimates",
+    oracle=r"""
+    WITH tok AS (
+      SELECT w FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+      WHERE w <> ''),
+    depths AS (SELECT unnest(range(0, 4)) AS j),
+    state AS (
+      SELECT d.j,
+             substr(md5('cms' || CAST(d.j AS VARCHAR) || ':' || t.w), 1, 3) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok t CROSS JOIN depths d
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tok GROUP BY w ORDER BY exact_count DESC, w ASC LIMIT 10),
+    probes AS (
+      SELECT e.w, e.exact_count, s.c
+      FROM exact e CROSS JOIN depths d
+      JOIN state s
+        ON s.j = d.j
+       AND s.bucket = substr(md5('cms' || CAST(d.j AS VARCHAR) || ':' || e.w), 1, 3))
+    SELECT w AS token, exact_count,
+           CAST(MIN(c) AS BIGINT) AS cms_est,
+           CAST(MIN(c) - exact_count AS BIGINT) AS overestimate
+    FROM probes GROUP BY w, exact_count
+    """,
+    d="table.documents",
+)
+def q_token_cms_estimates(d: DataFrame) -> DataFrame:
+    """Count-min sketch (§2b-D mergeable-sketch family, next to HLL):
+    4 x 4096 portable md5 counters built in ONE keyed aggregate
+    (explode-below-partial-combine, so at most depth x width counter
+    rows cross the exchange per partition), then point estimates for
+    the top-10 exact tokens with the CMS overestimate made visible
+    (est >= exact always; the oracle rebuilds the identical sketch in
+    SQL).  States merge by counter-wise sum — the any-range frequency
+    maintenance shape (`operators/sketches.py::cms_build`)."""
+    from .operators.sketches import cms_build, cms_estimate
+
+    tokens = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    state = cms_build(tokens, "w", depth=4, hex_chars=3)
+    exact = (
+        tokens.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("w").asc())
+        .limit(10)
+    )
+    est = cms_estimate(state, exact, "w", depth=4, hex_chars=3)
+    return (
+        exact.join(est.withColumnRenamed("value", "w"), "w")
+        .select(
+            F.col("w").alias("token"),
+            "exact_count",
+            F.col("est").alias("cms_est"),
+            (F.col("est") - F.col("exact_count")).cast("bigint").alias("overestimate"),
+        )
+    )
+
+
+@defq(
+    "orders_bloom_prune",
+    oracle="""
+    WITH vip AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000),
+    seeds AS (SELECT unnest(range(0, 3)) AS s),
+    bloom AS (
+      SELECT DISTINCT d.s AS seed,
+             substr(md5('bloom' || CAST(d.s AS VARCHAR) || ':' || v.c_custkey), 1, 3) AS bucket
+      FROM vip v CROSS JOIN seeds d),
+    keys AS (SELECT DISTINCT o_custkey FROM orders),
+    hits AS (
+      SELECT k.o_custkey, COUNT(*) = 3 AS hit
+      FROM keys k CROSS JOIN seeds d
+      JOIN bloom b
+        ON b.seed = d.s
+       AND b.bucket = substr(md5('bloom' || CAST(d.s AS VARCHAR) || ':' || k.o_custkey), 1, 3)
+      GROUP BY k.o_custkey),
+    flags AS (
+      SELECT o.o_custkey,
+             COALESCE(h.hit, FALSE) AS hit,
+             v.c_custkey IS NOT NULL AS tru
+      FROM orders o
+      LEFT JOIN hits h ON o.o_custkey = h.o_custkey
+      LEFT JOIN vip v ON o.o_custkey = v.c_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN hit AND NOT tru THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+    FROM flags
+    """,
+    c="table.customer",
+    o="table.orders",
+)
+def q_orders_bloom_prune(c: DataFrame, o: DataFrame) -> DataFrame:
+    """Bloom runtime filter (§2b-C join pruning): build a 3-hash bloom
+    over the FILTERED dim side (VIP customers), broadcast the occupied
+    position set (<= 3 x 4096 rows no matter the key count), and probe
+    the fact side's keys — the explicit version of the runtime-filter
+    pattern that keeps can't-match rows of a 100-TB fact table from
+    ever crossing the join exchange.  Output pins the semantics: no
+    false negatives (n_flagged >= n_true), false positives counted
+    against the exact semi-join (`operators/sketches.py::bloom_build`)."""
+    from .operators.sketches import bloom_build, bloom_might_contain
+
+    vip = c.filter(F.col("c_acctbal") > 9000).select("c_custkey").distinct()
+    bloom = bloom_build(vip, "c_custkey", num_hashes=3, hex_chars=3)
+    probed = bloom_might_contain(
+        o.select("o_custkey"), "o_custkey", bloom, num_hashes=3, hex_chars=3
+    )
+    truth = vip.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "__true", F.lit(True)
+    )
+    return (
+        probed.join(F.broadcast(truth), "o_custkey", "left")
+        .select(
+            "__bloom_hit", F.coalesce("__true", F.lit(False)).alias("__tru")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("__bloom_hit"), 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+            F.sum(F.when(F.col("__tru"), 1).otherwise(0)).cast("bigint").alias("n_true"),
+            F.sum(F.when(F.col("__bloom_hit") & ~F.col("__tru"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_positive"),
+        )
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -105,3 +105,165 @@ def sketch_state_estimates(
         .agg(F.hll_union_agg("sketch").alias("__u"))
         .select(*keys, F.hll_sketch_estimate("__u").alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch (engine-portable md5 hashing)
+# ---------------------------------------------------------------------
+
+
+def _cms_bucket(depth_col, value_col, hex_chars: int, salt: str):
+    """Bucket = first ``hex_chars`` hex chars of ``md5(salt || depth ||
+    ':' || value)`` — the repo-wide portable-hash convention
+    (``operators/sampling.py``), kept as a STRING so every engine with
+    md5 (DuckDB oracle included) derives the identical sketch."""
+    return F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                depth_col.cast("string"),
+                F.lit(":"),
+                value_col.cast("string"),
+            )
+        ),
+        1,
+        hex_chars,
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    hex_chars: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch state over a value column: ``(j, bucket, c)``
+    with ``depth`` rows of ``16**hex_chars`` counters.
+
+    One keyed aggregate with map-side combine — the explode to
+    ``depth`` rows happens below the partial aggregation, so at most
+    ``depth * 16**hex_chars`` counter rows cross the exchange per
+    partition regardless of input size.  States are MERGEABLE by
+    counter-wise sum (``cms_merge``), exactly — the property that lets
+    a 100-TB pipeline maintain per-day sketches and answer any-range
+    frequency queries by adding tiny counter tables."""
+    return (
+        df.select(
+            F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+            F.col(value_col).alias("__v"),
+        )
+        .select("j", _cms_bucket(F.col("j"), F.col("__v"), hex_chars, salt).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Counter-wise sum of CMS states (exact mergeability)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket").agg(F.sum("c").cast("bigint").alias("c"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    hex_chars: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates: ``(value, est)`` where ``est =
+    min_j counter[j][h_j(value)]`` — the classic CMS upper bound
+    (est >= true count, overestimate bounded by e*N/width w.h.p.).
+    The query side explodes to ``depth`` rows and joins the state;
+    with the default 4 x 4096 counters the state is ~KBs — broadcast
+    it."""
+    q = queries.select(F.col(value_col).alias("value")).distinct()
+    probes = q.select(
+        "value",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).select(
+        "value",
+        "j",
+        _cms_bucket(F.col("j"), F.col("value"), hex_chars, salt).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(state), ["j", "bucket"])
+        .groupBy("value")
+        .agg(F.min("c").cast("bigint").alias("est"))
+    )
+
+
+def cms_bucket_sql(depth_expr: str, value_expr: str, hex_chars: int = 3, salt: str = "cms") -> str:
+    """DuckDB twin of :func:`_cms_bucket` — single source of truth for
+    oracle SQL."""
+    return (
+        f"substr(md5('{salt}' || CAST({depth_expr} AS VARCHAR) || ':' || "
+        f"CAST({value_expr} AS VARCHAR)), 1, {hex_chars})"
+    )
+
+
+# ---------------------------------------------------------------------
+# Bloom filter as a mergeable bit-set table
+# ---------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_hashes: int = 3,
+    hex_chars: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter over a key set, represented as the DISTINCT set of
+    occupied ``(seed, bucket)`` positions — at most ``num_hashes *
+    16**hex_chars`` rows no matter how many keys went in (the bit-array
+    sparsity made relational).  Mergeable by UNION DISTINCT.
+
+    The production use is the runtime-filter pattern: build from the
+    small/filtered side of a join, broadcast (~KBs), and prune the
+    100-TB side BEFORE its shuffle — rows that can't match never cross
+    the exchange.  False positives pass the filter (and are eliminated
+    by the real join); false negatives are impossible."""
+    return (
+        df.select(
+            F.explode(F.array(*[F.lit(s) for s in range(num_hashes)])).alias("seed"),
+            F.col(key_col).alias("__k"),
+        )
+        .select("seed", _cms_bucket(F.col("seed"), F.col("__k"), hex_chars, salt).alias("bucket"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    num_hashes: int = 3,
+    hex_chars: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Append boolean ``__bloom_hit``: true iff ALL ``num_hashes``
+    positions for the key are occupied.  The probe explodes each row to
+    ``num_hashes`` probes against the broadcast position set and counts
+    matches — no shuffle of the probed table beyond its id."""
+    probes = df.select(F.col(key_col).alias("__k")).distinct()
+    exploded = probes.select(
+        "__k",
+        F.explode(F.array(*[F.lit(s) for s in range(num_hashes)])).alias("seed"),
+    ).select(
+        "__k",
+        "seed",
+        _cms_bucket(F.col("seed"), F.col("__k"), hex_chars, salt).alias("bucket"),
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom), ["seed", "bucket"])
+        .groupBy("__k")
+        .agg((F.count("*") == F.lit(num_hashes)).alias("__bloom_hit"))
+    )
+    return df.join(
+        F.broadcast(hits.withColumnRenamed("__k", key_col)), key_col, "left"
+    ).withColumn("__bloom_hit", F.coalesce("__bloom_hit", F.lit(False)))
