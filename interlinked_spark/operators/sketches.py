@@ -161,6 +161,8 @@ def cms_build(
 
 def cms_merge(*states: DataFrame) -> DataFrame:
     """Counter-wise sum of CMS states (exact mergeability)."""
+    if not states:
+        raise ValueError("cms_merge: need at least one state")
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
@@ -178,9 +180,12 @@ def cms_estimate(
     """Point-frequency estimates: ``(value, est)`` where ``est =
     min_j counter[j][h_j(value)]`` — the classic CMS upper bound
     (est >= true count, overestimate bounded by e*N/width w.h.p.).
-    The query side explodes to ``depth`` rows and joins the state;
-    with the default 4 x 4096 counters the state is ~KBs — broadcast
-    it."""
+    The query side explodes to ``depth`` rows and LEFT-joins the state
+    so every queried value gets a row: a bucket with no counter row is
+    an empty counter (0), hence an unseen value estimates 0 rather than
+    being dropped, and a value with some empty buckets takes the min
+    over 0 — the exact ``min_j counter[j][h_j(value)]`` contract.  With
+    the default 4 x 4096 counters the state is ~KBs — broadcast it."""
     q = queries.select(F.col(value_col).alias("value")).distinct()
     probes = q.select(
         "value",
@@ -191,9 +196,9 @@ def cms_estimate(
         _cms_bucket(F.col("j"), F.col("value"), hex_chars, salt).alias("bucket"),
     )
     return (
-        probes.join(F.broadcast(state), ["j", "bucket"])
+        probes.join(F.broadcast(state), ["j", "bucket"], "left")
         .groupBy("value")
-        .agg(F.min("c").cast("bigint").alias("est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est"))
     )
 
 
@@ -249,7 +254,9 @@ def bloom_might_contain(
     """Append boolean ``__bloom_hit``: true iff ALL ``num_hashes``
     positions for the key are occupied.  The probe explodes each row to
     ``num_hashes`` probes against the broadcast position set and counts
-    matches — no shuffle of the probed table beyond its id."""
+    matches — no shuffle of the probed table beyond its id.  A NULL key
+    yields NULL (unknown), matching the engine convention of Spark's
+    native ``might_contain``; non-null keys never seen return false."""
     probes = df.select(F.col(key_col).alias("__k")).distinct()
     exploded = probes.select(
         "__k",
@@ -266,4 +273,9 @@ def bloom_might_contain(
     )
     return df.join(
         F.broadcast(hits.withColumnRenamed("__k", key_col)), key_col, "left"
-    ).withColumn("__bloom_hit", F.coalesce("__bloom_hit", F.lit(False)))
+    ).withColumn(
+        "__bloom_hit",
+        F.when(F.col(key_col).isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.coalesce("__bloom_hit", F.lit(False))
+        ),
+    )

@@ -870,3 +870,44 @@ def test_delete_rows_takedown_purges_index_state(spark, tmp_path):
     # Swap machinery composes: compaction after deletion keeps results.
     compact_table(spark, idx, num_files=1, cluster_cols=["s"])
     assert ngram_jaccard_incremental_indexed(spark, idx, probe, threshold=0.5).count() == 0
+
+
+def test_cms_estimate_unseen_and_partial_buckets_return_zero(spark):
+    """ADVICE r8 (medium): `est = min_j counter[j][h_j(v)]` must hold for
+    ANY queried value — an unseen value has all-empty buckets, so est=0
+    (a row, not a silent drop); a value sharing SOME buckets with seen
+    values still takes the min over the empty (0) counters."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.operators.sketches import cms_build, cms_estimate, cms_merge
+
+    seen = spark.createDataFrame([("a",), ("a",), ("b",)], ["w"])
+    state = cms_build(seen, "w", depth=4, hex_chars=3)
+    probes = spark.createDataFrame([("a",), ("never-seen-value",)], ["w"])
+    est = {r.value: r.est for r in cms_estimate(state, probes, "w", depth=4, hex_chars=3).collect()}
+    assert est["a"] >= 2  # CMS is an upper bound
+    assert est["never-seen-value"] == 0  # row present, zero estimate
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one state"):
+        cms_merge()
+    # Merged state preserves the unseen-value contract.
+    merged = cms_merge(state, cms_build(seen.filter(F.col("w") == "b"), "w"))
+    est2 = {r.value: r.est for r in cms_estimate(merged, probes, "w").collect()}
+    assert est2["never-seen-value"] == 0
+
+
+def test_bloom_null_key_reports_null_not_false(spark):
+    """ADVICE r8 (low): NULL key -> NULL __bloom_hit (engine convention,
+    matching Spark's native might_contain); unseen non-null -> False;
+    seen -> True."""
+    from interlinked_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    keys = spark.createDataFrame([(1,), (2,)], ["k"])
+    bloom = bloom_build(keys, "k")
+    probe = spark.createDataFrame([(1,), (999999,), (None,)], "k int")
+    got = {r.k: r["__bloom_hit"] for r in bloom_might_contain(probe, "k", bloom).collect()}
+    assert got[1] is True
+    assert got[999999] is False
+    assert got[None] is None
