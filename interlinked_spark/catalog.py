@@ -5881,7 +5881,14 @@ ORACLES["trade_pagerank"] = _pagerank_sql(_trade_edges_sql(), iterations=5, damp
 # =====================================================================
 
 
-def _kmeans_assign_sql(iters: int = 3, k: int = 8, d: int = 64) -> str:
+# ONE place ties the Spark fit calls to the unrolled oracle recurrence —
+# change these and both sides move together (ADVICE r8).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_D = 64
+
+
+def _kmeans_assign_sql(iters: int = KMEANS_ITERS, k: int = KMEANS_K, d: int = KMEANS_D) -> str:
     """DuckDB CTE chain deriving the FINAL k-means assignment
     (``afinal(vec_id, v, cid, d)``) by unrolling the exact recurrence
     ``llm/embeddings.kmeans_fit`` runs: lowest-id seeds rounded to 6dp,
@@ -5947,7 +5954,7 @@ def q_embedding_kmeans_clusters(e: DataFrame) -> DataFrame:
     DuckDB CTE chain (same 6dp rounding at every step)."""
     from .llm.embeddings import kmeans_assign, kmeans_fit
 
-    fit = kmeans_fit(e, k=8, iters=3)
+    fit = kmeans_fit(e, k=KMEANS_K, iters=KMEANS_ITERS)
     asg = kmeans_assign(e, fit)
     return asg.groupBy(F.col("cluster_id").cast("int").alias("cluster_id")).agg(
         F.count("*").cast("bigint").alias("n_members"),
@@ -5981,7 +5988,7 @@ def q_embedding_semdedup(e: DataFrame) -> DataFrame:
     (`llm/embeddings.semdedup_keep`)."""
     from .llm.embeddings import kmeans_fit, semdedup_keep
 
-    fit = kmeans_fit(e, k=8, iters=3)
+    fit = kmeans_fit(e, k=KMEANS_K, iters=KMEANS_ITERS)
     keep = semdedup_keep(e, fit, cosine_threshold=0.3)
     return keep.groupBy(F.col("cluster_id").cast("int").alias("cluster_id")).agg(
         F.count("*").cast("bigint").alias("n_members"),

@@ -286,13 +286,18 @@ def semdedup_keep(
 
     Returns ``(id, cluster_id, kept)`` for every input row.
     """
+    from pyspark import StorageLevel
+
     from .similarity import cosine_similarity
 
+    # The centroid-literal projection scans the input once per consumer;
+    # it feeds the guard count AND both sides of the cluster self-join,
+    # so persist it — one assignment pass total, spilled to disk if big.
     tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
         _assign_cols(vec_col, centroids)[0].alias("cluster_id"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if max_cluster_size is not None:
         hot = (
             tagged.groupBy("cluster_id")
