@@ -45,27 +45,32 @@ def connected_components(
         .withColumn("component", F.col("vertex")),
         checkpoint_mode,
     )
-    # Convergence detection: labels are INTEGRAL doc/vertex ids in the
-    # dedup pipelines, and min-propagation only ever DECREASES a label,
-    # so sum(component) is strictly monotone until the fixed point —
-    # equal sums <=> pointwise-equal labels.  That turns the per-round
-    # convergence check into one aggregate over the freshly-checkpointed
-    # labels instead of a self-join + filter + count (one fewer join
-    # per round; the rounds ARE the cost of this operator).  ONLY
-    # integral types qualify: the checksum casts to decimal(38,0), so a
-    # fractional label change (1.4 -> 1.2) would be invisible and the
-    # loop would exit a round early (review-caught bug).  Float/double/
-    # decimal and non-numeric ids use the join-based check.
+    # Convergence detection is ONE aggregate over the freshly-
+    # checkpointed labels — never a self-join + filter + count (one
+    # fewer join per round; the rounds ARE the cost of this operator).
+    # Integral ids: sum(component) — min-propagation only ever
+    # DECREASES a label, so the sum is strictly monotone until the
+    # fixed point; equal sums <=> pointwise-equal labels, EXACTLY.
+    # ONLY integral types qualify for that: the checksum casts to
+    # decimal(38,0), so a fractional change (1.4 -> 1.2) would be
+    # invisible (review-caught bug).  Everything else (string/float
+    # ids) sums xxhash64(vertex, component): unchanged labels give an
+    # equal sum always; a changed round is missed only if the 64-bit
+    # hash deltas cancel exactly (~2^-64/round) — the same cheap-path
+    # cost for string-id graphs instead of a per-round join (r8 note).
     numeric = labels.schema["component"].dataType.typeName() in (
         "byte", "short", "integer", "long"
     )
 
     def _checksum(lbl: DataFrame):
-        return lbl.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]["s"]
+        col = (
+            F.col("component").cast("decimal(38,0)")
+            if numeric
+            else F.xxhash64("vertex", "component").cast("decimal(38,0)")
+        )
+        return lbl.agg(F.sum(col).alias("s")).collect()[0]["s"]
 
-    prev_sum = _checksum(labels) if numeric else None
+    prev_sum = _checksum(labels)
     for _ in range(max_iterations):
         nbr_min = (
             e.join(labels.select(F.col("vertex").alias("a"), "component"), "a")
@@ -78,16 +83,9 @@ def connected_components(
             checkpoint_mode,
             eager=True,  # flatten lineage before the convergence check
         )
-        if numeric:
-            new_sum = _checksum(new_labels)
-            changed = new_sum != prev_sum
-            prev_sum = new_sum
-        else:
-            changed = (
-                new_labels.join(labels.withColumnRenamed("component", "old"), "vertex")
-                .filter(F.col("component") != F.col("old"))
-                .count()
-            ) > 0
+        new_sum = _checksum(new_labels)
+        changed = new_sum != prev_sum
+        prev_sum = new_sum
         labels = new_labels
         if not changed:
             return labels

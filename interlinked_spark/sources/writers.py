@@ -288,7 +288,8 @@ def delete_rows(
     path: str,
     keys_df: DataFrame,
     on: Sequence[str],
-) -> tuple[int, int]:
+    report: bool = False,
+) -> tuple[int, int] | None:
     """Delete rows matching ``keys_df`` on the ``on`` columns from a
     parquet directory — the takedown/right-to-erasure path for every
     persisted resource here (accepted corpus, shingle/vector index
@@ -296,7 +297,10 @@ def delete_rows(
     staged-directory swap as :func:`compact_table` (same crash-recovery
     contract), because parquet files are immutable: there is no
     in-place delete, only rewrite-without.  Returns
-    ``(rows_before, rows_after)``.
+    ``(rows_before, rows_after)`` when ``report=True``, else ``None``
+    — the counts cost two EXTRA full scans of the state (one before,
+    one re-read after the swap), which a 100-TB takedown should not
+    pay by default (ADVICE r8).
 
     The keys side is broadcast (a deletion list is small by nature); at
     lake scale the same anti-join runs as Delta/Iceberg DELETE with
@@ -305,9 +309,11 @@ def delete_rows(
 
     _recover_swap_residue(path)
     df = spark.read.parquet(path)
-    before = df.count()
+    before = df.count() if report else None
     kept = df.join(
         F.broadcast(keys_df.select(*on).dropDuplicates()), list(on), "left_anti"
     )
     _swap_in(kept, path)
+    if not report:
+        return None
     return before, spark.read.parquet(path).count()

@@ -24,6 +24,21 @@ def test_connected_components_hand_graph(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_string_ids_hand_graph(spark):
+    """String-id graphs take the same single-aggregate hash-checksum
+    convergence path as integral ids (r8 verdict nit) — correctness
+    pinned on a chain + pair + lexicographic-min representative."""
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    from interlinked_spark.operators.graph import connected_components
+
+    got = {
+        (r.vertex, r.component) for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
 def test_connected_components_raises_without_convergence(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     from interlinked_spark.operators.graph import connected_components

@@ -855,8 +855,10 @@ def test_delete_rows_takedown_purges_index_state(spark, tmp_path):
     assert ngram_jaccard_incremental_indexed(spark, idx, probe, threshold=0.5).count() == 1
 
     takedown = spark.createDataFrame([(1,)], ["doc_id"])
-    b, a = delete_rows(spark, accepted, takedown, on=["doc_id"])
+    b, a = delete_rows(spark, accepted, takedown, on=["doc_id"], report=True)
     assert (b, a) == (2, 1)
+    # Default path: no report tuple, hence no extra before/after scans.
+    assert delete_rows(spark, accepted, takedown.filter("doc_id < 0"), on=["doc_id"]) is None
     delete_rows(spark, idx, takedown.withColumnRenamed("doc_id", "id"), on=["id"])
 
     # Deleted doc no longer gates anything; unrelated postings intact.
