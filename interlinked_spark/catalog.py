@@ -2312,9 +2312,10 @@ def q_zordered_scan_agg(spark: SparkSession, base_dir: str) -> DataFrame:
 def q_events_hll_state_distinct(spark: SparkSession, base_dir: str) -> DataFrame:
     """Materialized mergeable-sketch state (§2b-D approx family,
     persisted): distinct users per event_type maintained as per-group
-    HLL sketches across THREE batches (build + two appends — the
-    history is scanned once per batch, never re-scanned;
-    `operators/sketches.py`).  Two derived assertions ride in the
+    HLL sketches across TWO batches (build + append — the history is
+    scanned once per batch, never re-scanned;
+    `operators/sketches.py`; the N-append shape is exercised in
+    `tests/test_scale_tools.py`).  Two derived assertions ride in the
     output: ``within_bound`` (estimate within 3x the HLL rse of the
     exact count, deterministic for fixed data) and ``merge_exact`` —
     the merged-state estimate EQUALS the one-shot sketch estimate,
@@ -2333,12 +2334,11 @@ def q_events_hll_state_distinct(spark: SparkSession, base_dir: str) -> DataFrame
     ev = spark.read.parquet(f"{base_dir}/events.parquet")
     path = tempfile.mkdtemp(prefix="hll_state_")
     build_sketch_state(
-        ev.filter(F.col("event_id") % 3 == 0), ["event_type"], "user_id", path
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id", path
     )
-    for r in (1, 2):
-        update_sketch_state(
-            ev.filter(F.col("event_id") % 3 == r), ["event_type"], "user_id", path
-        )
+    update_sketch_state(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id", path
+    )
     est = sketch_state_estimates(spark, path, ["event_type"])
     oneshot = sketch_distinct_state(ev, ["event_type"], "user_id").select(
         "event_type", F.hll_sketch_estimate("sketch").alias("__one")
@@ -5866,7 +5866,10 @@ def q_trade_pagerank(li: DataFrame, o: DataFrame) -> DataFrame:
         F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
         F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
     )
-    pr = pagerank(edges, iterations=5, damping=0.85)
+    # checkpoint_every=3: lineage depth stays bounded at 3 rounds while
+    # the 5-round loop pays 2 materialization jobs (rounds 3 and 5)
+    # instead of 3 — same math, one fewer action (r8 verdict item 4).
+    pr = pagerank(edges, iterations=5, damping=0.85, checkpoint_every=3)
     return pr.select("vertex", F.round("pagerank", 8).alias("pagerank"))
 
 
