@@ -262,6 +262,75 @@ def kmeans_assign(
     )
 
 
+def ivf_probed_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k probing only the ``n_probe`` nearest
+    inverted lists of the DETERMINISTIC Lloyd quantizer
+    (:func:`kmeans_fit`) — a genuinely partial-probe ANN path
+    (``n_probe < k_clusters`` misses neighbors whose list wasn't
+    probed) whose output is still exactly reproducible, because every
+    step (6dp-rounded squared distances, lowest-cid tiebreaks) is the
+    same fixed arithmetic the quantizer itself runs.  That is what
+    keeps an *approximate* search hash-gateable: the oracle unrolls the
+    identical recurrence instead of trusting an RNG-seeded fit.
+
+    Scale shape: corpus assignment and per-query centroid ranking are
+    both narrow no-shuffle projections against the broadcast centroid
+    literal (ranking sorts the SAME scored array ``_assign_cols``
+    argmins over, row-locally); the only join is the equi-join of the
+    tiny probed (query, cid) side — broadcast — against the inverted
+    file, so a 1000x corpus grows per-list scan cost only.  Returns
+    ``(query_id, neighbor_id, cosine)``.
+    """
+    from ..operators.windows import top_k_per_group
+    from .similarity import cosine_similarity
+
+    cid_col, _ = _assign_cols(vec_col, centroids)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        cid_col.alias("__cid"),
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.transform(
+        _centroid_literal(centroids),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.slice(F.array_sort(scored), 1, n_probe)).alias("__p"),
+    ).select("query_id", "__qv", F.col("__p.cid").alias("__cid"))
+    hits = (
+        assigned.join(F.broadcast(probed), "__cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return top_k_per_group(
+        hits, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
 def semdedup_keep(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -59,3 +59,37 @@ def test_semdedup_hot_cluster_guard(emb):
     fit = kmeans_fit(emb, k=2, iters=1)
     with pytest.raises(ValueError, match="max_cluster_size"):
         semdedup_keep(emb, fit, max_cluster_size=10)
+
+
+def test_ivf_probed_probe_all_equals_exact_and_partial_is_subset(spark):
+    """n_probe = k_clusters degrades to exact brute-force top-k (every
+    list searched); a partial probe returns a SUBSET of per-list-exact
+    results — pins that approximation comes only from unprobed lists,
+    never from a scoring bug."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.llm.embeddings import ivf_probed_top_k, kmeans_fit
+    from interlinked_spark.llm.similarity import cosine_top_k
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fit = kmeans_fit(e, k=4, iters=2)
+    qs = e.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_top_k(e, qs, k=5).collect()
+    }
+    all_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_probed_top_k(e, qs, fit, k=5, n_probe=4).collect()
+    }
+    assert all_probe == exact
+    partial = [
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in ivf_probed_top_k(e, qs, fit, k=5, n_probe=1).collect()
+    ]
+    # Partial-probe cosines are the true cosines (no score distortion)…
+    true_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_top_k(e, qs, k=10_000, max_query_rows=None).collect()
+    }
+    assert all(true_cos[(q, n)] == c for q, n, c in partial)
