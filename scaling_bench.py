@@ -92,6 +92,25 @@ def _near_dups_banded(spark: SparkSession, sf_dir: str):
     )
 
 
+def _semdedup_scaledk(spark: SparkSession, sf_dir: str):
+    """SemDeDup with the PAPER's posture — k scales with n so per-
+    cluster population (hence within-cluster pair mass per row) stays
+    constant.  The catalog query pins k=8 for oracle unrollability; at
+    fixed k the within-cluster quadratic makes the whole query
+    quadratic in corpus size, which is exactly the regime this variant
+    contrasts: same threshold, same arithmetic, n/k held at the base
+    ratio (~250 rows/cluster) -> expected ~linear."""
+    from interlinked_spark.llm.embeddings import kmeans_fit, semdedup_keep
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kk = max(8, round(emb.count() / 250))
+    keep = semdedup_keep(emb, kmeans_fit(emb, k=kk, iters=3), cosine_threshold=0.3)
+    return keep.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
 # (name, runner) — runner(spark, sf_dir) -> DataFrame; None = catalog query
 HEAVY = [
     ("dedup_minhash_pairs", None),
@@ -107,6 +126,17 @@ HEAVY = [
     # should be LINEAR in corpus tokens (copies shift doc_id by the
     # stride, so bucket counts grow k-fold while bucket width stays put)
     ("doc_pack_sequences", None),
+    # round 9: the r8b/8c additions the r8 verdict flagged as unmeasured.
+    # trade_pagerank / events_hll scale off id-shifted lineitem/orders/
+    # events copies (k disjoint subgraphs / k-fold distinct users);
+    # embedding_semdedup holds the catalog's k=8 (expected ~quadratic —
+    # fixed cluster count means per-cluster population grows with n),
+    # with _semdedup_scaledk as the paper-posture contrast.
+    ("trade_pagerank", None),
+    ("events_hll_state_distinct", None),
+    ("embedding_kmeans_clusters", None),
+    ("embedding_semdedup", None),
+    ("embedding_semdedup_scaledk", _semdedup_scaledk),
 ]
 
 
@@ -167,11 +197,42 @@ def scaled_embeddings(spark: SparkSession, base: str, k: int):
     return out
 
 
+def scaled_id_shift(
+    spark: SparkSession, base: str, table: str, id_cols: list[str], k: int
+):
+    """k-fold copy with the listed id columns shifted by j*ID_STRIDE —
+    copies are key-disjoint, so joins/groupings scale as k independent
+    instances of the base table (disjoint trade subgraphs for pagerank,
+    k-fold distinct users for the HLL state)."""
+    df = spark.read.parquet(f"{base}/{table}.parquet")
+    out = df
+    for j in range(1, k):
+        out = out.unionByName(
+            df.select(
+                *[
+                    (F.col(c) + F.lit(j * ID_STRIDE)).alias(c)
+                    if c in id_cols
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        )
+    return out
+
+
+SHIFTED = {
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey"],
+}
+
+
 def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
     """Materialize a k-scaled sf dir: scaled documents/embeddings
-    parquet, everything else symlinked from the base dir (the heavy
-    subset never touches those, but the catalog's table provider must
-    be able to resolve them)."""
+    parquet plus id-shifted events/orders/lineitem copies, everything
+    else symlinked from the base dir (the heavy subset never touches
+    those, but the catalog's table provider must be able to resolve
+    them)."""
     out = tempfile.mkdtemp(prefix=f"scaled_x{k}_")
     scaled_documents(spark, base, k).repartition(8).write.parquet(
         f"{out}/documents.parquet"
@@ -179,10 +240,73 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
     scaled_embeddings(spark, base, k).repartition(4).write.parquet(
         f"{out}/embeddings.parquet"
     )
+    for t, id_cols in SHIFTED.items():
+        scaled_id_shift(spark, base, t, id_cols, k).repartition(8).write.parquet(
+            f"{out}/{t}.parquet"
+        )
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", *SHIFTED):
             continue
         os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def decorrelated_embeddings(spark: SparkSession, n: int, d: int = 64):
+    """Deterministic pseudo-random direction vectors (xxhash64-derived
+    uniform coordinates; no RNG, reproducible) — the realistic large-
+    corpus regime where random-pair cosines concentrate near 0
+    (dim 64: sd ~ 1/8), unlike the sign-flip scaled corpus whose
+    cross-copy density is deliberately adversarial."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.lit("decor"), F.col("id"), i), F.lit(1_000_000))
+                / 500_000.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def candidate_mass_sweep(spark: SparkSession, n: int) -> dict:
+    """Raw LSH candidate-pair mass (pre-flight ``bucket_stats``, no join
+    launched) for the AND-banding r sweep on the DECORRELATED corpus —
+    the r8 verdict's missing scaling point: on realistic data each extra
+    projection per band multiplies effective bucket space, so mass
+    collapses in r even at FIXED band count, where the dense corpus
+    (SCALING.md round-8 table) only traded mass against recall."""
+    from interlinked_spark.llm.similarity import lsh_bucket_assignments
+    from interlinked_spark.operators.diagnostics import bucket_stats
+
+    emb = decorrelated_embeddings(spark, n).cache()
+    emb.count()
+    out = {"n_vectors": n}
+    # Two widths: the catalog's 0.5 (coarse vs the decorrelated
+    # projection sd of ~1/8 at dim 64 -> ~2 occupied buckets per
+    # projection, so mass halves per extra r) and a width MATCHED to
+    # that sd (0.125 -> ~4x collapse per extra r) — the branching
+    # factor of the exponential is range/bucket_length, which is the
+    # tuning story: match the width to the data's projection spread.
+    for name, tables, bl, r in [
+        ("r1_12x0.5", 12, 0.5, 1),
+        ("r2_12x0.5", 12, 0.5, 2),
+        ("r3_12x0.5", 12, 0.5, 3),
+        ("r1_12x0.125", 12, 0.125, 1),
+        ("r2_12x0.125", 12, 0.125, 2),
+        ("r3_12x0.125", 12, 0.125, 3),
+    ]:
+        asg = lsh_bucket_assignments(
+            emb, num_hash_tables=tables, bucket_length=bl, projections_per_band=r
+        )
+        row = bucket_stats(asg, ["entry", "bucket"], "id").collect()[0]
+        out[name] = {
+            "pair_mass": int(row.pair_mass),
+            "max_bucket": int(row.max_bucket),
+            "n_buckets": int(row.n_buckets),
+        }
+    emb.unpersist()
     return out
 
 
@@ -268,6 +392,16 @@ def main() -> None:
             summary[name]["marginal_exponent"] = round(
                 math.log(secs[k2] / secs[k1]) / math.log(k2 / k1), 2
             )
+    mass = None
+    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_MASS"):
+        mass = candidate_mass_sweep(spark, n=2000 * max(ks))
+        print(
+            json.dumps(
+                {"decorrelated_candidate_mass": mass}, separators=(",", ":")
+            ),
+            flush=True,
+        )
+
     out_file = Path(__file__).resolve().parent / "SCALING.json"
     if only and out_file.exists():
         # Partial (SPARK_GRAFT_SCALE_ONLY) runs merge into the existing
@@ -282,6 +416,8 @@ def main() -> None:
             payload["ks"] = ks
             payload["reps"] = reps
             payload["base_sf_dir"] = base
+            if mass is not None:
+                payload["decorrelated_candidate_mass"] = mass
         except (json.JSONDecodeError, OSError, KeyError):
             payload = {
                 "metric": "scaling_exponents",
@@ -298,6 +434,8 @@ def main() -> None:
             "reps": reps,
             "queries": summary,
         }
+        if mass is not None:
+            payload["decorrelated_candidate_mass"] = mass
     out_file.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
