@@ -1,0 +1,106 @@
+"""Per-query physical-plan snapshots (r8 verdict item 9).
+
+The engine-wide plan audit (`tests/test_round2_ops.py`) is a binary
+gate — no cartesian products, no row-at-a-time Python.  These snapshots
+make plan REGRESSIONS diffable: `PLANS/<query>.txt` holds the
+normalized `explain(mode="formatted")` output for every `bench.py`
+HEADLINE query, so a round that changes a join strategy, loses a
+pushed filter, or adds an exchange shows up as a one-file git diff
+next to its timing delta, not just a slower number in BENCH_r{N}.json.
+
+Normalization strips everything that varies run-to-run while keeping
+everything that matters at 100 TB: expression ids (`#123L`), codegen
+ids, plan ids, file paths / InMemoryFileIndex locations, and
+statistics sizes are masked; operator tree shape, join strategies,
+PushedFilters, ReadSchema column sets, partition keys and
+WholeStageCodegen spans are kept verbatim.
+
+Usage: ``python plan_snapshots.py`` rewrites `PLANS/` at sf0.001 (plan
+SHAPE is scale-independent for these queries — the broadcast
+thresholds that could flip a strategy are pinned by the plan-audit
+tests, not left to table sizes).  `tests/test_plan_snapshots.py`
+regenerates and diffs against the checked-in files — drift fails the
+suite until the snapshot is intentionally refreshed.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+SF_DIR = "/root/testdata/sf0.001"
+PLANS_DIR = ROOT / "PLANS"
+
+_NORMALIZERS = [
+    # expression ids: l_orderkey#123L -> l_orderkey#N
+    (re.compile(r"#\d+L?"), "#N"),
+    (re.compile(r"plan_id=\d+"), "plan_id=N"),
+    (re.compile(r"cachedPlan=\d+"), "cachedPlan=N"),
+    # paths: InMemoryFileIndex locations, temp state dirs, warehouse dirs
+    (re.compile(r"Location: (\w+) \[[^\]]*\]"), r"Location: \1 [<path>]"),
+    (re.compile(r"file:[^\s,\]\)]+"), "<path>"),
+    (re.compile(r"/tmp/[^\s,\]\)]+"), "<path>"),
+    # sizes / statistics that depend on files on disk
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(<stats>)"),
+    (re.compile(r"size=\d+(\.\d+)?\s*[KMGT]?i?B"), "size=<n>"),
+    # Derby/JDBC session-scoped database names
+    (re.compile(r"memory:[^\s;,\]\)]+"), "memory:<db>"),
+]
+
+
+def normalize(plan: str) -> str:
+    for rx, repl in _NORMALIZERS:
+        plan = rx.sub(repl, plan)
+    return plan.rstrip() + "\n"
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def headline_names() -> list[str]:
+    import bench
+
+    return list(bench.HEADLINE)
+
+
+def generate(spark, sf_dir: str = SF_DIR, names: list[str] | None = None) -> dict[str, str]:
+    """name -> normalized formatted plan.  Constructing a catalog query
+    may run bounded setup actions (sketch-state builds, index writes) —
+    at sf0.001 that is seconds total; the snapshot itself never
+    executes the returned plan."""
+    from interlinked_spark import catalog
+
+    out: dict[str, str] = {}
+    for name in names or headline_names():
+        df = catalog.run_query(name, spark, sf_dir)
+        out[name] = normalize(formatted_plan(df))
+    return out
+
+
+def main() -> None:
+    from interlinked_spark.session import get_spark
+
+    spark = get_spark("plan-snapshots")
+    spark.sparkContext.setLogLevel("ERROR")
+    PLANS_DIR.mkdir(exist_ok=True)
+    plans = generate(spark)
+    stale = {p.name for p in PLANS_DIR.glob("*.txt")} - {
+        f"{n}.txt" for n in plans
+    }
+    for name, text in sorted(plans.items()):
+        (PLANS_DIR / f"{name}.txt").write_text(text)
+    for orphan in sorted(stale):
+        (PLANS_DIR / orphan).unlink()
+    print(f"wrote {len(plans)} snapshots to {PLANS_DIR}" + (f"; removed {len(stale)} stale" if stale else ""))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
