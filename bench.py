@@ -245,6 +245,9 @@ def main() -> None:
     secondary_names = [
         "dedup_incremental_matches",
         "similarity_ivf_topk",
+        # partial-probe variant: KMeans fit + brute-force recall
+        # reference are demo costs, not plan regressions to gate on
+        "similarity_ivf_probed",
         "heavy_hitter_terms",
         "customer_events_cogroup",
         # index-lifecycle queries: each run REBUILDS its materialized

@@ -355,18 +355,38 @@ def semdedup_keep(
 
     Returns ``(id, cluster_id, kept)`` for every input row.
     """
-    from pyspark import StorageLevel
-
-    from .similarity import cosine_similarity
-
     # The centroid-literal projection scans the input once per consumer;
     # it feeds the guard count AND both sides of the cluster self-join,
-    # so persist it — one assignment pass total, spilled to disk if big.
+    # so semdedup_keep_assigned persists it — one assignment pass total.
     tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
         _assign_cols(vec_col, centroids)[0].alias("cluster_id"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return semdedup_keep_assigned(
+        tagged,
+        cosine_threshold=cosine_threshold,
+        max_cluster_size=max_cluster_size,
+    )
+
+
+def semdedup_keep_assigned(
+    tagged: DataFrame,
+    cosine_threshold: float = 0.3,
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """The pair-join half of :func:`semdedup_keep`, decoupled from the
+    quantizer: ``tagged`` is ``(id, __v, cluster_id)`` from ANY
+    assignment — the deterministic centroid-literal path (small fixed
+    k, oracle-unrollable), or a scalable quantizer (MLlib KMeans
+    ``transform``, IVF lists) when k grows with n and a k*d literal
+    expression would blow up analysis/codegen time.  Same guard, same
+    keep rule, same output contract."""
+    from pyspark import StorageLevel
+
+    from .similarity import cosine_similarity
+
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     if max_cluster_size is not None:
         hot = (
             tagged.groupBy("cluster_id")
