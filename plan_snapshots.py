@@ -49,6 +49,12 @@ _NORMALIZERS = [
     (re.compile(r"size=\d+(\.\d+)?\s*[KMGT]?i?B"), "size=<n>"),
     # Derby/JDBC session-scoped database names
     (re.compile(r"memory:[^\s;,\]\)]+"), "memory:<db>"),
+    # round-robin widths follow session parallelism, not the plan shape
+    # (shuffle-partition counts in hashpartitioning stay verbatim —
+    # those ARE pinned at 32 by the session contract)
+    (re.compile(r"RoundRobinPartitioning\(\d+\)"), "RoundRobinPartitioning(<n>)"),
+    # session-lifetime RDD ids on checkpointed/parallelized scans
+    (re.compile(r"RDD\[\d+\]"), "RDD[<id>]"),
 ]
 
 
