@@ -6217,6 +6217,152 @@ def q_orders_bloom_prune(c: DataFrame, o: DataFrame) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round 9 — weighted sampling + mergeable quantile-histogram state
+# =====================================================================
+
+from .operators.sampling import weighted_sample_key_sql as _aes_sql  # noqa: E402
+
+
+@defq(
+    "doc_weighted_sample",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY {_aes_sql("doc_id", "n_chars")} DESC, doc_id) AS rk
+      FROM documents WHERE n_chars > 0)
+    WHERE rk <= 20
+    """,
+    d="table.documents",
+)
+def q_doc_weighted_sample(d: DataFrame) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    §2b-B sampling family): 20 docs per language with inclusion
+    probability proportional to length — the token-budget-proportional
+    corpus subset a training pipeline draws.  The randomness is the md5
+    key hash, so the classic sequential reservoir becomes a per-row
+    score + bounded per-group top-n: one scan, no global sort, no
+    driver state, reproducible across engines — which is what lets a
+    SAMPLING operator be value-hash-gated at all
+    (`operators/sampling.py::weighted_sample_topn`)."""
+    from .operators.sampling import weighted_sample_topn
+
+    return weighted_sample_topn(
+        d, "doc_id", "n_chars", 20, group_cols=["lang"]
+    ).select("lang", "doc_id", "n_chars")
+
+
+QH_LO, QH_HI, QH_BINS = 0.0, 1000.0, 500  # grid shared with the oracle
+_QH_W = (QH_HI - QH_LO) / QH_BINS
+
+
+@defq(
+    "events_qhist_state_quantiles",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    b AS (SELECT event_type,
+            LEAST(GREATEST(CAST(floor((value - {QH_LO}) / {_QH_W}) AS INTEGER), 0),
+                  {QH_BINS - 1}) AS bin,
+            COUNT(*) AS c
+          FROM ev GROUP BY 1, 2),
+    cum AS (SELECT event_type, bin,
+            SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+            SUM(c) OVER (PARTITION BY event_type) AS total FROM b),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9)) t(q)),
+    hit AS (SELECT event_type, q, MIN(bin) AS bin
+            FROM cum CROSS JOIN qs
+            WHERE cum >= GREATEST(CAST(ceil(q * total) AS BIGINT), 1)
+            GROUP BY 1, 2),
+    ranked AS (SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS total FROM ev),
+    exact AS (SELECT event_type, q, ROUND(value, 6) AS exact_disc
+              FROM ranked CROSS JOIN qs
+              WHERE rn = GREATEST(CAST(ceil(q * total) AS BIGINT), 1))
+    SELECT h.event_type, h.q,
+           ROUND(CAST({QH_LO} + (h.bin + 1) * {_QH_W} AS DOUBLE), 6) AS est,
+           e.exact_disc,
+           (ROUND(CAST({QH_LO} + (h.bin + 1) * {_QH_W} AS DOUBLE), 6) - e.exact_disc)
+             BETWEEN 0 AND {_QH_W} AS within_bound,
+           TRUE AS merge_exact
+    FROM hit h JOIN exact e ON h.event_type = e.event_type AND h.q = e.q
+    """,
+)
+def q_events_qhist_state_quantiles(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Materialized mergeable QUANTILE state (§2b-D approx family) —
+    the quantile companion to `events_hll_state_distinct`: per-group
+    fixed-grid histograms persisted as parquet, appended per batch
+    (grid pinned in meta), answered by bin-cumsum at query time with
+    error <= one bin width.  Unlike HLL/GK this state is EXACTLY
+    batching-invariant (bin-wise integer sums), so ``merge_exact``
+    compares the appended state bin-by-bin against a one-shot histogram
+    of the full table, and ``within_bound`` checks the PROVABLE
+    ``0 <= est - exact_disc <= bin_width`` contract against the true
+    rank statistic — a wrong bin, a drifted grid, or a broken append
+    flips a boolean and fails the hash compare
+    (`operators/sketches.py::qhist_build`)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .operators.sketches import qhist_bins, qhist_build, qhist_quantiles, qhist_update
+
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    path = tempfile.mkdtemp(prefix="qhist_state_")
+    qhist_build(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "value", path,
+        lo=QH_LO, hi=QH_HI, bins=QH_BINS,
+    )
+    qhist_update(ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "value", path)
+    est = qhist_quantiles(spark, path, ["event_type"], [0.5, 0.9])
+
+    state_sum = (
+        spark.read.parquet(f"{path}/state")
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("__sc"))
+    )
+    oneshot = qhist_bins(
+        ev, ["event_type"], "value", QH_LO, QH_HI, QH_BINS
+    ).withColumnRenamed("c", "__oc")
+    merge_flag = (
+        state_sum.join(oneshot, ["event_type", "bin"], "full")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.coalesce(F.col("__sc") == F.col("__oc"), F.lit(False))).alias(
+                "merge_exact"
+            )
+        )
+    )
+
+    base = ev.filter(F.col("value").isNotNull()).select("event_type", "value")
+    ranked = base.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("value"))
+    ).withColumn("total", F.count("*").over(Window.partitionBy("event_type")))
+    qs = spark.createDataFrame([(0.5,), (0.9,)], "q double")
+    exact = (
+        ranked.join(F.broadcast(qs))
+        .filter(
+            F.col("rn")
+            == F.greatest(F.ceil(F.col("q") * F.col("total")), F.lit(1))
+        )
+        .select("event_type", "q", F.round("value", 6).alias("exact_disc"))
+    )
+    return (
+        est.join(exact, ["event_type", "q"])
+        .join(merge_flag, "event_type")
+        .select(
+            "event_type",
+            "q",
+            "est",
+            "exact_disc",
+            ((F.col("est") - F.col("exact_disc") >= 0)
+             & (F.col("est") - F.col("exact_disc") <= F.lit(_QH_W))).alias("within_bound"),
+            "merge_exact",
+        )
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -364,3 +364,71 @@ def temperature_sample_sql_predicate(key_col: str, salt: str = "") -> str:
         "CASE WHEN fraction >= 1.0 THEN 'g' "
         f"ELSE lpad(lower(hex(CAST(floor(fraction * {_HEX_SPACE}) AS BIGINT))), 8, '0') END"
     )
+
+
+def _aes_key(key_col: str, weight_col: str, salt: str) -> F.Column:
+    """The Efraimidis–Spirakis A-ES priority: ``ln(u) / w`` with ``u``
+    the deterministic md5-uniform of the key — monotone-equivalent to
+    the paper's ``u^(1/w)`` (ln is increasing, w > 0), numerically
+    tamer, and exactly portable to any engine with md5/ln.  ``u`` is
+    ``(h + 0.5) / 2^32`` over the 8-hex hash prefix — never 0 or 1.
+    Rounded to 6dp (engine convention) so cross-engine libm noise in
+    ``ln``/division cannot flip an ordering; ties break on the key
+    column downstream."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("double")
+        + 0.5
+    ) / float(_HEX_SPACE)
+    return F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    group_cols: list[str] | None = None,
+    salt: str = "aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES): keep the ``n`` rows with the largest ``u^(1/w)``
+    priorities (computed as ``ln(u)/w``) per group — each row's
+    inclusion probability is proportional to its weight, exactly the
+    one-pass distributed formulation (the classic reservoir algorithm
+    is sequential; A-ES turns it into a per-row score + top-n, which
+    Spark executes as a map + TakeOrdered/per-group window with NO
+    global sort and no driver state).
+
+    Deterministic end-to-end: the randomness is the md5 hash of the
+    key, so the sample is reproducible across runs/partitionings/
+    engines (vary ``salt`` for independent draws) and SQL-twinnable
+    for the oracle.  Rows with NULL or non-positive weight are
+    EXCLUDED (zero-weight rows have inclusion probability 0; negative
+    weights are undefined).
+
+    The training-pipeline use: token-budget-proportional document
+    sampling (weight = doc length) or quality-weighted corpus
+    subsetting at 100 TB — one scan, one bounded top-n per group.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from .windows import top_k_per_group
+
+    scored = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
+        "__aes", _aes_key(key_col, weight_col, salt)
+    )
+    picked = top_k_per_group(
+        scored,
+        group_cols or [],
+        [F.col("__aes").desc(), F.col(key_col).asc()],
+        n,
+    )
+    return picked.drop("__aes")
+
+
+def weighted_sample_key_sql(key_col: str, weight_col: str, salt: str = "aes") -> str:
+    """DuckDB twin of :func:`_aes_key` (oracle parity helper)."""
+    return (
+        f"round(ln((('0x' || substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8))::BIGINT + 0.5)"
+        f" / {float(_HEX_SPACE)}) / CAST({weight_col} AS DOUBLE), 6)"
+    )

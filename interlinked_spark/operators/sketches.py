@@ -279,3 +279,142 @@ def bloom_might_contain(
             F.coalesce("__bloom_hit", F.lit(False))
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# Mergeable fixed-grid quantile-histogram state
+# ---------------------------------------------------------------------
+
+
+def qhist_bins(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Per-group fixed-grid histogram: ``(keys..., bin, c)`` with
+    ``bin = clip(floor((v - lo) / width), 0, bins-1)``.  At most
+    ``len(groups) * bins`` rows cross the exchange (map-side combine),
+    independent of input size — the same shape as :func:`cms_build`.
+
+    EXACTLY mergeable (bin-wise integer sum) and batching-invariant,
+    which HLL/GK sketches only are approximately: this is the quantile
+    companion to the persisted HLL state — maintain per-day histograms
+    at 100 TB and answer any-range quantiles with error <= one bin
+    width, provided the ``[lo, hi)`` domain covers the data (values
+    outside clip into the edge bins, which silently widens the edge-
+    quantile error — size the domain from known bounds).  NULL values
+    are dropped."""
+    if not (hi > lo and bins >= 1):
+        raise ValueError(f"need hi > lo and bins >= 1, got [{lo}, {hi}) x {bins}")
+    width = (float(hi) - float(lo)) / int(bins)
+    v = F.col(value_col).cast("double")
+    bin_col = F.least(
+        F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(int(bins) - 1),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*keys, bin_col.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def qhist_build(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    value_col: str,
+    path: str,
+    lo: float,
+    hi: float,
+    bins: int = 500,
+    num_files: int = 8,
+) -> None:
+    """Materialize the initial histogram state + its grid meta pin
+    (lo/hi/bins travel with the state so appends can never drift the
+    grid — same contract as the HLL state's lg_k pin)."""
+    from ..sources.writers import write_table
+
+    keys = list(keys)
+    state = qhist_bins(df, keys, value_col, lo, hi, bins)
+    write_table(
+        state.repartition(num_files, *[F.col(k) for k in keys]), f"{path}/state"
+    )
+    meta = df.sparkSession.createDataFrame(
+        [(float(lo), float(hi), int(bins))], "lo double, hi double, bins int"
+    )
+    write_table(meta.coalesce(1), f"{path}/meta")
+
+
+def qhist_update(
+    new_batch: DataFrame,
+    keys: "Sequence[str]",
+    value_col: str,
+    path: str,
+    num_files: int = 4,
+) -> None:
+    """Append the batch's histogram under the STORED grid.  Append-only
+    (duplicate (group, bin) rows are fine — the reader sums); compact
+    with ``sources/writers.compact_table`` when row count grows."""
+    from ..sources.writers import write_table
+
+    spark = new_batch.sparkSession
+    m = spark.read.parquet(f"{path}/meta").first()
+    keys = list(keys)
+    state = qhist_bins(new_batch, keys, value_col, m.lo, m.hi, m.bins)
+    write_table(
+        state.repartition(num_files, *[F.col(k) for k in keys]),
+        f"{path}/state",
+        mode="append",
+    )
+
+
+def qhist_quantiles(
+    spark: SparkSession,
+    path: str,
+    keys: "Sequence[str]",
+    qs: "Sequence[float]",
+) -> DataFrame:
+    """Per-group discrete-quantile estimates from the persisted state:
+    ``(keys..., q, est, bin_width)`` where ``est`` is the UPPER edge of
+    the bin holding the rank-``ceil(q * total)`` value — so
+    ``0 < est - exact_disc_quantile <= bin_width`` holds DETERMINISTICALLY
+    for in-domain data (the exact value lies in that bin by
+    construction).  One scan of the tiny state: sum duplicate bin rows,
+    running-total window per group ordered by bin, pick the first bin
+    whose cumulative count reaches each target rank."""
+    keys = list(keys)
+    m = spark.read.parquet(f"{path}/meta").first()
+    width = (m.hi - m.lo) / m.bins
+    state = (
+        spark.read.parquet(f"{path}/state")
+        .groupBy(*keys, "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("bin")
+    cum = state.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy(*keys))
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(float(q),) for q in qs], "q double")
+        )
+    )
+    hit = qdf.filter(
+        F.col("cum") >= F.greatest(F.ceil(F.col("q") * F.col("total")), F.lit(1))
+    )
+    return (
+        hit.groupBy(*keys, "q")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            *keys,
+            "q",
+            F.round(F.lit(m.lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("est"),
+            F.lit(round(width, 6)).alias("bin_width"),
+        )
+    )

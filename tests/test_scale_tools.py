@@ -941,3 +941,71 @@ def test_and_banding_mass_collapse_on_decorrelated_corpus(spark):
     emb.unpersist()
     assert mass[2] < mass[1] / 2.5
     assert mass[3] < mass[2] / 2.5
+
+
+def test_qhist_state_batching_invariant_and_bound(spark, tmp_path):
+    """Quantile-histogram state: (a) sum of per-batch histograms ==
+    one-shot histogram EXACTLY for any batch split (integer bins), (b)
+    quantile estimate obeys 0 <= est - exact_disc <= bin_width, (c)
+    appends inherit the pinned grid."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.operators.sketches import (
+        qhist_bins,
+        qhist_build,
+        qhist_quantiles,
+        qhist_update,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    path = str(tmp_path / "qh")
+    qhist_build(df.filter(F.col("id") % 4 == 0), ["g"], "v", path, 0.0, 100.0, 50)
+    for r in (1, 2, 3):
+        qhist_update(df.filter(F.col("id") % 4 == r), ["g"], "v", path)
+
+    summed = {
+        (r.g, r.bin): r.c
+        for r in spark.read.parquet(f"{path}/state")
+        .groupBy("g", "bin")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    oneshot = {
+        (r.g, r.bin): r.c
+        for r in qhist_bins(df, ["g"], "v", 0.0, 100.0, 50).collect()
+    }
+    assert summed == oneshot
+
+    import math
+
+    est = {(r.g, r.q): r.est for r in qhist_quantiles(spark, path, ["g"], [0.5, 0.9]).collect()}
+    vals = sorted(r.v for r in df.filter(F.col("g") == "0").collect())
+    for q in (0.5, 0.9):
+        exact = vals[max(1, math.ceil(q * len(vals))) - 1]
+        assert 0 <= est[("0", q)] - exact <= 2.0  # bin width = 100/50
+
+
+def test_weighted_sample_deterministic_and_weight_rules(spark):
+    """A-ES sampler: zero/negative/NULL weights excluded, result is
+    partitioning-invariant (hash randomness, not Spark's seeded
+    sample), and distinct salts draw different samples."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.operators.sampling import weighted_sample_topn
+
+    df = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") % 50 == 0, F.lit(0.0))
+        .when(F.col("id") % 50 == 1, F.lit(-1.0))
+        .otherwise((F.col("id") % 7 + 1).cast("double"))
+        .alias("w"),
+    )
+    a = {r.id for r in weighted_sample_topn(df, "id", "w", 30).collect()}
+    b = {r.id for r in weighted_sample_topn(df.repartition(13), "id", "w", 30).collect()}
+    assert a == b and len(a) == 30
+    assert all(i % 50 not in (0, 1) for i in a)
+    c = {r.id for r in weighted_sample_topn(df, "id", "w", 30, salt="other").collect()}
+    assert c != a
