@@ -55,6 +55,8 @@ _NORMALIZERS = [
     (re.compile(r"RoundRobinPartitioning\(\d+\)"), "RoundRobinPartitioning(<n>)"),
     # session-lifetime RDD ids on checkpointed/parallelized scans
     (re.compile(r"RDD\[\d+\]"), "RDD[<id>]"),
+    # JVM call-site strings vary with reflection/JIT state
+    (re.compile(r"\bat [\w.$<>]+(\.java|\.scala)?:\d+"), "at <callsite>"),
 ]
 
 
@@ -83,6 +85,9 @@ def generate(spark, sf_dir: str = SF_DIR, names: list[str] | None = None) -> dic
     executes the returned plan."""
     from interlinked_spark import catalog
 
+    # Cached relations from earlier work in a shared session substitute
+    # InMemoryTableScan into matching subplans — snapshot the COLD plan.
+    spark.catalog.clearCache()
     out: dict[str, str] = {}
     for name in names or headline_names():
         df = catalog.run_query(name, spark, sf_dir)

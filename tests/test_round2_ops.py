@@ -401,6 +401,8 @@ def test_whole_catalog_plan_audit(spark):
         "brand_association_rules", # cross join of the ONE-ROW order-total frame
         "customer_balance_winsorized",  # cross join of the ONE-ROW bounds frame
         "user_engagement_stickiness",   # range join vs broadcast ~30-row day grid
+        "similarity_ivf_probed",   # exact-recall reference rider: broadcast 5-query brute force
+        "events_qhist_state_quantiles",  # cross join of the broadcast TWO-ROW quantile frame
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
