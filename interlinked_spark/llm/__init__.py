@@ -8,7 +8,14 @@ from .dedup import (
 )
 from .similarity import cosine_top_k, lsh_similarity_join, embedding_near_dup_pairs
 from .ranking import tf_idf, bm25_scores
-from .embeddings import pca_project
+from .embeddings import (
+    ivf_probed_top_k,
+    kmeans_assign,
+    kmeans_fit,
+    pca_project,
+    semdedup_keep,
+    semdedup_keep_assigned,
+)
 from .text import (
     token_stats,
     quality_scores,
@@ -27,6 +34,11 @@ __all__ = [
     "tf_idf",
     "bm25_scores",
     "pca_project",
+    "ivf_probed_top_k",
+    "kmeans_assign",
+    "kmeans_fit",
+    "semdedup_keep",
+    "semdedup_keep_assigned",
     "lsh_similarity_join",
     "embedding_near_dup_pairs",
     "token_stats",

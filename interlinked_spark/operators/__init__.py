@@ -22,7 +22,12 @@ from .windows import ranked, top_k_per_group, running, shifted, window_spec
 from .setops import union_all, union_distinct, intersect, difference
 from .sorts import sort, top_k
 from .reshape import pivot_agg, unpivot_metrics, grouping_sets_agg
-from .sampling import hash_sample, hash_sample_sql, stratified_sample
+from .sampling import (
+    hash_sample,
+    hash_sample_sql,
+    stratified_sample,
+    weighted_sample_topn,
+)
 from .graph import connected_components
 from .windows import sessionize, change_intervals
 from .udfs import cogrouped_apply, position_tokens_udtf
@@ -38,7 +43,7 @@ __all__ = [
     "union_all", "union_distinct", "intersect", "difference",
     "sort", "top_k",
     "pivot_agg", "unpivot_metrics", "grouping_sets_agg",
-    "hash_sample", "hash_sample_sql", "stratified_sample",
+    "hash_sample", "hash_sample_sql", "stratified_sample", "weighted_sample_topn",
     "connected_components", "sessionize", "cogrouped_apply",
     "change_intervals", "position_tokens_udtf", "time_grid_fill", "merge_upsert",
 ]
