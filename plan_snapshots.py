@@ -57,6 +57,10 @@ _NORMALIZERS = [
     (re.compile(r"RDD\[\d+\]"), "RDD[<id>]"),
     # JVM call-site strings vary with reflection/JIT state
     (re.compile(r"\bat [\w.$<>]+(\.java|\.scala)?:\d+"), "at <callsite>"),
+    # HOF lambda-variable and CSE aliases carry SESSION-GLOBAL counters
+    # (lambda x_543, _common_expr_7) — mask the counter, keep the name
+    (re.compile(r"\b([a-z]+)_\d+#N"), r"\1_K#N"),
+    (re.compile(r"_common_expr_\d+"), "_common_expr_K"),
 ]
 
 
