@@ -204,10 +204,15 @@ def pagerank(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct(),
         checkpoint_mode,
     )
+    # One aggregate builds the vertex set AND tags danglingness (no
+    # out-edges) — the set is fixed across rounds, only its rank mass
+    # changes, so the per-round dangling aggregate is a filter over the
+    # rank frame itself instead of a distinct + anti-join per round.
     verts = materialize(
-        e.select(F.col("s").alias("vertex"))
-        .union(e.select(F.col("d").alias("vertex")))
-        .distinct(),
+        e.select(F.col("s").alias("vertex"), F.lit(1).alias("__o"))
+        .unionByName(e.select(F.col("d").alias("vertex"), F.lit(0).alias("__o")))
+        .groupBy("vertex")
+        .agg((F.max("__o") == 1).alias("__out")),
         checkpoint_mode,
     )
     n = verts.count()  # one scalar, once — iteration bodies stay lazy
@@ -220,7 +225,6 @@ def pagerank(
         ).select("s", "d", "w"),
         checkpoint_mode,
     )
-    has_out = weights.select(F.col("s").alias("vertex")).distinct()
     pr = verts.withColumn("pr", F.lit(1.0 / n))
     for it in range(1, iterations + 1):
         contrib = (
@@ -229,7 +233,7 @@ def pagerank(
             .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
         )
         dangling = (
-            pr.join(has_out, "vertex", "left_anti")
+            pr.filter(~F.col("__out"))
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
         )
         pr = (
@@ -237,6 +241,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "vertex",
+                "__out",
                 (
                     F.lit((1.0 - damping) / n)
                     + damping
