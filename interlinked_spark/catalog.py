@@ -6363,6 +6363,56 @@ def q_events_qhist_state_quantiles(spark: SparkSession, base_dir: str) -> DataFr
     )
 
 
+@defq(
+    "stream_qhist_quantiles",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    b AS (SELECT event_type,
+            LEAST(GREATEST(CAST(floor((value - {QH_LO}) / {_QH_W}) AS INTEGER), 0),
+                  {QH_BINS - 1}) AS bin,
+            COUNT(*) AS c
+          FROM ev GROUP BY 1, 2),
+    cum AS (SELECT event_type, bin,
+            SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+            SUM(c) OVER (PARTITION BY event_type) AS total FROM b),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9)) t(q)),
+    hit AS (SELECT event_type, q, MIN(bin) AS bin
+            FROM cum CROSS JOIN qs
+            WHERE cum >= GREATEST(CAST(ceil(q * total) AS BIGINT), 1)
+            GROUP BY 1, 2)
+    SELECT event_type, q,
+           ROUND(CAST({QH_LO} + (bin + 1) * {_QH_W} AS DOUBLE), 6) AS est
+    FROM hit
+    """,
+)
+def q_stream_qhist_quantiles(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming quantile-histogram state (§2b-J x §2b-D): the events
+    table replays as 4 micro-batches; each batch's fixed-grid histogram
+    lands in its own ``batch=<id>`` state partition (overwrite-by-
+    batch-dir = replay idempotency), and the quantile answer reads only
+    the tiny state.  Bin-wise integer sums are EXACTLY batching-
+    invariant, so the streamed estimates equal the one-shot oracle
+    recompute for ANY micro-batch boundaries — the property that lets a
+    STREAMING sketch be value-hash-gated
+    (`streaming/ops.run_qhist_into_state`)."""
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import run_qhist_into_state, stream_from_parquet
+    from .operators.sketches import qhist_quantiles
+
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    staged = _stage_id_ordered_files(
+        ev.select("event_id", "event_type", "value"), "event_id", 4
+    )
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        state = run_qhist_into_state(
+            stream, ["event_type"], "value", lo=QH_LO, hi=QH_HI, bins=QH_BINS
+        )
+    return qhist_quantiles(spark, state, ["event_type"], [0.5, 0.9]).select(
+        "event_type", "q", "est"
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -642,3 +642,52 @@ def run_packing_into_state(
 
     foreach_batch_into(doc_stream, pack_batch, timeout_s=timeout_s, output_mode="append")
     return state_path
+
+
+def run_qhist_into_state(
+    event_stream: DataFrame,
+    keys,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 500,
+    state_path: Optional[str] = None,
+    timeout_s: int = 300,
+) -> str:
+    """Streaming quantile-histogram maintainer (§2b-J x §2b-D): each
+    micro-batch's fixed-grid histogram lands under the pinned grid —
+    the fourth streaming-state gate next to the shingle-index, vector-
+    index and packing gates.  Returns the state path; answer quantiles
+    with :func:`~interlinked_spark.operators.sketches.qhist_quantiles`.
+
+    Exactly-once under foreachBatch's at-least-once contract WITHOUT a
+    log: each batch writes its histogram to its OWN ``batch=<id>``
+    subdirectory with overwrite semantics, so a replayed batch id
+    rewrites the identical rows instead of double-counting (additive
+    states need replay protection; overwrite-by-batch-dir is the
+    cheapest correct form).  Because bin-wise integer sums are EXACTLY
+    batching-invariant, the final state equals the one-shot histogram
+    of the full input for ANY micro-batch boundaries — which is what
+    makes a streaming sketch value-oracle-able at all."""
+    from ..operators.sketches import qhist_bins
+    from ..sources.writers import write_table
+
+    state_path = state_path or tempfile.mkdtemp(prefix="qhist_state_stream_")
+    spark = event_stream.sparkSession
+    keys = list(keys)
+    meta = spark.createDataFrame(
+        [(float(lo), float(hi), int(bins))], "lo double, hi double, bins int"
+    )
+    write_table(meta.coalesce(1), f"{state_path}/meta")
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        m = spark.read.parquet(f"{state_path}/meta").first()
+        hist = qhist_bins(batch_df, keys, value_col, m.lo, m.hi, m.bins)
+        write_table(
+            hist.coalesce(1),
+            f"{state_path}/state/batch={batch_id}",
+            mode="overwrite",
+        )
+
+    foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
+    return state_path

@@ -1009,3 +1009,42 @@ def test_weighted_sample_deterministic_and_weight_rules(spark):
     assert all(i % 50 not in (0, 1) for i in a)
     c = {r.id for r in weighted_sample_topn(df, "id", "w", 30, salt="other").collect()}
     assert c != a
+
+
+def test_stream_qhist_full_replay_is_idempotent(spark, tmp_path):
+    """The streaming quantile-state gate's exactly-once claim, executed:
+    a FULL second replay into the same state dir re-emits the same
+    batch ids, which overwrite their own `batch=<id>` partitions —
+    state row count and quantile answers are unchanged (an additive
+    state without the per-batch-dir overwrite would double-count)."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.operators.sketches import qhist_quantiles
+    from interlinked_spark.streaming.ops import run_qhist_into_state, stream_from_parquet
+
+    src = str(tmp_path / "src")
+    spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 83).cast("double").alias("v"),
+    ).repartition(4).write.parquet(src)
+
+    state = str(tmp_path / "state")
+    run_qhist_into_state(
+        stream_from_parquet(spark, src), ["g"], "v", lo=0.0, hi=100.0, bins=50,
+        state_path=state,
+    )
+    first = sorted(
+        map(tuple, qhist_quantiles(spark, state, ["g"], [0.5, 0.9]).collect())
+    )
+    n_rows = spark.read.parquet(f"{state}/state").count()
+
+    # Fresh checkpoint -> the whole source replays as the same batch ids.
+    run_qhist_into_state(
+        stream_from_parquet(spark, src), ["g"], "v", lo=0.0, hi=100.0, bins=50,
+        state_path=state,
+    )
+    again = sorted(
+        map(tuple, qhist_quantiles(spark, state, ["g"], [0.5, 0.9]).collect())
+    )
+    assert again == first
+    assert spark.read.parquet(f"{state}/state").count() == n_rows
