@@ -381,9 +381,10 @@ def qhist_quantiles(
     """Per-group discrete-quantile estimates from the persisted state:
     ``(keys..., q, est, bin_width)`` where ``est`` is the UPPER edge of
     the bin holding the rank-``ceil(q * total)`` value — so
-    ``0 < est - exact_disc_quantile <= bin_width`` holds DETERMINISTICALLY
-    for in-domain data (the exact value lies in that bin by
-    construction).  One scan of the tiny state: sum duplicate bin rows,
+    ``0 < est - exact_disc_quantile <= bin_width (+5e-7)`` holds
+    DETERMINISTICALLY for in-domain data (the exact value lies in that
+    bin by construction; the 5e-7 is the engine-convention 6dp rounding
+    of ``est``, visible only when bin_width itself has >6dp).  One scan of the tiny state: sum duplicate bin rows,
     running-total window per group ordered by bin, pick the first bin
     whose cumulative count reaches each target rank."""
     keys = list(keys)

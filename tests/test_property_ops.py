@@ -443,3 +443,93 @@ def test_grouped_prefix_sum_matches_python_reference(sp, rows):
         want[doc_id] = per_group[grp]
         per_group[grp] += n_tok
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(0.0, 99.999)),
+        min_size=1,
+        max_size=25,
+    ),
+    bins=st.integers(2, 20),
+    q=st.sampled_from([0.25, 0.5, 0.9]),
+)
+@OP_SETTINGS
+def test_qhist_quantile_bound_law(sp, rows, bins, q, tmp_path_factory):
+    """For ANY in-domain data, grid and q: the histogram estimate lands
+    within one bin width ABOVE the exact rank-ceil(q*n) statistic, and
+    any 2-way batch split sums to the one-shot histogram."""
+    import math
+
+    from interlinked_spark.operators.sketches import (
+        qhist_bins,
+        qhist_build,
+        qhist_quantiles,
+        qhist_update,
+    )
+
+    df = sp.createDataFrame(
+        [(g, float(v), i) for i, (g, v) in enumerate(rows)], "g int, v double, i int"
+    )
+    path = str(tmp_path_factory.mktemp("qh") / "state")
+    qhist_build(df.filter(F.col("i") % 2 == 0), ["g"], "v", path, 0.0, 100.0, bins)
+    if df.filter(F.col("i") % 2 == 1).count():
+        qhist_update(df.filter(F.col("i") % 2 == 1), ["g"], "v", path)
+    width = 100.0 / bins
+
+    est = {
+        (r.g, r.q): r.est
+        for r in qhist_quantiles(sp, path, ["g"], [q]).collect()
+    }
+    by_g = defaultdict(list)
+    for g, v in rows:
+        by_g[g].append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        exact = vs[max(1, math.ceil(q * len(vs))) - 1]
+        diff = est[(g, q)] - exact
+        # +5e-7: est is rounded to 6dp (engine convention) and may land
+        # just above the unrounded upper bin edge.
+        assert -1e-9 <= diff <= width + 5.1e-7, (g, vs, est[(g, q)], exact)
+
+    summed = {
+        (r.g, r.bin): r.c
+        for r in sp.read.parquet(f"{path}/state")
+        .groupBy("g", "bin")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    oneshot = {
+        (r.g, r.bin): r.c for r in qhist_bins(df, ["g"], "v", 0.0, 100.0, bins).collect()
+    }
+    assert summed == oneshot
+
+
+@given(
+    n_rows=st.integers(1, 30),
+    n=st.integers(1, 10),
+    wmod=st.integers(2, 9),
+)
+@OP_SETTINGS
+def test_weighted_sample_matches_sequential_aes(sp, n_rows, n, wmod):
+    """The distributed A-ES top-n equals the sequential reference
+    (compute every priority in Python with the same md5 arithmetic,
+    take the n largest) for any table size, sample size and weights."""
+    import hashlib
+    import math
+
+    from interlinked_spark.operators.sampling import weighted_sample_topn
+
+    rows = [(i, float(i % wmod + 1)) for i in range(n_rows)]
+    df = sp.createDataFrame(rows, "id long, w double")
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"aes{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 16**8
+        return round(math.log(u) / w, 6)
+
+    ref = sorted(rows, key=lambda r: (-prio(r[0], r[1]), r[0]))[:n]
+    got = sorted(
+        (r.id, r.w) for r in weighted_sample_topn(df, "id", "w", n).collect()
+    )
+    assert got == sorted(ref)
