@@ -248,6 +248,11 @@ def main() -> None:
         # partial-probe variant: KMeans fit + brute-force recall
         # reference are demo costs, not plan regressions to gate on
         "similarity_ivf_probed",
+        # round 9: A-ES sampling + quantile-histogram state demos
+        # (the qhist pair rebuild their persisted state per run)
+        "doc_weighted_sample",
+        "events_qhist_state_quantiles",
+        "stream_qhist_quantiles",
         "heavy_hitter_terms",
         "customer_events_cogroup",
         # index-lifecycle queries: each run REBUILDS its materialized
