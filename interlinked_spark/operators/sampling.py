@@ -412,17 +412,19 @@ def weighted_sample_topn(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    from .windows import top_k_per_group
-
     scored = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
         "__aes", _aes_key(key_col, weight_col, salt)
     )
-    picked = top_k_per_group(
-        scored,
-        group_cols or [],
-        [F.col("__aes").desc(), F.col(key_col).asc()],
-        n,
-    )
+    order = [F.col("__aes").desc(), F.col(key_col).asc()]
+    if group_cols:
+        from .windows import top_k_per_group
+
+        picked = top_k_per_group(scored, group_cols, order, n)
+    else:
+        # Global draw: sort+limit compiles to TakeOrderedAndProject —
+        # per-partition top-n merged at the driver, never the empty-
+        # partition window's single-task global sort.
+        picked = scored.orderBy(*order).limit(n)
     return picked.drop("__aes")
 
 
