@@ -384,7 +384,11 @@ def semdedup_keep_assigned(
     keep rule, same output contract."""
     from pyspark import StorageLevel
 
-    from .similarity import cosine_similarity
+    # Arrow-vectorized cosine for the within-cluster pair filter — the
+    # hot path of this operator (candidate mass = sum |cluster|^2).
+    # Same 4.8x A/B and zero-6dp-difference result as the LSH verify
+    # path (`similarity.cosine_similarity_vec` docstring).
+    from .similarity import cosine_similarity_vec
 
     tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     if max_cluster_size is not None:
@@ -407,7 +411,7 @@ def semdedup_keep_assigned(
         left.join(right, "cluster_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            F.round(cosine_similarity(F.col("a_v"), F.col("b_v")), 6)
+            F.round(cosine_similarity_vec(F.col("a_v"), F.col("b_v")), 6)
             >= F.lit(float(cosine_threshold))
         )
         .select(F.col("b_id").alias("id"))
