@@ -253,6 +253,10 @@ def main() -> None:
         "doc_weighted_sample",
         "events_qhist_state_quantiles",
         "stream_qhist_quantiles",
+        # iterative-ML demos (3 Lloyd fits per run are the demo cost;
+        # scaling exponents tracked in SCALING.md, not the headline)
+        "embedding_kmeans_clusters",
+        "embedding_semdedup",
         "heavy_hitter_terms",
         "customer_events_cogroup",
         # index-lifecycle queries: each run REBUILDS its materialized
