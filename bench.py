@@ -253,6 +253,7 @@ def main() -> None:
         "doc_weighted_sample",
         "events_qhist_state_quantiles",
         "stream_qhist_quantiles",
+        "stream_hll_distinct",
         # iterative-ML demos (3 Lloyd fits per run are the demo cost;
         # scaling exponents tracked in SCALING.md, not the headline)
         "embedding_kmeans_clusters",

@@ -6364,6 +6364,59 @@ def q_events_qhist_state_quantiles(spark: SparkSession, base_dir: str) -> DataFr
 
 
 @defq(
+    "stream_hll_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound,
+           TRUE AS merge_exact
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_hll_distinct(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming HLL distinct-count state (§2b-J x §2b-D): events
+    replay as 4 micro-batches; each batch's per-group sketches land in
+    their own ``batch=<id>`` state partition (overwrite-by-batch-dir =
+    replay idempotency), and the answer unions the KB-scale state.
+    Register-wise-max union makes the streamed estimate EQUAL the
+    one-shot sketch for any batch boundaries (``merge_exact``), and
+    ``within_bound`` checks the estimate against the exact distinct
+    count at 3x the lg_k=12 rse — the streaming twin of
+    `events_hll_state_distinct` (`streaming/ops.run_hll_into_state`)."""
+    from .operators.sketches import sketch_distinct_state, sketch_state_estimates
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import run_hll_into_state, stream_from_parquet
+
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    staged = _stage_id_ordered_files(
+        ev.select("event_id", "event_type", "user_id"), "event_id", 4
+    )
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        state = run_hll_into_state(stream, ["event_type"], "user_id", lg_k=12)
+    est = sketch_state_estimates(spark, state, ["event_type"])
+    oneshot = sketch_distinct_state(ev, ["event_type"], "user_id", lg_k=12).select(
+        "event_type", F.hll_sketch_estimate("sketch").alias("__one")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .join(oneshot, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact")) / F.col("n_exact")
+                <= 0.05
+            ).alias("within_bound"),
+            (F.col("n_distinct_est") == F.col("__one")).alias("merge_exact"),
+        )
+    )
+
+
+@defq(
     "stream_qhist_quantiles",
     oracle=f"""
     WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),

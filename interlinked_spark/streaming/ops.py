@@ -691,3 +691,47 @@ def run_qhist_into_state(
 
     foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
     return state_path
+
+
+def run_hll_into_state(
+    event_stream: DataFrame,
+    keys,
+    value_col: str,
+    lg_k: int = 12,
+    state_path: Optional[str] = None,
+    timeout_s: int = 300,
+) -> str:
+    """Streaming distinct-count maintainer (§2b-J x §2b-D): each
+    micro-batch's per-group Datasketches HLL sketches land as state —
+    the fifth streaming-state gate, the HLL twin of
+    :func:`run_qhist_into_state`.  Answer with
+    :func:`~interlinked_spark.operators.sketches.sketch_state_estimates`
+    (sketch union per group — scans only the KB-scale state, never the
+    history).
+
+    Same replay protection: each batch writes its sketches to its own
+    ``batch=<id>`` subdirectory with overwrite semantics, so a replayed
+    batch id rewrites identical rows instead of inflating registers'
+    row count (HLL union is idempotent on VALUES but the state table
+    itself is append-shaped — per-batch-dir overwrite keeps it exact).
+    Register-wise-max union makes the final estimate equal the one-shot
+    sketch of the full input for ANY micro-batch boundaries — the
+    deterministic equality the catalog oracle gates on."""
+    from ..operators.sketches import sketch_distinct_state
+    from ..sources.writers import write_table
+
+    state_path = state_path or tempfile.mkdtemp(prefix="hll_state_stream_")
+    spark = event_stream.sparkSession
+    keys = list(keys)
+    meta = spark.createDataFrame([(int(lg_k),)], "lg_k int")
+    write_table(meta.coalesce(1), f"{state_path}/meta")
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        k = int(spark.read.parquet(f"{state_path}/meta").first().lg_k)
+        st = sketch_distinct_state(batch_df, keys, value_col, lg_k=k)
+        write_table(
+            st.coalesce(1), f"{state_path}/state/batch={batch_id}", mode="overwrite"
+        )
+
+    foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
+    return state_path

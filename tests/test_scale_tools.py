@@ -1048,3 +1048,32 @@ def test_stream_qhist_full_replay_is_idempotent(spark, tmp_path):
     )
     assert again == first
     assert spark.read.parquet(f"{state}/state").count() == n_rows
+
+
+def test_stream_hll_full_replay_is_idempotent(spark, tmp_path):
+    """The streaming HLL gate's replay protection: a full second replay
+    into the same state dir overwrites its own batch partitions —
+    state row count and estimates unchanged."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.operators.sketches import sketch_state_estimates
+    from interlinked_spark.streaming.ops import run_hll_into_state, stream_from_parquet
+
+    src = str(tmp_path / "src")
+    spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 500).alias("v"),
+    ).repartition(4).write.parquet(src)
+
+    state = str(tmp_path / "state")
+    run_hll_into_state(stream_from_parquet(spark, src), ["g"], "v", state_path=state)
+    first = sorted(
+        map(tuple, sketch_state_estimates(spark, state, ["g"]).collect())
+    )
+    n_rows = spark.read.parquet(f"{state}/state").count()
+
+    run_hll_into_state(stream_from_parquet(spark, src), ["g"], "v", state_path=state)
+    assert sorted(
+        map(tuple, sketch_state_estimates(spark, state, ["g"]).collect())
+    ) == first
+    assert spark.read.parquet(f"{state}/state").count() == n_rows
