@@ -6363,6 +6363,91 @@ def q_events_qhist_state_quantiles(spark: SparkSession, base_dir: str) -> DataFr
     )
 
 
+NB_V = 512  # vocab cap shared by the Spark trainer and the oracle
+
+
+@defq(
+    "doc_nb_lang_predictions",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1)
+      ORDER BY df DESC, token LIMIT {NB_V}),
+    labels AS (SELECT lang AS label, COUNT(*) AS n FROM documents GROUP BY 1),
+    priors AS (
+      SELECT label,
+             CAST(round(ln(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM labels)) * 1000000)
+                  AS BIGINT) AS logprior
+      FROM labels),
+    counts AS (
+      SELECT t.lang AS label, t.token, COUNT(*) AS c
+      FROM tok2 t JOIN vocab v USING (token) GROUP BY 1, 2),
+    grid AS (SELECT l.label, v.token FROM labels l CROSS JOIN vocab v),
+    cl AS (
+      SELECT g.label, g.token, COALESCE(c.c, 0) AS c
+      FROM grid g LEFT JOIN counts c ON g.label = c.label AND g.token = c.token),
+    tot AS (SELECT label, SUM(c) AS tot FROM cl GROUP BY 1),
+    loglik AS (
+      SELECT cl.label, cl.token,
+             CAST(round(ln((cl.c + 1.0) / (t.tot + {NB_V}.0)) * 1000000)
+                  AS BIGINT) AS ll
+      FROM cl JOIN tot t ON cl.label = t.label),
+    dt AS (SELECT doc_id, token, COUNT(*) AS n FROM tok2 GROUP BY 1, 2),
+    persum AS (
+      SELECT dt.doc_id, ll.label, SUM(dt.n * ll.ll) AS s
+      FROM dt JOIN loglik ll USING (token) GROUP BY 1, 2),
+    scored AS (
+      SELECT d.doc_id, p.label,
+             p.logprior + COALESCE(ps.s, 0) AS micro
+      FROM documents d CROSS JOIN priors p
+      LEFT JOIN persum ps ON ps.doc_id = d.doc_id AND ps.label = p.label),
+    pred AS (
+      SELECT doc_id, label, micro FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY micro DESC, label) AS rk
+        FROM scored) WHERE rk = 1)
+    SELECT p.doc_id, p.label AS pred_lang,
+           round(p.micro / 1000000.0, 6) AS score,
+           (p.label = d.lang) AS is_correct
+    FROM pred p JOIN documents d USING (doc_id)
+    """,
+    d="table.documents",
+)
+def q_doc_nb_lang_predictions(d: DataFrame) -> DataFrame:
+    """Trained-classifier filter tier (§2b-K): multinomial Naive Bayes
+    language classifier, trained on the corpus labels and scored back
+    over every document — train is two keyed aggregates, score is one
+    broadcast-model scan, and the closed form makes a TRAINED MODEL's
+    per-document predictions value-hash-gateable (the oracle refits the
+    identical model in SQL: same df-capped vocabulary, same integer
+    micro-log Laplace likelihoods, same argmax).  The synthetic corpus
+    deliberately carries NO lang signal in its text, so the learned
+    posterior collapses to ~the prior argmax — and the oracle must
+    reproduce that collapse doc-by-doc, score-for-score, which gates
+    the full vocabulary/smoothing/argmax machinery; that the operator
+    LEARNS when signal exists is pinned on a constructed corpus in
+    `test_scale_tools.py::test_nb_classifier_learns_when_signal_exists`.
+    The production analog is the CCNet/GPT-3-style classifier quality
+    filter (`llm/classify.py::nb_train`/`nb_predict`)."""
+    from .llm.classify import nb_predict, nb_train
+
+    priors, loglik = nb_train(d, "lang", vocab_size=NB_V)
+    pred = nb_predict(d, priors, loglik)
+    return (
+        pred.join(d.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("pred_label").alias("pred_lang"),
+            "score",
+            (F.col("pred_label") == F.col("lang")).alias("is_correct"),
+        )
+    )
+
+
 @defq(
     "stream_hll_distinct",
     oracle="""

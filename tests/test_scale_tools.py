@@ -1077,3 +1077,37 @@ def test_stream_hll_full_replay_is_idempotent(spark, tmp_path):
         map(tuple, sketch_state_estimates(spark, state, ["g"]).collect())
     ) == first
     assert spark.read.parquet(f"{state}/state").count() == n_rows
+
+
+def test_nb_classifier_learns_when_signal_exists(spark):
+    """The NB train/score machinery on a corpus WITH label signal
+    (distinct vocabularies per label + shared noise): perfect held-out
+    accuracy, and prior-only fallback for OOV-only docs (the catalog
+    corpus is signal-free by construction, so its query pins the
+    machinery, not the learning — this pins the learning)."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.llm.classify import nb_predict, nb_train
+
+    def text_for(i):
+        label = ("alpha", "beta", "gamma")[i % 3]
+        words = [f"{label}word{j}" for j in range(6)] + ["shared", "noise"]
+        return " ".join(words[(i + j) % len(words)] for j in range(12))
+
+    rows = [(i, ("a", "b", "c")[i % 3], text_for(i)) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+
+    priors, loglik = nb_train(train, "lang", vocab_size=64)
+    pred = nb_predict(test, priors, loglik)
+    got = {r.id: r.pred_label for r in pred.collect()}
+    assert all(got[i] == ("a", "b", "c")[i % 3] for i in got)
+    assert len(got) == test.count()
+
+    # OOV-only doc: falls back to the prior argmax (every doc scored).
+    oov = spark.createDataFrame(
+        [(999, "zzz qqq www")], "doc_id long, text string"
+    )
+    fallback = nb_predict(oov, priors, loglik).collect()
+    assert len(fallback) == 1 and fallback[0].pred_label == "a"  # uniform priors: lowest label
