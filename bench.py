@@ -254,6 +254,7 @@ def main() -> None:
         "events_qhist_state_quantiles",
         "stream_qhist_quantiles",
         "stream_hll_distinct",
+        "doc_nb_lang_predictions",
         # iterative-ML demos (3 Lloyd fits per run are the demo cost;
         # scaling exponents tracked in SCALING.md, not the headline)
         "embedding_kmeans_clusters",

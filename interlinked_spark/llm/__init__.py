@@ -16,6 +16,7 @@ from .embeddings import (
     semdedup_keep,
     semdedup_keep_assigned,
 )
+from .classify import nb_predict, nb_train
 from .text import (
     token_stats,
     quality_scores,
@@ -39,6 +40,8 @@ __all__ = [
     "kmeans_fit",
     "semdedup_keep",
     "semdedup_keep_assigned",
+    "nb_train",
+    "nb_predict",
     "lsh_similarity_join",
     "embedding_near_dup_pairs",
     "token_stats",
