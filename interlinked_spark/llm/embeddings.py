@@ -148,16 +148,21 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> F.Column:
     """``array<struct<cid:int, c:array<double>>>`` literal for a small
     (k x d) centroid set — k*d scalar literals, evaluated row-local so
     the assignment step is a narrow projection with NO join and NO
-    shuffle."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-            )
-            for cid, c in centroids
-        ]
+    shuffle.
+
+    Built as ONE parsed SQL expression, not k*d nested ``F.lit`` calls:
+    each Column constructor is a py4j round-trip, and at k=8 x d=64
+    that's ~520 driver<->JVM hops PER construction (~2 s each, paid
+    once per Lloyd round) — measured 25 s -> 3 s on the 3-round sf0.1
+    fit after the rewrite.  Float repr round-trips exactly and the
+    ``D`` suffix pins the SQL literal to DOUBLE."""
+    parts = ", ".join(
+        "named_struct('cid', {cid}, 'c', array({cs}))".format(
+            cid=int(cid), cs=", ".join(f"{float(x)!r}D" for x in c)
+        )
+        for cid, c in centroids
     )
+    return F.expr(f"array({parts})")
 
 
 def _assign_cols(vec_col: str, centroids) -> tuple[F.Column, F.Column]:
@@ -232,8 +237,13 @@ def kmeans_fit(
     base = df.select(F.col(vec_col).alias("__v"))
     for _ in range(iters):
         cid_col, _d = _assign_cols("__v", centroids)
+        # Assignment in its OWN projection BELOW the explode: inlined
+        # into the posexplode select, the k*d argmin expression re-
+        # evaluates per EXPLODED row (d times per vector) — measured
+        # 9.8 s vs 0.4 s per round at sf0.1 (review-caught).
         means = (
-            base.select(cid_col.alias("cid"), F.posexplode("__v").alias("dim", "val"))
+            base.select(cid_col.alias("cid"), "__v")
+            .select("cid", F.posexplode("__v").alias("dim", "val"))
             .groupBy("cid", "dim")
             .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
             .groupBy("cid")
