@@ -229,3 +229,46 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     write_table(src, path="", fmt="jdbc", mode="overwrite", **opts)
     back = read_table(spark, path="", fmt="jdbc", **opts)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_cogrouped_apply_bucketed_matches_unbucketed(spark):
+    """Bucketing must be invisible: every row of a key lands in one
+    bucket (hash is a pure function of the key), so the per-key
+    reconciliation equals the key-grained cogroup's output."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from interlinked_spark.operators.udfs import (
+        cogrouped_apply,
+        cogrouped_apply_bucketed,
+    )
+
+    left = spark.range(0, 200).select(
+        (F.col("id") % 37).alias("k"), (F.col("id") * 2).alias("x")
+    )
+    right = spark.range(0, 300).select(
+        (F.col("id") % 41).alias("k"), (F.col("id") + 5).alias("y")
+    )
+    schema = "k long, nx long, ny long, sx long, sy long"
+
+    def per_key(o: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        oa = o.groupby("k").agg(nx=("k", "size"), sx=("x", "sum"))
+        ea = e.groupby("k").agg(ny=("k", "size"), sy=("y", "sum"))
+        m = oa.join(ea, how="outer")
+        return pd.DataFrame(
+            {
+                "k": m.index.to_numpy(),
+                "nx": m["nx"].fillna(0).astype("int64").to_numpy(),
+                "ny": m["ny"].fillna(0).astype("int64").to_numpy(),
+                "sx": m["sx"].fillna(0).astype("int64").to_numpy(),
+                "sy": m["sy"].fillna(0).astype("int64").to_numpy(),
+            }
+        )
+
+    bucketed = cogrouped_apply_bucketed(left, right, ["k"], per_key, schema, buckets=7)
+    unbucketed = cogrouped_apply(left, right, ["k"], per_key, schema)
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, unbucketed.collect())
+    )
+    # distinct keys (37 union 41) exceed buckets=7, so bucketing is real
+    assert bucketed.count() == 41
