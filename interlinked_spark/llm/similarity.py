@@ -559,12 +559,29 @@ def build_vector_index(
     fixed seed and the vector dim (see ``_brp_model``), so assignments
     written today match assignments computed tomorrow — the precondition
     for persisting them at all."""
-    from ..sources.writers import write_table
+    from ..sources.writers import write_single_file, write_table
 
-    assigns = _lsh_assignments(
-        corpus, num_hash_tables, bucket_length, id_col, vec_col, "id",
-        projections_per_band=projections_per_band,
-    )
+    # Probe dim FIRST: an empty corpus (a freshly-seeded streaming-gate
+    # index) skips the banding machinery entirely and writes schema-
+    # matched empty frames — seeding a gate index should cost two tiny
+    # writes, not an LSH pipeline over zero rows.
+    dim_row = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim_val = int(dim_row[0]["d"]) if dim_row and dim_row[0]["d"] else None
+    if dim_val is None:
+        assigns = corpus.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).cast("int").alias("entry"),
+            # bucket is DOUBLE (BRP hash values): the type must match
+            # _lsh_assignments exactly or the first real append mixes
+            # parquet schemas inside assignments/ and breaks the read.
+            F.lit(0).cast("double").alias("bucket"),
+        )
+        num_files = 1
+    else:
+        assigns = _lsh_assignments(
+            corpus, num_hash_tables, bucket_length, id_col, vec_col, "id",
+            projections_per_band=projections_per_band,
+        )
     write_table(
         assigns.repartition(num_files, F.col("entry"), F.col("bucket")),
         f"{path}/assignments",
@@ -574,17 +591,14 @@ def build_vector_index(
         f"{path}/vectors",
     )
     # Meta is a driver-built 1-row frame: deriving it FROM the corpus
-    # would write zero rows for an empty corpus (a freshly-seeded
-    # streaming-gate index) and break every later read.  Dim is null
-    # until the first non-empty build/append probes it.
-    dim_row = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim_val = int(dim_row[0]["d"]) if dim_row and dim_row[0]["d"] else None
+    # would write zero rows for an empty corpus and break every later
+    # read.  Dim is null until the first non-empty build/append probes it.
     meta = corpus.sparkSession.createDataFrame(
         [(num_hash_tables, float(bucket_length), int(projections_per_band), dim_val)],
         "num_hash_tables int, bucket_length double, "
         "projections_per_band int, dim int",
     )
-    write_table(meta.coalesce(1), f"{path}/meta")
+    write_single_file(meta, f"{path}/meta")
 
 
 def _check_index_dim(meta, batch: DataFrame, vec_col: str, caller: str):
@@ -612,12 +626,20 @@ def update_vector_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_files: int = 8,
+    assignments: Optional[DataFrame] = None,
 ) -> None:
     """Append a processed batch's vectors + band assignments to the
     materialized index (parameters come from the stored meta — callers
     cannot drift them).  Append-only, like the shingle index: the
-    caller owns acceptance policy."""
-    from ..sources.writers import write_table
+    caller owns acceptance policy.
+
+    ``assignments``: pre-banded ``(id, entry, bucket)`` rows for this
+    exact batch, as returned by :func:`vector_gate_rejections` — pass
+    them to skip re-banding when the batch was already banded for
+    matching (the streaming gate's shape).  They MUST come from this
+    index's stored meta parameters; producing them any other way
+    re-introduces the parameter drift the meta exists to prevent."""
+    from ..sources.writers import write_single_file, write_table
 
     spark = accepted_new.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
@@ -637,15 +659,19 @@ def update_vector_index(
             "num_hash_tables int, bucket_length double, "
             "projections_per_band int, dim int",
         )
-        write_table(meta_df.coalesce(1), f"{path}/meta")
-    assigns = _lsh_assignments(
-        accepted_new,
-        int(meta.num_hash_tables),
-        float(meta.bucket_length),
-        id_col,
-        vec_col,
-        "id",
-        projections_per_band=int(meta.projections_per_band),
+        write_single_file(meta_df, f"{path}/meta")
+    assigns = (
+        assignments
+        if assignments is not None
+        else _lsh_assignments(
+            accepted_new,
+            int(meta.num_hash_tables),
+            float(meta.bucket_length),
+            id_col,
+            vec_col,
+            "id",
+            projections_per_band=int(meta.projections_per_band),
+        )
     )
     write_table(
         assigns.repartition(num_files, F.col("entry"), F.col("bucket")),
@@ -724,3 +750,97 @@ def lsh_incremental_matches(
         .filter(F.col("cosine") >= cosine_threshold)
         .select("new_id", "match_id", "cosine")
     )
+
+
+def vector_gate_rejections(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    cosine_threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    checkpoint_mode: str = "local",
+) -> tuple[DataFrame, DataFrame]:
+    """First-seen-wins rejection set for one gate batch, banding the
+    batch ONCE: returns ``(rejected_ids, batch_assignments)`` where
+    ``rejected_ids`` (column ``new_id``) are batch vectors within
+    ``cosine_threshold`` of ANY earlier-seen vector — any corpus vector
+    in the index, or a smaller-``id_col`` vector in the same batch
+    (kept or not, matching the oracle's "any smaller id" anti-join).
+
+    This is :func:`lsh_incremental_matches` + the within-batch self-join
+    fused over a single banded representation: the streaming gate
+    previously banded each micro-batch three times (vs-corpus, within-
+    batch, index update) — at 100 TB the banding projection over the
+    batch is the dominant per-batch cost, so it must be computed once
+    and shared.  The returned ``batch_assignments`` (``id, entry,
+    bucket``, banded with the stored meta parameters) feed straight
+    into :func:`update_vector_index(assignments=...)`.
+
+    Candidate generation is bucket-equi-join only; the decision boundary
+    is always the exact cosine recomputed from raw vectors (same
+    contract as every LSH path in this module)."""
+    from ..operators.checkpointing import materialize
+
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    _check_index_dim(meta, batch, vec_col, "vector_gate_rejections")
+    assigns = materialize(
+        _lsh_assignments(
+            batch,
+            int(meta.num_hash_tables),
+            float(meta.bucket_length),
+            id_col,
+            vec_col,
+            "id",
+            projections_per_band=int(meta.projections_per_band),
+        ),
+        checkpoint_mode,
+    )
+    new_side = assigns.select(F.col("id").alias("new_id"), "entry", "bucket")
+
+    corpus_assigns = spark.read.parquet(f"{index_path}/assignments").select(
+        F.col("id").alias("match_id"), "entry", "bucket"
+    )
+    if max_bucket_size is not None:
+        from ..operators.diagnostics import drop_hot_buckets
+
+        corpus_assigns = drop_hot_buckets(
+            corpus_assigns, ["entry", "bucket"], max_bucket_size
+        )
+    vs_corpus = (
+        new_side.join(corpus_assigns, ["entry", "bucket"])
+        .filter(F.col("new_id") != F.col("match_id"))
+        .select("new_id", "match_id")
+        .dropDuplicates()
+    )
+    within = (
+        new_side.join(
+            assigns.select(F.col("id").alias("match_id"), "entry", "bucket"),
+            ["entry", "bucket"],
+        )
+        .filter(F.col("match_id") < F.col("new_id"))
+        .select("new_id", "match_id")
+        .dropDuplicates()
+    )
+
+    corpus_vecs = spark.read.parquet(f"{index_path}/vectors").select(
+        F.col("id").alias("match_id"), F.col("vec").alias("__cv")
+    )
+    batch_vecs = batch.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv")
+    )
+    cand = vs_corpus.join(corpus_vecs, "match_id").unionByName(
+        within.join(batch_vecs, "match_id")
+    )
+    qraw = batch.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("__qv"))
+    rejected = (
+        cand.join(qraw, "new_id")
+        .withColumn(
+            "cosine", F.round(cosine_similarity_vec(F.col("__qv"), F.col("__cv")), 6)
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return rejected, assigns

@@ -53,14 +53,14 @@ def build_sketch_state(
     num_files: int = 8,
 ) -> None:
     """Materialize the initial sketch state + its lg_k meta pin."""
-    from ..sources.writers import write_table
+    from ..sources.writers import write_single_file, write_table
 
     keys = list(keys)
     state = sketch_distinct_state(df, keys, value_col, lg_k=lg_k)
     write_table(state.repartition(num_files, *[F.col(k) for k in keys]),
                 f"{path}/state")
     meta = df.sparkSession.createDataFrame([(int(lg_k),)], "lg_k int")
-    write_table(meta.coalesce(1), f"{path}/meta")
+    write_single_file(meta, f"{path}/meta")
 
 
 def update_sketch_state(
@@ -336,7 +336,7 @@ def qhist_build(
     """Materialize the initial histogram state + its grid meta pin
     (lo/hi/bins travel with the state so appends can never drift the
     grid — same contract as the HLL state's lg_k pin)."""
-    from ..sources.writers import write_table
+    from ..sources.writers import write_single_file, write_table
 
     keys = list(keys)
     state = qhist_bins(df, keys, value_col, lo, hi, bins)
@@ -346,7 +346,7 @@ def qhist_build(
     meta = df.sparkSession.createDataFrame(
         [(float(lo), float(hi), int(bins))], "lo double, hi double, bins int"
     )
-    write_table(meta.coalesce(1), f"{path}/meta")
+    write_single_file(meta, f"{path}/meta")
 
 
 def qhist_update(

@@ -34,6 +34,22 @@ def write_table(
         getattr(writer, fmt)(path)
 
 
+def write_single_file(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str
+) -> None:
+    """One-file write for DRIVER-BUILT small frames (meta pins, config
+    rows).  ``coalesce(1)`` is the wrong tool for these: a
+    ``createDataFrame`` local relation is parallelized over every core
+    (32 parent partitions at local[32]), and coalesce folds them into a
+    single task that round-trips the Python runner once PER PARENT
+    partition, sequentially — measured ~5s to write ONE row.
+    ``repartition(1)`` evaluates parents in parallel and shuffles the
+    handful of rows to one reducer: same single-file layout, ~10x less
+    wall clock, and on a real cluster it's the difference between one
+    straggler task and a no-op shuffle of a few KB."""
+    write_table(df.repartition(1), path, fmt=fmt, mode=mode, **options)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -565,9 +565,8 @@ def run_vector_neardup_gate_into_parquet(
     12 tables x 0.5 at cos >= 0.3) or the gate under-rejects."""
     from ..llm.similarity import (
         build_vector_index,
-        embedding_near_dup_pairs,
-        lsh_incremental_matches,
         update_vector_index,
+        vector_gate_rejections,
     )
 
     accepted_path = accepted_path or tempfile.mkdtemp(prefix="vec_accept_")
@@ -582,20 +581,22 @@ def run_vector_neardup_gate_into_parquet(
 
     def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
-        vs_corpus = lsh_incremental_matches(
+        # Band the batch ONCE: vs-corpus candidates, within-batch pairs
+        # (smaller id wins — kept or not, matching the oracle's "any
+        # smaller id" anti-join) and the index append all share the same
+        # banded assignments (previously 3 banding passes per batch).
+        rejected, assigns = vector_gate_rejections(
             spark, index_path, batch_df, cosine_threshold=cosine_threshold,
             id_col=id_col, vec_col=vec_col, max_bucket_size=max_bucket_size,
-        ).select(F.col("new_id").alias(id_col))
-        within = embedding_near_dup_pairs(
-            batch_df, cosine_threshold=cosine_threshold, id_col=id_col,
-            vec_col=vec_col, num_hash_tables=num_hash_tables,
-            projections_per_band=projections_per_band,
-            bucket_length=bucket_length,
-        ).select(F.col("right_id").alias(id_col))  # later id of each pair
-        rejected = vs_corpus.unionByName(within).distinct()
-        accepted = batch_df.join(rejected, id_col, "left_anti")
+        )
+        accepted = batch_df.join(
+            rejected.withColumnRenamed("new_id", id_col), id_col, "left_anti"
+        )
         accepted.write.mode("append").parquet(accepted_path)
-        update_vector_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+        update_vector_index(
+            batch_df, index_path, id_col=id_col, vec_col=vec_col,
+            assignments=assigns,
+        )
 
     foreach_batch_into(vec_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
     return accepted_path, index_path
@@ -670,7 +671,7 @@ def run_qhist_into_state(
     of the full input for ANY micro-batch boundaries — which is what
     makes a streaming sketch value-oracle-able at all."""
     from ..operators.sketches import qhist_bins
-    from ..sources.writers import write_table
+    from ..sources.writers import write_single_file, write_table
 
     state_path = state_path or tempfile.mkdtemp(prefix="qhist_state_stream_")
     spark = event_stream.sparkSession
@@ -678,7 +679,7 @@ def run_qhist_into_state(
     meta = spark.createDataFrame(
         [(float(lo), float(hi), int(bins))], "lo double, hi double, bins int"
     )
-    write_table(meta.coalesce(1), f"{state_path}/meta")
+    write_single_file(meta, f"{state_path}/meta")
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         m = spark.read.parquet(f"{state_path}/meta").first()
@@ -718,13 +719,13 @@ def run_hll_into_state(
     sketch of the full input for ANY micro-batch boundaries — the
     deterministic equality the catalog oracle gates on."""
     from ..operators.sketches import sketch_distinct_state
-    from ..sources.writers import write_table
+    from ..sources.writers import write_single_file, write_table
 
     state_path = state_path or tempfile.mkdtemp(prefix="hll_state_stream_")
     spark = event_stream.sparkSession
     keys = list(keys)
     meta = spark.createDataFrame([(int(lg_k),)], "lg_k int")
-    write_table(meta.coalesce(1), f"{state_path}/meta")
+    write_single_file(meta, f"{state_path}/meta")
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         k = int(spark.read.parquet(f"{state_path}/meta").first().lg_k)
