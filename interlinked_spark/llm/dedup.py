@@ -539,7 +539,20 @@ def build_shingle_index(
     store it in the path and never mix widths in one index."""
     from ..sources.writers import write_table
 
-    postings = shingle_postings(corpus, text_col, id_col, n)
+    # Empty corpus (a freshly-seeded streaming-gate index): skip the
+    # shingling pipeline and write a schema-matched empty frame — the
+    # seed should cost one tiny write, not a pandas-UDF plan over zero
+    # rows.  Types must match shingle_postings exactly (id as-is,
+    # nsh int from F.size, s string) or the first append mixes schemas.
+    if not corpus.select(F.lit(1)).limit(1).collect():
+        postings = corpus.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).cast("int").alias("nsh"),
+            F.lit("").cast("string").alias("s"),
+        )
+        num_files = 1
+    else:
+        postings = shingle_postings(corpus, text_col, id_col, n)
     write_table(postings.repartition(num_files, F.col("s")), path, mode=mode)
 
 
@@ -550,6 +563,7 @@ def update_shingle_index(
     id_col: str = "doc_id",
     n: int = 3,
     num_files: int = 8,
+    postings: DataFrame | None = None,
 ) -> None:
     """Append the ACCEPTED documents of a processed batch to the
     materialized index (the write half of the daily loop: match batch
@@ -557,10 +571,16 @@ def update_shingle_index(
     design — the index is a log of accepted postings, and the caller
     owns acceptance (only feed documents that passed the dedup gate,
     or the index accumulates the very duplicates it exists to block).
-    Same n as the build, or the widths silently diverge."""
+    Same n as the build, or the widths silently diverge.
+
+    ``postings``: pre-computed ``shingle_postings`` rows for this exact
+    batch — pass them when the batch was already shingled for matching
+    (the streaming gate), so the text is shingled once per batch, not
+    once per consumer.  Must come from the same ``n`` as the index."""
     from ..sources.writers import write_table
 
-    postings = shingle_postings(accepted_new, text_col, id_col, n)
+    if postings is None:
+        postings = shingle_postings(accepted_new, text_col, id_col, n)
     write_table(postings.repartition(num_files, F.col("s")), path, mode="append")
 
 
@@ -574,6 +594,7 @@ def ngram_jaccard_incremental_indexed(
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
     checkpoint_mode: str = "local",
+    new_postings: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`ngram_jaccard_incremental` against a MATERIALIZED corpus
     index (:func:`build_shingle_index`) instead of the corpus itself:
@@ -582,15 +603,19 @@ def ngram_jaccard_incremental_indexed(
     stream through the same shingle-keyed join.  Results are identical
     to the recompute by construction (same ``_incremental_match``, df
     cap spanning both sides); the parquet scan of the index prunes to
-    the ``id, nsh, s`` columns it stores, nothing more."""
+    the ``id, nsh, s`` columns it stores, nothing more.
+
+    ``new_postings``: pre-computed ``shingle_postings`` rows for the
+    batch, to share one shingling pass with ``update_shingle_index``
+    (the streaming gate's shape).  Same ``n`` as the index, always."""
     corpus_sizes = (
         spark.read.parquet(index_path)
         .select("id", "nsh", "s")
         .withColumn("__new", F.lit(0))
     )
-    new_sizes = shingle_postings(new, text_col, id_col, n).withColumn(
-        "__new", F.lit(1)
-    )
+    if new_postings is None:
+        new_postings = shingle_postings(new, text_col, id_col, n)
+    new_sizes = new_postings.withColumn("__new", F.lit(1))
     return _incremental_match(
         corpus_sizes.unionByName(new_sizes), threshold, max_shingle_df, checkpoint_mode
     )

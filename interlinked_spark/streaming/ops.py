@@ -491,6 +491,7 @@ def run_neardup_gate_into_parquet(
     from ..llm.dedup import (
         build_shingle_index,
         ngram_jaccard_incremental_indexed,
+        shingle_postings,
         update_shingle_index,
     )
 
@@ -509,6 +510,12 @@ def run_neardup_gate_into_parquet(
         # The batch feeds two jobs (match, index update) and the match
         # result feeds two more (reject set, append) — pin it once.
         batch_df = batch_df.localCheckpoint(eager=True)
+        # Shingle the batch ONCE (pandas-UDF pass over the text) and
+        # share the postings between matching and the index append —
+        # at 100 TB the shingling scan is the per-batch cost.
+        postings = shingle_postings(
+            batch_df, text_col=text_col, id_col=id_col, n=n
+        ).localCheckpoint(eager=True)
         rejected = (
             ngram_jaccard_incremental_indexed(
                 spark,
@@ -519,6 +526,7 @@ def run_neardup_gate_into_parquet(
                 n=n,
                 threshold=threshold,
                 max_shingle_df=max_shingle_df,
+                new_postings=postings,
             )
             .select(F.col("new_id").alias(id_col))
             .distinct()
@@ -527,7 +535,8 @@ def run_neardup_gate_into_parquet(
         accepted.write.mode("append").parquet(accepted_path)
         # ALL seen docs enter the comparison universe (see docstring).
         update_shingle_index(
-            batch_df, index_path, text_col=text_col, id_col=id_col, n=n, num_files=1
+            batch_df, index_path, text_col=text_col, id_col=id_col, n=n,
+            num_files=1, postings=postings,
         )
 
     foreach_batch_into(doc_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
