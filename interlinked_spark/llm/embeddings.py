@@ -300,7 +300,7 @@ def ivf_probed_top_k(
     ``(query_id, neighbor_id, cosine)``.
     """
     from ..operators.windows import top_k_per_group
-    from .similarity import cosine_similarity
+    from .similarity import cosine_similarity_vec
 
     cid_col, _ = _assign_cols(vec_col, centroids)
     assigned = corpus.select(
@@ -332,7 +332,7 @@ def ivf_probed_top_k(
         assigned.join(F.broadcast(probed), "__cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
+            "cosine", F.round(cosine_similarity_vec(F.col("__qv"), F.col("__cv")), 6)
         )
         .select("query_id", "neighbor_id", "cosine")
     )

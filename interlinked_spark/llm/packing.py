@@ -171,7 +171,7 @@ def init_packing_state(spark, path: str, capacity: int) -> None:
     """Create an empty packing state dir (idempotent layout)."""
     import os
 
-    from ..sources.writers import write_table
+    from ..sources.writers import write_single_file
 
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
@@ -179,7 +179,7 @@ def init_packing_state(spark, path: str, capacity: int) -> None:
     meta = spark.createDataFrame(
         [(0, 0, capacity)], "next_offset bigint, n_batches int, capacity int"
     )
-    write_table(meta, f"{path}/meta")
+    write_single_file(meta, f"{path}/meta")
 
 
 def _read_meta(spark, path: str):
@@ -234,7 +234,12 @@ def pack_incremental(
     ).withColumn("seq_last", F.expr(f"(offset + {token_col} - 1) DIV {capacity}"))
     part_dir = f"{state_path}/assignments/batch_seq={n_batches}"
     placed.write.mode("overwrite").parquet(part_dir)
-    batch_tokens = placed.agg(F.sum(token_col)).collect()[0][0] or 0
+    # Sum the COMMITTED partition, not the logical plan: re-evaluating
+    # `placed` would run the two-phase prefix windows a second time,
+    # and the meta counter should advance by what actually landed.
+    batch_tokens = (
+        spark.read.parquet(part_dir).agg(F.sum(token_col)).collect()[0][0] or 0
+    )
     new_meta = spark.createDataFrame(
         [(int(base + batch_tokens), int(n_batches) + 1, int(capacity))],
         "next_offset bigint, n_batches int, capacity int",

@@ -100,7 +100,7 @@ def cosine_top_k(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = (
         c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn("cosine", F.round(cosine_similarity_vec(F.col("__qv"), F.col("__cv")), 6))
         .select("query_id", "neighbor_id", "cosine")
     )
     return top_k_per_group(
@@ -527,7 +527,7 @@ def ivf_top_k(
     scored = (
         assigned.join(probed.select("query_id", "__qv", "centroid"), on="centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn("cosine", F.round(cosine_similarity_vec(F.col("__qv"), F.col("__cv")), 6))
         .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
