@@ -307,6 +307,7 @@ def main() -> None:
         "orders_repeat_latency",
         "events_hourly_autocorr",
         "nation_trade_imbalance",
+        "supplier_triangles",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -5883,6 +5883,67 @@ from .operators.graph import pagerank_sql as _pagerank_sql  # noqa: E402
 ORACLES["trade_pagerank"] = _pagerank_sql(_trade_edges_sql(), iterations=5, damping=0.85)
 
 
+@defq(
+    "supplier_triangles",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    und AS (
+      SELECT DISTINCT x.s AS a, y.s AS b
+      FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+    o AS (
+      SELECT CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND a < b)
+                  THEN b ELSE a END AS v
+      FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM o e1 JOIN o e2 ON e1.v = e2.u
+                JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY v)
+    SELECT d.v AS vertex, CAST(d.degree AS BIGINT) AS degree,
+           COALESCE(pv.triangles, 0) AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN 2.0 * COALESCE(pv.triangles, 0)
+                           / (d.degree * (d.degree - 1.0))
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN pv ON pv.v = d.v
+    """,
+    li="table.lineitem",
+)
+def q_supplier_triangles(li: DataFrame) -> DataFrame:
+    """Triangle counting + local clustering coefficient (§2b graph
+    family, `operators/graph.py::triangle_counts`): suppliers are
+    connected when they co-supply a part (the supplier projection of
+    the bipartite part-supplier graph from lineitem), and each vertex
+    gets its triangle participation and clustering coefficient — the
+    community/density primitive next to PageRank and connected
+    components.  Degree-oriented "forward" algorithm: edges oriented
+    low->high (degree, id) make the relation acyclic with O(sqrt m)
+    out-degree, so each triangle is generated exactly once and hub
+    vertices cannot explode the wedge join.  Oracle: the identical
+    orientation + triple self-join in SQL."""
+    from .operators.graph import triangle_counts
+
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    x = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("a"))
+    y = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("b"))
+    edges = (
+        x.join(y, "p")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
 
 # =====================================================================
 # K — distributed k-means + SemDeDup semantic dedup

@@ -28,9 +28,9 @@ from .sampling import (
     stratified_sample,
     weighted_sample_topn,
 )
-from .graph import connected_components
+from .graph import connected_components, pagerank, triangle_counts
 from .windows import sessionize, change_intervals
-from .udfs import cogrouped_apply, position_tokens_udtf
+from .udfs import cogrouped_apply, cogrouped_apply_bucketed, position_tokens_udtf
 from .timeseries import time_grid_fill
 from .merge import merge_upsert
 
@@ -44,6 +44,7 @@ __all__ = [
     "sort", "top_k",
     "pivot_agg", "unpivot_metrics", "grouping_sets_agg",
     "hash_sample", "hash_sample_sql", "stratified_sample", "weighted_sample_topn",
-    "connected_components", "sessionize", "cogrouped_apply",
+    "connected_components", "pagerank", "triangle_counts",
+    "sessionize", "cogrouped_apply", "cogrouped_apply_bucketed",
     "change_intervals", "position_tokens_udtf", "time_grid_fill", "merge_upsert",
 ]

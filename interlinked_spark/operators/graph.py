@@ -294,3 +294,84 @@ def pagerank_sql(
         f"{chain}\n    SELECT v AS vertex, ROUND(pr, {round_dp}) AS pagerank "
         f"FROM pr{iterations}"
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Per-vertex triangle participation + local clustering coefficient
+    via the degree-oriented "forward" algorithm (§2b iterative/graph
+    family; the triangle primitive under community detection and
+    spam/fraud graph features).
+
+    Returns ``(vertex, degree, triangles, clustering)`` for every
+    vertex of the undirected graph, where ``clustering`` is the local
+    clustering coefficient ``2T / (deg * (deg - 1))`` (0.0 when
+    degree < 2), rounded to 6 decimals.
+
+    Scale shape: the naive triangle join E ⋈ E ⋈ E explodes on hub
+    vertices (a degree-d vertex contributes d² wedge rows).  Orienting
+    every edge from its lower-(degree, id) endpoint to the higher one
+    first makes the edge relation ACYCLIC with max out-degree O(sqrt m)
+    on any graph — each triangle then appears exactly once as
+    o(u,v) ⋈ o(v,w) ⋈ o(u,w), and the wedge join is generated only
+    from out-neighbor lists the orientation already bounded.  This is
+    the standard distributed formulation (one degree aggregate + three
+    equi-joins, all shuffle-partitioned on vertex keys; AQE broadcasts
+    the degree side when small).  No driver-side state, no iteration.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropna()
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    e = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # wedge (u, v, w): u->v and v->w in the oriented graph
+    wedges = o.join(
+        o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+    )
+    tri = wedges.join(
+        o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
+    ).select("u", "v", "w")
+    per_vertex = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_vertex, "v", "left")
+        .select(
+            F.col("v").alias("vertex"),
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

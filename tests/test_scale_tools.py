@@ -1111,3 +1111,38 @@ def test_nb_classifier_learns_when_signal_exists(spark):
     )
     fallback = nb_predict(oov, priors, loglik).collect()
     assert len(fallback) == 1 and fallback[0].pred_label == "a"  # uniform priors: lowest label
+
+
+def test_triangle_counts_hand_graph_and_orientation_bound(spark):
+    """K4 + pendant: every K4 vertex sits in 3 triangles; the degree-4
+    articulation vertex has clustering 0.5; the pendant 0.  Directed
+    duplicates and self-loops in the input must not change anything
+    (canonicalized to undirected simple edges first)."""
+    from pyspark.sql import functions as F
+
+    from interlinked_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 5)],
+        "a long, b long",
+    )
+    got = {
+        r["vertex"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(edges).collect()
+    }
+    assert got == {
+        1: (3, 3, 1.0),
+        2: (3, 3, 1.0),
+        3: (3, 3, 1.0),
+        4: (4, 3, 0.5),
+        5: (1, 0, 0.0),
+    }
+    # Orientation bound: the oriented out-degree of the hub in a star
+    # is 0 (hub has the highest degree, so every edge points AT it) —
+    # a star has no triangles and generates ZERO wedge rows.
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "a long, b long"
+    )
+    rows = triangle_counts(star).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    assert {r["degree"] for r in rows} == {7, 1}
