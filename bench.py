@@ -308,6 +308,7 @@ def main() -> None:
         "events_hourly_autocorr",
         "nation_trade_imbalance",
         "supplier_triangles",
+        "orders_profile",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

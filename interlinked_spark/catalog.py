@@ -5883,6 +5883,59 @@ from .operators.graph import pagerank_sql as _pagerank_sql  # noqa: E402
 ORACLES["trade_pagerank"] = _pagerank_sql(_trade_edges_sql(), iterations=5, damping=0.85)
 
 
+def _profile_oracle_sql(table: str, cols: list[tuple[str, bool]]) -> str:
+    """Per-column UNION ALL profile — the oracle twin of the engine's
+    one-pass ``profile_table`` (the oracle can afford K scans)."""
+    parts = []
+    for c, numeric in cols:
+        if numeric:
+            mm = (
+                f"ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_num, "
+                f"ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_num, "
+                "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            )
+        else:
+            mm = (
+                "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+                f"CAST(MIN(CAST({c} AS VARCHAR)) AS VARCHAR) AS min_str, "
+                f"CAST(MAX(CAST({c} AS VARCHAR)) AS VARCHAR) AS max_str"
+            )
+        parts.append(
+            f"SELECT '{c}' AS column, COUNT(*) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, {mm} FROM {table}"
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@defq(
+    "orders_profile",
+    oracle=_profile_oracle_sql(
+        "orders",
+        [
+            ("o_orderkey", True),
+            ("o_custkey", True),
+            ("o_orderstatus", False),
+            ("o_totalprice", True),
+            ("o_orderdate", False),
+            ("o_orderpriority", False),
+        ],
+    ),
+    o="table.orders",
+)
+def q_orders_profile(o: DataFrame) -> DataFrame:
+    """One-pass table profile (§2b-D data-quality family,
+    `operators/diagnostics.py::profile_table`): per column, row count,
+    null count, distinct count and min/max — all K columns in a SINGLE
+    aggregate over ONE scan (the oracle twin scans per column; at 100
+    TB that difference is the whole point).  Exact distincts here for
+    oracle-ability; production uses ``exact_distinct=False`` to swap in
+    HLL++ and drop the K-way Expand from the plan."""
+    from .operators.diagnostics import profile_table
+
+    return profile_table(o)
+
+
 @defq(
     "supplier_triangles",
     oracle="""

@@ -82,3 +82,72 @@ def drop_hot_buckets(
         .filter(F.col("__bucket_n") <= max_bucket_size)
         .drop("__bucket_n")
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+    approx_rsd: float = 0.05,
+) -> DataFrame:
+    """ONE-PASS column profile — the onboarding/data-quality describe
+    every new table gets before it enters a pipeline: per column, row
+    count, null count, distinct count, and min/max (numerics as rounded
+    doubles, everything else via its canonical string form).
+
+    Returns one row per profiled column:
+    ``(column, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str)``.
+
+    Scale shape: all K columns profile in a SINGLE aggregate over ONE
+    scan — never K per-column queries (K scans of a 100-TB table).
+    The trade lives in the distinct counts: ``exact_distinct=True``
+    plans one Expand branch per column (K-way row multiplication before
+    the partial aggregate — fine at test scale, wasteful at 100 TB);
+    ``exact_distinct=False`` swaps in ``approx_count_distinct`` (HLL++,
+    ``approx_rsd`` relative error), which computes in the same single
+    pass with NO Expand — the production setting.  Min/max/null counts
+    are plain partial aggregates either way (map-side combined, bytes
+    per column per partition)."""
+    from pyspark.sql.types import NumericType
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls")
+        )
+        nd = (
+            F.countDistinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(col, approx_rsd)
+        )
+        aggs.append(nd.cast("bigint").alias(f"{c}__nd"))
+        if isinstance(df.schema[c].dataType, NumericType):
+            aggs.append(F.round(F.min(col).cast("double"), 4).alias(f"{c}__minn"))
+            aggs.append(F.round(F.max(col).cast("double"), 4).alias(f"{c}__maxn"))
+        else:
+            aggs.append(F.min(col.cast("string")).alias(f"{c}__mins"))
+            aggs.append(F.max(col.cast("string")).alias(f"{c}__maxs"))
+    one = df.agg(*aggs)
+
+    def entry(c: str):
+        numeric = isinstance(df.schema[c].dataType, NumericType)
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (F.col(f"{c}__minn") if numeric else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"{c}__maxn") if numeric else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if numeric else F.col(f"{c}__mins")).alias("min_str"),
+            (F.lit(None).cast("string") if numeric else F.col(f"{c}__maxs")).alias("max_str"),
+        )
+
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.explode(F.array(*[entry(c) for c in cols])).alias("p"),
+    ).select(
+        "p.column", "n_rows", "p.n_nulls", "p.n_distinct",
+        "p.min_num", "p.max_num", "p.min_str", "p.max_str",
+    )

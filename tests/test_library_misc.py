@@ -272,3 +272,34 @@ def test_cogrouped_apply_bucketed_matches_unbucketed(spark):
     )
     # distinct keys (37 union 41) exceed buckets=7, so bucketing is real
     assert bucketed.count() == 41
+
+
+def test_profile_table_values_and_single_scan(spark):
+    """Hand-checked profile of a 3-column frame with nulls; the approx
+    path must drop the K-way Expand AND still touch the input exactly
+    once (the operator's whole reason to exist at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from interlinked_spark.operators.diagnostics import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (2, None, 7.5), (3, "a", 10.0)],
+        "k long, s string, x double",
+    )
+    got = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["k"] == {
+        "column": "k", "n_rows": 4, "n_nulls": 0, "n_distinct": 3,
+        "min_num": 1.0, "max_num": 3.0, "min_str": None, "max_str": None,
+    }
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_str"], got["s"]["max_str"]) == ("a", "b")
+    assert got["x"]["min_num"] == 2.5 and got["x"]["max_num"] == 10.0
+
+    exact_plan = profile_table(df, exact_distinct=True)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile_table(df, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+    # both shapes: ONE scan of the input (LocalTableScan here)
+    assert approx_plan.count("Scan ExistingRDD") == 1
+    approx = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert approx["k"]["n_distinct"] >= 1  # HLL estimate present, same schema
