@@ -5936,13 +5936,18 @@ def q_orders_profile(o: DataFrame) -> DataFrame:
     return profile_table(o)
 
 
+SUPPLIER_TRIANGLE_MIN_SHARED_PARTS = 28
+
+
 @defq(
     "supplier_triangles",
-    oracle="""
+    oracle=f"""
     WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     und AS (
-      SELECT DISTINCT x.s AS a, y.s AS b
-      FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+      SELECT x.s AS a, y.s AS b
+      FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+      GROUP BY x.s, y.s
+      HAVING COUNT(*) >= {SUPPLIER_TRIANGLE_MIN_SHARED_PARTS}),
     deg AS (
       SELECT v, COUNT(*) AS degree FROM (
         SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
@@ -5974,15 +5979,20 @@ def q_orders_profile(o: DataFrame) -> DataFrame:
 def q_supplier_triangles(li: DataFrame) -> DataFrame:
     """Triangle counting + local clustering coefficient (§2b graph
     family, `operators/graph.py::triangle_counts`): suppliers are
-    connected when they co-supply a part (the supplier projection of
-    the bipartite part-supplier graph from lineitem), and each vertex
-    gets its triangle participation and clustering coefficient — the
-    community/density primitive next to PageRank and connected
-    components.  Degree-oriented "forward" algorithm: edges oriented
+    connected when they co-supply at least
+    ``SUPPLIER_TRIANGLE_MIN_SHARED_PARTS`` parts — the SUPPORT-
+    THRESHOLDED supplier projection of the bipartite part-supplier
+    graph.  The threshold is the projection's density hygiene (same
+    move as the shingle df caps): on uniform data the unweighted
+    projection is the complete graph (every pair shares SOME part —
+    K_1000 at sf0.1, 166M triangles of pure noise), while thresholding
+    at +2.3 sigma of the shared-part distribution keeps only
+    significantly-associated pairs (6.4k edges, 838 real triangles).
+    Degree-oriented "forward" algorithm underneath: edges oriented
     low->high (degree, id) make the relation acyclic with O(sqrt m)
     out-degree, so each triangle is generated exactly once and hub
     vertices cannot explode the wedge join.  Oracle: the identical
-    orientation + triple self-join in SQL."""
+    threshold + orientation + triple self-join in SQL."""
     from .operators.graph import triangle_counts
 
     ps = li.select("l_partkey", "l_suppkey").distinct()
@@ -5991,8 +6001,10 @@ def q_supplier_triangles(li: DataFrame) -> DataFrame:
     edges = (
         x.join(y, "p")
         .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__w"))
+        .filter(F.col("__w") >= SUPPLIER_TRIANGLE_MIN_SHARED_PARTS)
         .select("a", "b")
-        .distinct()
     )
     return triangle_counts(edges)
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import shutil
 import tempfile
 import time
 from pathlib import Path
@@ -155,6 +156,12 @@ HEAVY = [
     ("embedding_kmeans_clusters", None),
     ("embedding_semdedup", None),
     ("embedding_semdedup_scaledk", _semdedup_scaledk),
+    # round 9b: triangle counting (disjoint co-supply subgraphs -> the
+    # wedge join should scale ~linearly in k) and the one-pass profiler
+    # (single scan + fixed-width partial aggs -> linear, the contrast
+    # row that shows what exponent ~1.0 looks like).
+    ("supplier_triangles", None),
+    ("orders_profile", None),
 ]
 
 
@@ -241,7 +248,11 @@ def scaled_id_shift(
 SHIFTED = {
     "events": ["event_id", "user_id"],
     "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_suppkey"],
+    # l_partkey shifts too: supplier_triangles projects suppliers over
+    # shared parts, and un-shifted part keys would DENSIFY the co-supply
+    # graph (k^2 pairs per part) instead of growing it as k disjoint
+    # subgraphs.  Nothing in the heavy set joins lineitem to part.
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
 }
 
 
@@ -255,8 +266,12 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
     cache = os.environ.get("SPARK_GRAFT_SCALE_CACHE")
     if cache:
         out = os.path.join(cache, f"x{k}")
-        if os.path.exists(os.path.join(out, "_DONE")):
+        # versioned marker: bumping it invalidates cache dirs built
+        # under an older SHIFTED/perturbation layout
+        if os.path.exists(os.path.join(out, "_DONE_v2")):
             return out
+        if os.path.exists(out):  # stale (old-layout or partial) build
+            shutil.rmtree(out)
         os.makedirs(out, exist_ok=True)
     else:
         out = tempfile.mkdtemp(prefix=f"scaled_x{k}_")
@@ -275,7 +290,7 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
             continue
         os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     if cache:
-        Path(out, "_DONE").touch()
+        Path(out, "_DONE_v2").touch()
     return out
 
 
