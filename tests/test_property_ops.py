@@ -533,3 +533,72 @@ def test_weighted_sample_matches_sequential_aes(sp, n_rows, n, wmod):
         (r.id, r.w) for r in weighted_sample_topn(df, "id", "w", n).collect()
     )
     assert got == sorted(ref)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=20
+    )
+)
+@OP_SETTINGS
+def test_triangle_counts_match_bruteforce(sp, edges):
+    """Degree-oriented forward counting == brute-force triple loop on
+    the canonical undirected simple graph, for any random edge list
+    (self-loops and duplicate/reversed edges included)."""
+    from itertools import combinations
+
+    from interlinked_spark.operators.graph import triangle_counts
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect_tri = defaultdict(int)
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                expect_tri[v] += 1
+
+    df = sp.createDataFrame(edges or [(0, 0)], "a long, b long")
+    got = {r["vertex"]: r for r in triangle_counts(df).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v]["degree"] == len(adj[v])
+        assert got[v]["triangles"] == expect_tri[v]
+        d = len(adj[v])
+        expect_cc = round(2.0 * expect_tri[v] / (d * (d - 1.0)), 6) if d >= 2 else 0.0
+        assert got[v]["clustering"] == expect_cc
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 50)),
+            st.one_of(st.none(), st.text("abc", min_size=0, max_size=3)),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@OP_SETTINGS
+def test_profile_table_matches_python_reference(sp, rows):
+    """One-pass profile == per-column Python recompute (nulls, exact
+    distincts, min/max) for any random frame with nulls."""
+    from interlinked_spark.operators.diagnostics import profile_table
+
+    df = sp.createDataFrame(rows, "n long, s string")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    ns = [r[0] for r in rows]
+    ss = [r[1] for r in rows]
+    for col, vals, numeric in (("n", ns, True), ("s", ss, False)):
+        nn = [v for v in vals if v is not None]
+        assert got[col]["n_rows"] == len(rows)
+        assert got[col]["n_nulls"] == vals.count(None)
+        assert got[col]["n_distinct"] == len(set(nn))
+        if numeric:
+            assert got[col]["min_num"] == (float(min(nn)) if nn else None)
+            assert got[col]["max_num"] == (float(max(nn)) if nn else None)
+        else:
+            assert got[col]["min_str"] == (min(nn) if nn else None)
+            assert got[col]["max_str"] == (max(nn) if nn else None)
