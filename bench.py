@@ -309,6 +309,7 @@ def main() -> None:
         "nation_trade_imbalance",
         "supplier_triangles",
         "orders_profile",
+        "orders_lineitem_join_size",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

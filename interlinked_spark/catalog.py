@@ -5936,6 +5936,36 @@ def q_orders_profile(o: DataFrame) -> DataFrame:
     return profile_table(o)
 
 
+@defq(
+    "orders_lineitem_join_size",
+    oracle="""
+    WITH lh AS (SELECT o_orderkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1),
+    rh AS (SELECT l_orderkey AS k, COUNT(*) AS cr FROM lineitem GROUP BY 1),
+    m AS (SELECT cl * cr AS m FROM lh JOIN rh USING (k))
+    SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS join_rows,
+           COUNT(*) AS n_keys,
+           CAST(COALESCE(MAX(m), 0) AS BIGINT) AS max_key_rows,
+           (SELECT COUNT(*) FROM orders) AS left_rows,
+           (SELECT COUNT(*) FROM lineitem) AS right_rows
+    FROM m
+    """,
+    o="table.orders",
+    li="table.lineitem",
+)
+def q_orders_lineitem_join_size(o: DataFrame, li: DataFrame) -> DataFrame:
+    """Pre-flight join-cardinality estimate (§2b-D diagnostics family,
+    `operators/diagnostics.py::join_size_stats`): the EXACT output size
+    and skew profile of orders JOIN lineitem, computed from the two key
+    HISTOGRAMS — two map-side-combined aggregates plus a distinct-keys-
+    only join, never the join itself.  The go/no-go number before
+    launching a 100-TB join: a fan-out key that would emit 10^13 rows
+    costs seconds to detect here.  Oracle: the same histogram algebra
+    in SQL."""
+    from .operators.diagnostics import join_size_stats
+
+    return join_size_stats(o, li, ["o_orderkey"], ["l_orderkey"])
+
+
 SUPPLIER_TRIANGLE_MIN_SHARED_PARTS = 28
 
 

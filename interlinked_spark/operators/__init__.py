@@ -33,7 +33,7 @@ from .windows import sessionize, change_intervals
 from .udfs import cogrouped_apply, cogrouped_apply_bucketed, position_tokens_udtf
 from .timeseries import time_grid_fill
 from .merge import merge_upsert
-from .diagnostics import bucket_stats, drop_hot_buckets, profile_table
+from .diagnostics import bucket_stats, drop_hot_buckets, join_size_stats, profile_table
 
 __all__ = [
     "equi_join", "broadcast_join", "semi_join", "anti_join", "cross_join",
@@ -48,5 +48,5 @@ __all__ = [
     "connected_components", "pagerank", "triangle_counts",
     "sessionize", "cogrouped_apply", "cogrouped_apply_bucketed",
     "change_intervals", "position_tokens_udtf", "time_grid_fill", "merge_upsert",
-    "bucket_stats", "drop_hot_buckets", "profile_table",
+    "bucket_stats", "drop_hot_buckets", "join_size_stats", "profile_table",
 ]

@@ -151,3 +151,46 @@ def profile_table(
         "p.column", "n_rows", "p.n_nulls", "p.n_distinct",
         "p.min_num", "p.max_num", "p.min_str", "p.max_str",
     )
+
+
+def join_size_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+) -> DataFrame:
+    """Pre-flight equi-join cardinality: the EXACT output row count and
+    skew profile of ``left JOIN right`` on the given keys, computed from
+    the two KEY HISTOGRAMS — never from the join itself.
+
+    Returns one row: ``(join_rows, n_keys, max_key_rows, left_rows,
+    right_rows)`` where ``join_rows = sum over matching keys of
+    cntL(k) * cntR(k)`` and ``max_key_rows`` is the largest single
+    key's contribution — the straggler-task predictor.
+
+    The go/no-go number before launching a 100-TB join: the histograms
+    aggregate each side down to its distinct keys (map-side combined,
+    two shuffles of |keys| rows), and their join touches distinct keys
+    only — so a join that WOULD emit 10^13 rows (a fan-out key nobody
+    spotted) costs a few seconds to detect instead of a cluster-day to
+    discover.  Run it on a hash sample for even cheaper estimates: at
+    sample rate p, multiply ``join_rows`` by ``1/p^2`` (both sides
+    sampled) — same scaling law as ``bucket_stats.pair_mass``."""
+    right_keys = right_keys or left_keys
+    lk = [F.col(c).alias(f"__k{i}") for i, c in enumerate(left_keys)]
+    rk = [F.col(c).alias(f"__k{i}") for i, c in enumerate(right_keys)]
+    knames = [f"__k{i}" for i in range(len(left_keys))]
+    lh = left.select(*lk).groupBy(*knames).agg(F.count("*").alias("__cl"))
+    rh = right.select(*rk).groupBy(*knames).agg(F.count("*").alias("__cr"))
+    per_key = lh.join(rh, knames).select(
+        (F.col("__cl") * F.col("__cr")).alias("__m")
+    )
+    totals = per_key.agg(
+        F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("join_rows"),
+        F.count("*").alias("n_keys"),
+        F.coalesce(F.max("__m"), F.lit(0)).cast("long").alias("max_key_rows"),
+    )
+    counts = left.agg(F.count("*").alias("left_rows")).crossJoin(
+        right.agg(F.count("*").alias("right_rows"))
+    )
+    return totals.crossJoin(counts)

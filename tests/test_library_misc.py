@@ -303,3 +303,24 @@ def test_profile_table_values_and_single_scan(spark):
     assert approx_plan.count("Scan ExistingRDD") == 1
     approx = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
     assert approx["k"]["n_distinct"] >= 1  # HLL estimate present, same schema
+
+
+def test_join_size_stats_predicts_exact_join_cardinality(spark):
+    """Histogram algebra == the join it predicts, including fan-out
+    keys, null keys (equi-join drops them) and disjoint keys."""
+    from pyspark.sql import functions as F
+
+    from interlinked_spark.operators.diagnostics import join_size_stats
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")], "k long, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (3, 13), (4, 14), (None, 15)], "kk long, w long"
+    )
+    got = join_size_stats(left, right, ["k"], ["kk"]).collect()[0]
+    true_rows = left.join(right, left.k == right.kk).count()
+    assert got["join_rows"] == true_rows == 2 * 3 + 1  # key1 fan-out 2x3, key3 1x1
+    assert got["n_keys"] == 2
+    assert got["max_key_rows"] == 6
+    assert (got["left_rows"], got["right_rows"]) == (5, 6)
