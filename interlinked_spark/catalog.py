@@ -1102,6 +1102,34 @@ def q_doc_dataset_splits_stratified(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "doc_dataset_splits_by_source",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5('grp-v1' || source), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substr(md5('grp-v1' || source), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    d="table.documents",
+)
+def q_doc_dataset_splits_by_source(d: DataFrame) -> DataFrame:
+    """GROUP-leakage-safe train/val/test assignment (§2b-B/K): the hash
+    band is keyed on ``source`` instead of ``doc_id``, so EVERY document
+    of a source lands in the same split — near-duplicate documents from
+    one crawl/site can never straddle the train/test boundary and leak
+    eval data into training.  Same splitter, different key
+    (``operators/sampling.dataset_splits`` is key-generic by design);
+    group proportions converge to the weights only in expectation over
+    GROUPS, the price of leakage safety.  One narrow projection, no
+    shuffle."""
+    from .operators.sampling import dataset_splits
+
+    return dataset_splits(
+        d, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="grp-v1"
+    ).select("doc_id", "source", "split")
+
+
+@defq(
     "doc_cdc_chunks",
     oracle=f"""
     {_CDC_CHUNKS_SQL}
