@@ -310,6 +310,7 @@ def main() -> None:
         "supplier_triangles",
         "orders_profile",
         "orders_lineitem_join_size",
+        "source_scorecard",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -1102,6 +1102,74 @@ def q_doc_dataset_splits_stratified(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "source_scorecard",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT source, doc_id, len(toks) AS n_tokens,
+             ROUND(CAST(len(list_filter(toks, t -> lower(t) IN ('the','and','of'))) AS DOUBLE)
+                   / len(toks), 6) AS swr,
+             md5(text) AS h
+      FROM s),
+    tot AS (SELECT SUM(n_tokens) AS t FROM d)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(n_tokens) / (SELECT t FROM tot), 6) AS token_share,
+           ROUND(AVG(swr), 6) AS mean_stopword_ratio,
+           ROUND(AVG(CASE WHEN n_tokens >= 24 AND swr >= 0.01
+                          THEN 1.0 ELSE 0.0 END), 6) AS quality_pass_rate,
+           ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS exact_dup_rate
+    FROM d GROUP BY source
+    """,
+    d="table.documents",
+)
+def q_source_scorecard(d: DataFrame) -> DataFrame:
+    """Per-SOURCE curation scorecard (§2b-K): the table a data curator
+    ranks crawls/feeds by — document count, share of corpus tokens,
+    mean stopword density, C4-gate pass rate, and exact-duplicate rate
+    (1 - distinct text hashes / docs).  All JVM column expressions over
+    one scan + one groupBy; the corpus token total is a broadcast
+    ONE-ROW frame.  The per-source dup rate is the cheap tell for a
+    crawler stuck in a template farm — the expensive cross-source
+    near-dup pass (MinHash stack) runs after sources clear this gate."""
+    from .llm.text import quality_scores, token_stats
+
+    scored = quality_scores(token_stats(d))
+    per_doc = scored.select(
+        "source", "n_tokens", "stopword_ratio", F.md5("text").alias("h")
+    )
+    tot = per_doc.agg(F.sum("n_tokens").alias("t"))
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("toks"),
+        F.round(F.avg("stopword_ratio"), 6).alias("mean_stopword_ratio"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("n_tokens") >= 24) & (F.col("stopword_ratio") >= 0.01),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("quality_pass_rate"),
+        F.round(F.lit(1.0) - F.countDistinct("h") / F.count("*"), 6).alias(
+            "exact_dup_rate"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("toks") / F.col("t"), 6).alias("token_share"),
+        "mean_stopword_ratio",
+        "quality_pass_rate",
+        "exact_dup_rate",
+    )
+
+
+@defq(
     "doc_dataset_splits_by_source",
     oracle="""
     SELECT doc_id, source,

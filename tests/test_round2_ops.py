@@ -405,6 +405,7 @@ def test_whole_catalog_plan_audit(spark):
         "events_qhist_state_quantiles",  # cross join of the broadcast TWO-ROW quantile frame
         "doc_nb_lang_predictions",  # labels x vocab model grid + broadcast |labels|-row prior frame
         "orders_lineitem_join_size",  # cross join of ONE-ROW total/count frames
+        "source_scorecard",        # broadcast ONE-ROW corpus token total
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
