@@ -32,6 +32,32 @@ def raw(spark, base_dir):
 
 
 @wkf.depend(d="docs.raw")
+@wkf.provide("source_card")
+def source_card(d):
+    """Curation triage FIRST: per-source doc counts, token share,
+    quality pass rate and exact-dup rate (`catalog.source_scorecard`'s
+    operator composition) — a crawler stuck in a template farm shows up
+    here before any expensive per-document pass runs."""
+    from interlinked_spark.llm.text import quality_scores, token_stats
+
+    scored = quality_scores(token_stats(d))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(
+                F.avg(F.when(F.col("n_tokens") >= 24, 1.0).otherwise(0.0)), 3
+            ).alias("quality_pass_rate"),
+            F.round(
+                F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count("*"), 3
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy(F.col("exact_dup_rate").desc())
+    )
+
+
+@wkf.depend(d="docs.raw")
 @wkf.provide("docs.clean")
 def clean(d, min_tokens: int = 5, max_upper_ratio: float = 0.5):
     q = quality_scores(d)
@@ -163,6 +189,9 @@ def splits_card(d):
         default={"train": 0.7, "val": 0.15, "test": 0.15},
         salt="train-v1",
     )
+    # Leakage-sensitive corpora key the band on the GROUP instead
+    # (`dataset_splits(d, "source", ...)` — every doc of a source in one
+    # split), trading per-group proportions for boundary safety.
     return s.groupBy("lang", "split").count().orderBy("lang", "split")
 
 
@@ -199,9 +228,11 @@ def packed_card(d, capacity: int = 256):
 
 
 if __name__ == "__main__":
-    out, mix, matches, splits, packed = wkf.run(
-        "report", "mix_report", "batch.matches", "splits_card", "packed_card"
+    out, mix, matches, splits, packed, card = wkf.run(
+        "report", "mix_report", "batch.matches", "splits_card", "packed_card",
+        "source_card",
     )
+    card.show(5, truncate=False)
     row = out.first()
     assert row.n_docs > 0 and row.total_tokens > row.n_docs
     print(f"sampled {row.n_docs} canonical docs, ~{row.total_tokens} tokens "
