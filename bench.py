@@ -311,6 +311,7 @@ def main() -> None:
         "orders_profile",
         "orders_lineitem_join_size",
         "source_scorecard",
+        "doc_bpe_merges",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

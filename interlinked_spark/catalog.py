@@ -1101,6 +1101,30 @@ def q_doc_dataset_splits_stratified(d: DataFrame) -> DataFrame:
     ).select("doc_id", "lang", "split")
 
 
+from .llm.bpe import bpe_merges_sql as _bpe_merges_sql  # noqa: E402
+
+BPE_DEMO_MERGES = 5
+
+
+@defq(
+    "doc_bpe_merges",
+    oracle=_bpe_merges_sql("documents", merges=BPE_DEMO_MERGES),
+    d="table.documents",
+)
+def q_doc_bpe_merges(d: DataFrame) -> DataFrame:
+    """Trainable BPE tokenizer merges (§2b-K iterative family,
+    `llm/bpe.py::bpe_train_merges`): 5 merge rules learned over the
+    corpus — each round ONE groupBy over the vocabulary-sized symbol
+    table plus a bounded one-row argmax collect, with the merge applied
+    as a JVM replace (no Python in the loop).  The corpus collapses to
+    word frequencies up front, so rounds never rescan the text — the
+    100-TB shape of tokenizer training.  Oracle: the same recurrence
+    unrolled into a CTE chain (`bpe_merges_sql`), like PageRank's."""
+    from .llm.bpe import bpe_train_merges
+
+    return bpe_train_merges(d, merges=BPE_DEMO_MERGES)
+
+
 @defq(
     "source_scorecard",
     oracle="""

@@ -17,6 +17,7 @@ from .embeddings import (
     semdedup_keep_assigned,
 )
 from .classify import nb_predict, nb_train
+from .bpe import bpe_merges_sql, bpe_train_merges
 from .text import (
     token_stats,
     quality_scores,
@@ -25,6 +26,7 @@ from .text import (
 )
 
 __all__ = [
+    "bpe_train_merges", "bpe_merges_sql",
     "exact_text_dedup",
     "minhash_near_dup_pairs",
     "simhash_signatures",

@@ -324,3 +324,50 @@ def test_join_size_stats_predicts_exact_join_cardinality(spark):
     assert got["n_keys"] == 2
     assert got["max_key_rows"] == 6
     assert (got["left_rows"], got["right_rows"]) == (5, 6)
+
+
+def test_bpe_merges_hand_corpus_and_run_semantics(spark):
+    """Hand-checkable merges, plus the pinned repeated-run semantics:
+    leftmost/non-overlapping padded replace merges ALTERNATE positions
+    of a 4-run in one pass (documented variant; identical in Spark,
+    DuckDB and Python str.replace, which is what keeps the loop
+    oracle-able)."""
+    import duckdb
+
+    from interlinked_spark.llm.bpe import bpe_merges_sql, bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd")], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["pair"], r["pair_count"])
+        for r in bpe_train_merges(docs, merges=3).collect()
+    ]
+    # round 1: 'a b' appears 2x in each 'abab' (freq 3 words) = 6, and
+    # the padded replace merges the ALTERNATE (first) occurrence only:
+    # 'a b a b' -> 'ab a b'.  Round 2 re-merges the leftover 'a b' (3);
+    # round 3 then merges 'ab ab' (ties with 'c d' at 3, lexicographic
+    # order wins).  This is the documented one-pass-alternate variant.
+    assert got[0] == (1, "a b", 6)
+    assert (got[1][1], got[1][2]) == ("a b", 3)
+    assert (got[2][1], got[2][2]) == ("ab ab", 3)
+
+    # run-of-4 semantics: 'llll' merges alternately in one pass
+    run = spark.createDataFrame([(1, "llll")], "doc_id long, text string")
+    r1 = bpe_train_merges(run, merges=2).collect()
+    assert (r1[0]["pair"], r1[0]["pair_count"]) == ("l l", 3)  # counted 3x
+    # one pass merges the first pair only: 'l l l l' -> 'll l l'; the
+    # next round's argmax ties ('l l' vs 'll l' at 1) -> lexicographic
+    assert (r1[1]["pair"], r1[1]["pair_count"]) == ("l l", 1)
+
+    # python-reference replace agrees with the padded-replace contract:
+    # scanning resumes AFTER the replacement, so a 4-run merges once
+    assert " l l l l ".replace(" l l ", " ll ") == " ll l l "
+
+    # oracle twin agrees on the hand corpus
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'abab abab cd'), (2, 'abab cd cd')) t(doc_id, text)"
+    )
+    odf = con.execute(bpe_merges_sql("documents", merges=3)).fetchall()
+    assert [(r[0], r[1], r[2]) for r in odf] == got
