@@ -312,6 +312,7 @@ def main() -> None:
         "orders_lineitem_join_size",
         "source_scorecard",
         "doc_bpe_merges",
+        "doc_bpe_token_counts",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -1125,6 +1125,32 @@ def q_doc_bpe_merges(d: DataFrame) -> DataFrame:
     return bpe_train_merges(d, merges=BPE_DEMO_MERGES)
 
 
+from .llm.bpe import bpe_token_counts_sql as _bpe_tok_sql  # noqa: E402
+
+
+@defq(
+    "doc_bpe_token_counts",
+    oracle=_bpe_tok_sql("documents", merges=BPE_DEMO_MERGES),
+    d="table.documents",
+)
+def q_doc_bpe_token_counts(d: DataFrame) -> DataFrame:
+    """Tokenize with the learned merges (§2b-K, `llm/bpe.py::
+    bpe_token_counts` — the inference half of `doc_bpe_merges`): per
+    document, the token count under the 5-rule BPE tokenizer.  Merges
+    apply to the DISTINCT-WORD table once (vocabulary-sized, k nested
+    JVM replaces in one codegen stage) and documents join their words
+    back — the corpus is scanned once, never re-scanned per rule.
+    Oracle: the training CTE chain extended to carry the word through
+    each round, then the same join."""
+    from .llm.bpe import bpe_token_counts, bpe_train_merges
+
+    pairs = [
+        r["pair"]
+        for r in bpe_train_merges(d, merges=BPE_DEMO_MERGES).collect()
+    ]
+    return bpe_token_counts(d, pairs)
+
+
 @defq(
     "source_scorecard",
     oracle="""

@@ -17,7 +17,7 @@ from .embeddings import (
     semdedup_keep_assigned,
 )
 from .classify import nb_predict, nb_train
-from .bpe import bpe_merges_sql, bpe_train_merges
+from .bpe import bpe_merges_sql, bpe_token_counts, bpe_token_counts_sql, bpe_train_merges
 from .text import (
     token_stats,
     quality_scores,
@@ -26,7 +26,7 @@ from .text import (
 )
 
 __all__ = [
-    "bpe_train_merges", "bpe_merges_sql",
+    "bpe_train_merges", "bpe_merges_sql", "bpe_token_counts", "bpe_token_counts_sql",
     "exact_text_dedup",
     "minhash_near_dup_pairs",
     "simhash_signatures",

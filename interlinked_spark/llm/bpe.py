@@ -152,3 +152,92 @@ def bpe_merges_sql(table: str, text_col: str = "text", merges: int = 3) -> str:
     )
     chain = ",\n    ".join(parts)
     return f"WITH {chain}\n    {selects}"
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    pairs: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge list — the inference half of
+    :func:`bpe_train_merges`: returns ``(id_col, n_bpe_tokens)`` per
+    document under the ``pairs`` merge rules (applied in order, same
+    padded-replace semantics as training).
+
+    The scale shape: merges are applied to the DISTINCT-WORD table once
+    (vocabulary-sized), and documents join their words to that table —
+    the corpus text is scanned exactly once to explode words, never
+    re-scanned per merge rule.  All JVM expressions; ``pairs`` is a
+    bounded driver-side list (the merge table a tokenizer ships)."""
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(F.col(id_col), F.lower("w").alias("w"))
+    )
+    vocab = words.select("w").distinct()
+    # Fold the merge chain into one nested SQL expression: k literal
+    # replaces over the padded symbol string, all inside whole-stage
+    # codegen (pairs come from the trained merge table — letters/digits
+    # only by construction, safe to inline as SQL literals).
+    expr = "trim(regexp_replace(w, '(.)', '$1 '))"
+    for pair in pairs:
+        merged = pair.replace(" ", "")
+        expr = f"trim(replace(concat(' ', {expr}, ' '), ' {pair} ', ' {merged} '))"
+    tokenized = vocab.select("w", F.expr(expr).alias("sym"))
+    per_word = tokenized.select(
+        "w", F.size(F.split("sym", " ")).alias("n_sym")
+    )
+    return (
+        words.join(per_word, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"))
+    )
+
+
+def bpe_token_counts_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: int = 3,
+) -> str:
+    """Oracle twin of train-then-tokenize: extends the
+    :func:`bpe_merges_sql` CTE chain to carry the word through each
+    merge round, then joins documents' words back to the tokenized
+    vocabulary for per-document token counts."""
+    parts = [
+        f"""dw AS (
+      SELECT {id_col}, lower(t) AS w
+      FROM (SELECT {id_col},
+                   unnest(string_split_regex(trim({text_col}), '\\s+')) AS t
+            FROM {table})
+      WHERE t <> ''),
+    w AS (SELECT w, COUNT(*) AS freq FROM dw GROUP BY 1),
+    s0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, freq FROM w)"""
+    ]
+    for i in range(1, merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+      SELECT a[i] || ' ' || a[i + 1] AS pair, SUM(freq) AS c
+      FROM (SELECT string_split(sym, ' ') AS a, freq FROM {prev}),
+           UNNEST(range(1, len(a))) AS t(i)
+      GROUP BY 1),
+    b{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
+    s{i} AS (
+      SELECT w,
+             trim(replace(' ' || sym || ' ',
+                          ' ' || (SELECT pair FROM b{i}) || ' ',
+                          ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS sym,
+             freq
+      FROM {prev})"""
+        )
+    chain = ",\n    ".join(parts)
+    return (
+        f"WITH {chain}\n    "
+        f"SELECT dw.{id_col}, CAST(SUM(len(string_split(s.sym, ' '))) AS BIGINT) AS n_bpe_tokens\n"
+        f"    FROM dw JOIN s{merges} s USING (w) GROUP BY dw.{id_col}"
+    )
