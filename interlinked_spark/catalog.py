@@ -1151,6 +1151,73 @@ def q_doc_bpe_token_counts(d: DataFrame) -> DataFrame:
     return bpe_token_counts(d, pairs)
 
 
+def _bpe_fertility_sql(merges: int) -> str:
+    """Per-language tokenizer-fairness card: the tokenize CTE chain
+    grouped by the lang column (chars/token + tokens/word)."""
+    from .llm.bpe import bpe_token_counts_sql
+
+    inner = bpe_token_counts_sql("documents", merges=merges)
+    # reuse the per-doc counts as a subquery; join lang + word/char mass
+    return f"""
+    WITH per_doc AS ({inner}),
+    mass AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '')) AS n_words
+      FROM documents)
+    SELECT m.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(m.n_chars) * 1.0 / SUM(p.n_bpe_tokens), 6) AS chars_per_token,
+           ROUND(SUM(p.n_bpe_tokens) * 1.0 / SUM(m.n_words), 6) AS fertility
+    FROM per_doc p JOIN mass m USING (doc_id)
+    GROUP BY m.lang
+    """
+
+
+@defq(
+    "lang_tokenizer_fertility",
+    oracle=_bpe_fertility_sql(BPE_DEMO_MERGES),
+    d="table.documents",
+)
+def q_lang_tokenizer_fertility(d: DataFrame) -> DataFrame:
+    """Tokenizer-fairness card (§2b-K): per language, compression rate
+    (chars per BPE token) and fertility (BPE tokens per word) under the
+    corpus-trained 5-merge tokenizer — the metric that shows which
+    languages pay more tokens per character, i.e. whose share of a
+    fixed token budget buys less text.  Composes the trained merges +
+    the vocab-join tokenizer + one groupBy; oracle extends the tokenize
+    CTE chain with the language rollup."""
+    from .llm.bpe import bpe_token_counts, bpe_train_merges
+
+    pairs = [
+        r["pair"]
+        for r in bpe_train_merges(d, merges=BPE_DEMO_MERGES).collect()
+    ]
+    per_doc = bpe_token_counts(d, pairs)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    mass = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t != "")).alias("n_words"),
+    )
+    return (
+        per_doc.join(mass, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_chars") / F.sum("n_bpe_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+            F.round(F.sum("n_bpe_tokens") / F.sum("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
 @defq(
     "source_scorecard",
     oracle="""
