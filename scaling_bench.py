@@ -162,6 +162,10 @@ HEAVY = [
     # row that shows what exponent ~1.0 looks like).
     ("supplier_triangles", None),
     ("orders_profile", None),
+    # round 9b: BPE training — rounds aggregate the vocab-sized symbol
+    # table; scaled docs suffix every token per copy, so the vocabulary
+    # grows ~k-fold and the exponent measures the per-round aggregate.
+    ("doc_bpe_merges", None),
 ]
 
 
