@@ -41,14 +41,15 @@ def source_card(d):
     from interlinked_spark.llm.text import quality_scores, token_stats
 
     scored = quality_scores(token_stats(d))
+    gate = (F.col("n_tokens") >= 24) & (F.col("stopword_ratio") >= 0.01)
     return (
         scored.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("tokens"),
-            F.round(
-                F.avg(F.when(F.col("n_tokens") >= 24, 1.0).otherwise(0.0)), 3
-            ).alias("quality_pass_rate"),
+            F.round(F.avg(F.when(gate, 1.0).otherwise(0.0)), 3).alias(
+                "quality_pass_rate"
+            ),
             F.round(
                 F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count("*"), 3
             ).alias("exact_dup_rate"),

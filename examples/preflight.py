@@ -36,10 +36,13 @@ def main() -> None:
     print("== 2. size the planned join BEFORE running it ==")
     stats = join_size_stats(orders, lineitem, ["o_orderkey"], ["l_orderkey"]).first()
     print(dict(stats.asDict()))
-    fanout = stats.join_rows / max(stats.left_rows, 1)
-    print(f"average fan-out {fanout:.2f}; hottest key emits {stats.max_key_rows} rows")
-    if stats.max_key_rows > 1_000_000:
-        print("-> salt this key (operators/skew.salted_join) before joining")
+    if stats.overflow or stats.max_key_rows is None:
+        print("-> OVERFLOW: this join exceeds 2^63 output rows; do not run it")
+    else:
+        fanout = stats.join_rows / max(stats.left_rows, 1)
+        print(f"average fan-out {fanout:.2f}; hottest key emits {stats.max_key_rows} rows")
+        if stats.max_key_rows > 1_000_000:
+            print("-> salt this key (operators/skew.salted_join) before joining")
 
     print("== 3. candidate mass of a blocking-keyed self-join ==")
     blocked = lineitem.selectExpr("l_partkey as bucket", "l_suppkey as id")

@@ -6155,9 +6155,12 @@ def q_orders_profile(o: DataFrame) -> DataFrame:
     WITH lh AS (SELECT o_orderkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1),
     rh AS (SELECT l_orderkey AS k, COUNT(*) AS cr FROM lineitem GROUP BY 1),
     m AS (SELECT cl * cr AS m FROM lh JOIN rh USING (k))
-    SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS join_rows,
+    SELECT CASE WHEN COALESCE(SUM(m), 0) <= 9223372036854775807
+                THEN CAST(COALESCE(SUM(m), 0) AS BIGINT) END AS join_rows,
            COUNT(*) AS n_keys,
-           CAST(COALESCE(MAX(m), 0) AS BIGINT) AS max_key_rows,
+           CASE WHEN COALESCE(MAX(m), 0) <= 9223372036854775807
+                THEN CAST(COALESCE(MAX(m), 0) AS BIGINT) END AS max_key_rows,
+           COALESCE(SUM(m), 0) > 9223372036854775807 AS overflow,
            (SELECT COUNT(*) FROM orders) AS left_rows,
            (SELECT COUNT(*) FROM lineitem) AS right_rows
     FROM m

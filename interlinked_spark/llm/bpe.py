@@ -103,11 +103,15 @@ def bpe_train_merges(
         pair, c = top[0]["pair"], int(top[0]["c"])
         out.append((rnd, pair, c))
         merged = pair.replace(" ", "")
+        # F.lit literals, never f-string SQL: a learned pair containing
+        # a quote/backslash (apostrophes in real text win rounds) must
+        # be data, not parsed SQL.
         syms = syms.select(
             F.trim(
-                F.expr(
-                    "replace(concat(' ', sym, ' '), "
-                    f"' {pair} ', ' {merged} ')"
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
                 )
             ).alias("sym"),
             "freq",
@@ -179,15 +183,21 @@ def bpe_token_counts(
         .select(F.col(id_col), F.lower("w").alias("w"))
     )
     vocab = words.select("w").distinct()
-    # Fold the merge chain into one nested SQL expression: k literal
-    # replaces over the padded symbol string, all inside whole-stage
-    # codegen (pairs come from the trained merge table — letters/digits
-    # only by construction, safe to inline as SQL literals).
-    expr = "trim(regexp_replace(w, '(.)', '$1 '))"
+    # Fold the merge chain into one nested Column expression: k replaces
+    # over the padded symbol string, all inside whole-stage codegen.
+    # Pairs enter as F.lit values, never f-string SQL — a learned pair
+    # containing a quote/backslash must be data, not parsed SQL.
+    sym = F.trim(F.regexp_replace("w", "(.)", "$1 "))
     for pair in pairs:
         merged = pair.replace(" ", "")
-        expr = f"trim(replace(concat(' ', {expr}, ' '), ' {pair} ', ' {merged} '))"
-    tokenized = vocab.select("w", F.expr(expr).alias("sym"))
+        sym = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), sym, F.lit(" ")),
+                F.lit(f" {pair} "),
+                F.lit(f" {merged} "),
+            )
+        )
+    tokenized = vocab.select("w", sym.alias("sym"))
     per_word = tokenized.select(
         "w", F.size(F.split("sym", " ")).alias("n_sym")
     )

@@ -561,13 +561,18 @@ def build_vector_index(
     for persisting them at all."""
     from ..sources.writers import write_single_file, write_table
 
-    # Probe dim FIRST: an empty corpus (a freshly-seeded streaming-gate
-    # index) skips the banding machinery entirely and writes schema-
-    # matched empty frames — seeding a gate index should cost two tiny
-    # writes, not an LSH pipeline over zero rows.
+    # Probe dim FIRST: a ZERO-ROW corpus (a freshly-seeded streaming-
+    # gate index) skips the banding machinery entirely and writes
+    # schema-matched empty frames — seeding a gate index should cost
+    # two tiny writes, not an LSH pipeline over zero rows.  The fast
+    # path keys on row COUNT, never on the probed dim: a non-empty
+    # corpus whose first probed row happens to carry a NULL embedding
+    # must still band (writing an empty assignments table for a
+    # populated corpus would silently match nothing — the exact failure
+    # _check_index_dim exists to prevent).
     dim_row = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim_val = int(dim_row[0]["d"]) if dim_row and dim_row[0]["d"] else None
-    if dim_val is None:
+    if not dim_row:
         assigns = corpus.select(
             F.col(id_col).alias("id"),
             F.lit(0).cast("int").alias("entry"),
@@ -626,7 +631,7 @@ def update_vector_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_files: int = 8,
-    assignments: Optional[DataFrame] = None,
+    assignments: DataFrame | None = None,
 ) -> None:
     """Append a processed batch's vectors + band assignments to the
     materialized index (parameters come from the stored meta — callers

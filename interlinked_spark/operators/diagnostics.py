@@ -163,10 +163,12 @@ def join_size_stats(
     skew profile of ``left JOIN right`` on the given keys, computed from
     the two KEY HISTOGRAMS — never from the join itself.
 
-    Returns one row: ``(join_rows, n_keys, max_key_rows, left_rows,
-    right_rows)`` where ``join_rows = sum over matching keys of
-    cntL(k) * cntR(k)`` and ``max_key_rows`` is the largest single
-    key's contribution — the straggler-task predictor.
+    Returns one row: ``(join_rows, n_keys, max_key_rows, overflow,
+    left_rows, right_rows)`` where ``join_rows = sum over matching keys
+    of cntL(k) * cntR(k)`` and ``max_key_rows`` is the largest single
+    key's contribution — the straggler-task predictor.  The products
+    are computed in DECIMAL(38,0); totals beyond Long.MAX come back as
+    NULL with ``overflow = true`` instead of silently wrapping.
 
     The go/no-go number before launching a 100-TB join: the histograms
     aggregate each side down to its distinct keys (map-side combined,
@@ -182,13 +184,25 @@ def join_size_stats(
     knames = [f"__k{i}" for i in range(len(left_keys))]
     lh = left.select(*lk).groupBy(*knames).agg(F.count("*").alias("__cl"))
     rh = right.select(*rk).groupBy(*knames).agg(F.count("*").alias("__cr"))
+    # Per-key products and their sum run in DECIMAL(38,0): the fan-out
+    # keys this tool exists to catch are exactly the ones whose cl*cr
+    # overflows a 64-bit long, and non-ANSI long arithmetic would WRAP
+    # and report the blowup as safe.  Counts above Long.MAX surface as
+    # NULL totals + overflow=true — loud, never wrong.
     per_key = lh.join(rh, knames).select(
-        (F.col("__cl") * F.col("__cr")).alias("__m")
+        (
+            F.col("__cl").cast("decimal(19,0)")
+            * F.col("__cr").cast("decimal(19,0)")
+        ).alias("__m")
     )
+    long_max = 9223372036854775807
+    tot_dec = F.coalesce(F.sum("__m"), F.lit(0).cast("decimal(38,0)"))
+    max_dec = F.coalesce(F.max("__m"), F.lit(0).cast("decimal(38,0)"))
     totals = per_key.agg(
-        F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("join_rows"),
+        F.when(tot_dec <= long_max, tot_dec.cast("long")).alias("join_rows"),
         F.count("*").alias("n_keys"),
-        F.coalesce(F.max("__m"), F.lit(0)).cast("long").alias("max_key_rows"),
+        F.when(max_dec <= long_max, max_dec.cast("long")).alias("max_key_rows"),
+        (tot_dec > long_max).alias("overflow"),
     )
     counts = left.agg(F.count("*").alias("left_rows")).crossJoin(
         right.agg(F.count("*").alias("right_rows"))

@@ -323,6 +323,7 @@ def test_join_size_stats_predicts_exact_join_cardinality(spark):
     assert got["join_rows"] == true_rows == 2 * 3 + 1  # key1 fan-out 2x3, key3 1x1
     assert got["n_keys"] == 2
     assert got["max_key_rows"] == 6
+    assert got["overflow"] is False
     assert (got["left_rows"], got["right_rows"]) == (5, 6)
 
 
