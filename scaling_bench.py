@@ -166,6 +166,12 @@ HEAVY = [
     # table; scaled docs suffix every token per copy, so the vocabulary
     # grows ~k-fold and the exponent measures the per-round aggregate.
     ("doc_bpe_merges", None),
+    # round 9b: the streaming text near-dup gate end-to-end (4 id-ordered
+    # micro-batches, shared-postings banding, materialized index) — the
+    # per-batch work grows with batch size and index postings, so the
+    # design claim is ~linear; staging + per-batch fixed job overhead
+    # dominates at small k.
+    ("stream_dedup_neardup", None),
 ]
 
 
