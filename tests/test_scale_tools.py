@@ -1146,3 +1146,39 @@ def test_triangle_counts_hand_graph_and_orientation_bound(spark):
     rows = triangle_counts(star).collect()
     assert all(r["triangles"] == 0 for r in rows)
     assert {r["degree"] for r in rows} == {7, 1}
+
+
+def test_vector_index_bands_corpus_with_null_first_row(spark, tmp_path):
+    """The empty-seed fast path keys on row COUNT, not the probed dim:
+    a populated corpus whose first row carries a NULL embedding must
+    still write real band assignments (an empty assignments table would
+    silently match nothing — review-caught regression guard)."""
+    from pyspark.sql import functions as F
+
+    from interlinked_spark.llm.similarity import (
+        build_vector_index,
+        lsh_incremental_matches,
+    )
+
+    import pytest
+
+    base = [(0, None)] + [(i, [float(i % 3), 1.0, 0.0, 2.0]) for i in range(1, 9)]
+    corpus = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>"
+    ).orderBy("vec_id")
+    idx = str(tmp_path / "nullfirst_idx")
+    # raw null-bearing corpus: the banding path runs (NOT the empty fast
+    # path) and fails LOUDLY on the null vector — never a silent empty
+    # assignments table.  Callers drop nulls explicitly, which works:
+    with pytest.raises(Exception, match="FAILED_EXECUTE_UDF|null"):
+        build_vector_index(corpus, idx, num_hash_tables=4, bucket_length=0.5)
+    build_vector_index(corpus.filter(F.col("embedding").isNotNull()), idx,
+                       num_hash_tables=4, bucket_length=0.5)
+    assigns = spark.read.parquet(f"{idx}/assignments")
+    assert assigns.count() > 0  # banded, not the empty fast path
+    # and the index actually matches: an identical probe vector hits
+    probe = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    hits = lsh_incremental_matches(spark, idx, probe, cosine_threshold=0.99)
+    assert hits.count() > 0
