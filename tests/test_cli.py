@@ -115,3 +115,18 @@ def test_advise_reports_clean_and_warn():
     assert "docs.raw: no findings" in out.stdout
     assert "docs.clean: [warn] unpushed-filter" in out.stdout
     assert out.returncode == 0
+
+
+def test_catalog_cli_runs_query_and_validates_jvm_free():
+    """The CLI-facing catalog twin: every q.<name> runnable from the
+    command line; validate/deps never build a SparkSession (lazy
+    proxy)."""
+    out = run_cli(
+        "interlinked_spark.catalog_cli:wkf", "run", "q.region_revenue", "-s"
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "revenue" in out.stdout
+
+    out = run_cli("interlinked_spark.catalog_cli:wkf", "validate")
+    assert out.returncode == 0
+    assert "ok" in out.stdout
