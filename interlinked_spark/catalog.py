@@ -6607,8 +6607,12 @@ from .operators.sampling import weighted_sample_key_sql as _aes_sql  # noqa: E40
     SELECT lang, doc_id, n_chars FROM (
       SELECT lang, doc_id, n_chars,
              row_number() OVER (PARTITION BY lang
-               ORDER BY {_aes_sql("doc_id", "n_chars")} DESC, doc_id) AS rk
-      FROM documents WHERE n_chars > 0)
+               ORDER BY {_aes_sql("doc_id", "__wn")} DESC, doc_id) AS rk
+      FROM (SELECT lang, doc_id, n_chars,
+                   CAST(n_chars AS DOUBLE)
+                     / MAX(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang)
+                     AS __wn
+            FROM documents WHERE n_chars > 0))
     WHERE rk <= 20
     """,
     d="table.documents",

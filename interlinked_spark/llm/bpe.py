@@ -145,8 +145,8 @@ def bpe_merges_sql(table: str, text_col: str = "text", merges: int = 3) -> str:
     b{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
     s{i} AS (
       SELECT trim(replace(' ' || sym || ' ',
-                          ' ' || (SELECT pair FROM b{i}) || ' ',
-                          ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS sym,
+                          ' ' || COALESCE((SELECT pair FROM b{i}), '') || ' ',
+                          ' ' || replace(COALESCE((SELECT pair FROM b{i}), ''), ' ', '') || ' ')) AS sym,
              freq
       FROM {prev})"""
         )
@@ -240,8 +240,8 @@ def bpe_token_counts_sql(
     s{i} AS (
       SELECT w,
              trim(replace(' ' || sym || ' ',
-                          ' ' || (SELECT pair FROM b{i}) || ' ',
-                          ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS sym,
+                          ' ' || COALESCE((SELECT pair FROM b{i}), '') || ' ',
+                          ' ' || replace(COALESCE((SELECT pair FROM b{i}), ''), ' ', '') || ' ')) AS sym,
              freq
       FROM {prev})"""
         )

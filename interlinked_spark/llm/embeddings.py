@@ -427,8 +427,21 @@ def semdedup_keep_assigned(
         .select(F.col("b_id").alias("id"))
         .distinct()
     )
-    return tagged.join(dominated.withColumn("__drop", F.lit(True)), "id", "left").select(
+    result = tagged.join(
+        dominated.withColumn("__drop", F.lit(True)), "id", "left"
+    ).select(
         "id",
         "cluster_id",
         F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
     )
+    # Materialize the kept-set eagerly so `tagged`'s cache lifetime is
+    # bounded by this call: without the unpersist, repeated invocations
+    # in one session (bench secondary loop, scaled-k scaling harness)
+    # accumulate MEMORY_AND_DISK blocks and lean on LRU eviction.  The
+    # caller computes the result exactly once anyway, so the eager
+    # localCheckpoint costs one pass it was about to pay regardless.
+    from ..operators.checkpointing import materialize
+
+    result = materialize(result, "local", eager=True)
+    tagged.unpersist()
+    return result

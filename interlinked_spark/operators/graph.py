@@ -24,6 +24,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     checkpoint_mode: str = "local",
+    exact_convergence: bool = False,
 ) -> DataFrame:
     """Label each vertex of the undirected graph with the MINIMUM vertex
     id reachable from it.  Returns ``(vertex, component)``.
@@ -32,6 +33,15 @@ def connected_components(
     session checkpoint dir instead of executor-local storage — at 100 TB
     an executor loss under ``"local"`` replays every completed round
     (see ``operators/checkpointing.py``).
+
+    ``exact_convergence=True`` replaces the non-integral-id checksum
+    (probabilistic: a changed round is missed only if 64-bit xxhash
+    deltas cancel exactly, ~2^-64/round) with an exact join-based
+    label-diff count — one extra keyed join per round, for callers with
+    adversarially-chosen string ids where even those odds are
+    unacceptable.  Integral-id graphs are exact either way (the
+    decimal sum of a monotone-decreasing label set is a perfect
+    change detector) and ignore this flag.
 
     Raises ``RuntimeError`` if not converged within ``max_iterations``
     (diameter bound; near-dup graphs converge in a handful)."""
@@ -70,7 +80,19 @@ def connected_components(
         )
         return lbl.agg(F.sum(col).alias("s")).collect()[0]["s"]
 
-    prev_sum = _checksum(labels)
+    def _diff_count(old: DataFrame, new: DataFrame) -> int:
+        # Exact change detection: keyed join + pointwise compare — one
+        # extra shuffle per round, immune to hash-delta cancellation.
+        return (
+            old.select(F.col("vertex"), F.col("component").alias("__old"))
+            .join(new, "vertex")
+            .filter(F.col("__old") != F.col("component"))
+            .limit(1)
+            .count()
+        )
+
+    use_checksum = numeric or not exact_convergence
+    prev_sum = _checksum(labels) if use_checksum else None
     for _ in range(max_iterations):
         nbr_min = (
             e.join(labels.select(F.col("vertex").alias("a"), "component"), "a")
@@ -83,9 +105,12 @@ def connected_components(
             checkpoint_mode,
             eager=True,  # flatten lineage before the convergence check
         )
-        new_sum = _checksum(new_labels)
-        changed = new_sum != prev_sum
-        prev_sum = new_sum
+        if use_checksum:
+            new_sum = _checksum(new_labels)
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = _diff_count(labels, new_labels) > 0
         labels = new_labels
         if not changed:
             return labels

@@ -356,9 +356,18 @@ def temperature_fractions_sql(
     """
 
 
+def _sql_str(value: str) -> str:
+    """Escape a caller-supplied string for embedding as a SQL literal —
+    the salt is config, not data, but a quote in it must not break (or
+    inject into) the generated oracle SQL (same class of issue as the
+    learned-BPE-pair fix, commit 5c0a775)."""
+    return value.replace("'", "''")
+
+
 def temperature_sample_sql_predicate(key_col: str, salt: str = "") -> str:
     """The md5-band membership predicate against a joined ``fraction``
     column (SQL twin of the :func:`temperature_sample` filter)."""
+    salt = _sql_str(salt)
     return (
         f"substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8) < "
         "CASE WHEN fraction >= 1.0 THEN 'g' "
@@ -366,7 +375,7 @@ def temperature_sample_sql_predicate(key_col: str, salt: str = "") -> str:
     )
 
 
-def _aes_key(key_col: str, weight_col: str, salt: str) -> F.Column:
+def _aes_key(key_col: str, weight_expr: F.Column, salt: str) -> F.Column:
     """The Efraimidis–Spirakis A-ES priority: ``ln(u) / w`` with ``u``
     the deterministic md5-uniform of the key — monotone-equivalent to
     the paper's ``u^(1/w)`` (ln is increasing, w > 0), numerically
@@ -374,12 +383,22 @@ def _aes_key(key_col: str, weight_col: str, salt: str) -> F.Column:
     ``(h + 0.5) / 2^32`` over the 8-hex hash prefix — never 0 or 1.
     Rounded to 6dp (engine convention) so cross-engine libm noise in
     ``ln``/division cannot flip an ordering; ties break on the key
-    column downstream."""
+    column downstream.
+
+    ``weight_expr`` should be PRE-NORMALIZED to (0, 1] (divide by the
+    per-group max): raw large weights (w >~ 1e4) compress every
+    priority into a sub-1e-4 interval near 0, where the 6dp round
+    creates mass ties that resolve via the key-ascending tie-break —
+    degrading the 'weighted' sample toward deterministic smallest-key
+    selection.  Scaling all weights in a draw by a positive constant
+    leaves A-ES inclusion probabilities unchanged (priorities scale by
+    1/c, a monotone map), so normalization is semantics-preserving and
+    only widens the pre-round dynamic range."""
     u = (
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("double")
         + 0.5
     ) / float(_HEX_SPACE)
-    return F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return F.round(F.log(u) / weight_expr, 6)
 
 
 def weighted_sample_topn(
@@ -412,9 +431,25 @@ def weighted_sample_topn(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    scored = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
-        "__aes", _aes_key(key_col, weight_col, salt)
-    )
+    positive = df.filter(F.col(weight_col).cast("double") > 0)
+    # Normalize weights to (0, 1] by the per-draw max BEFORE the
+    # priority: raw large weights compress priorities into a sub-1e-4
+    # band where the 6dp round mass-ties (see _aes_key).  Per-group max
+    # rides the same hash partitioning the top-n window needs (no extra
+    # shuffle); the global max is a one-row broadcast.
+    w = F.col(weight_col).cast("double")
+    if group_cols:
+        from pyspark.sql import Window
+
+        wmax = F.max(w).over(Window.partitionBy(*group_cols))
+        scored = positive.withColumn(
+            "__aes", _aes_key(key_col, w / wmax, salt)
+        )
+    else:
+        gmax = positive.agg(F.max(w).alias("__wmax"))
+        scored = positive.crossJoin(F.broadcast(gmax)).withColumn(
+            "__aes", _aes_key(key_col, w / F.col("__wmax"), salt)
+        ).drop("__wmax")
     order = [F.col("__aes").desc(), F.col(key_col).asc()]
     if group_cols:
         from .windows import top_k_per_group
@@ -428,9 +463,15 @@ def weighted_sample_topn(
     return picked.drop("__aes")
 
 
-def weighted_sample_key_sql(key_col: str, weight_col: str, salt: str = "aes") -> str:
-    """DuckDB twin of :func:`_aes_key` (oracle parity helper)."""
+def weighted_sample_key_sql(key_col: str, weight_expr: str, salt: str = "aes") -> str:
+    """DuckDB twin of :func:`_aes_key` (oracle parity helper).
+
+    ``weight_expr`` must match the engine's normalized weight — e.g.
+    ``"CAST(w AS DOUBLE) / MAX(CAST(w AS DOUBLE)) OVER (PARTITION BY g)"``
+    computed in an enclosing subquery — so the 6dp-rounded priorities
+    agree bit-for-bit across engines."""
+    salt = _sql_str(salt)
     return (
         f"round(ln((('0x' || substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8))::BIGINT + 0.5)"
-        f" / {float(_HEX_SPACE)}) / CAST({weight_col} AS DOUBLE), 6)"
+        f" / {float(_HEX_SPACE)}) / ({weight_expr}), 6)"
     )

@@ -372,3 +372,41 @@ def test_bpe_merges_hand_corpus_and_run_semantics(spark):
     )
     odf = con.execute(bpe_merges_sql("documents", merges=3)).fetchall()
     assert [(r[0], r[1], r[2]) for r in odf] == got
+
+
+def test_bpe_exhausted_merges_oracle_parity(spark):
+    """Degenerate corpus whose mergeable pairs run out before the
+    requested rounds: single-char words yield ZERO pairs, so every
+    b_i subselect is empty.  The engine breaks early; the SQL twin must
+    treat the empty round as a no-op replace (COALESCE guard) — without
+    it the NULL pair NULL-propagates through replace() and every
+    n_bpe_tokens comes back NULL (ADVICE r9)."""
+    import duckdb
+
+    from interlinked_spark.llm.bpe import (
+        bpe_merges_sql,
+        bpe_token_counts,
+        bpe_token_counts_sql,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a b")], "doc_id long, text string"
+    )
+    merges = [r["pair"] for r in bpe_train_merges(docs, merges=3).collect()]
+    assert merges == []  # no multi-char words -> no pairs, early break
+    got = {
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert got == {(1, 3), (2, 3)}  # 1 symbol per single-char word
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "(VALUES (1, 'a b c'), (2, 'a a b')) t(doc_id, text)"
+    )
+    assert con.execute(bpe_merges_sql("documents", merges=3)).fetchall() == []
+    oracle = set(
+        map(tuple, con.execute(bpe_token_counts_sql("documents", merges=3)).fetchall())
+    )
+    assert oracle == got  # NULL-propagation would make these (id, None)

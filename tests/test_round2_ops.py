@@ -39,6 +39,24 @@ def test_connected_components_string_ids_hand_graph(spark):
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
 
 
+def test_connected_components_exact_convergence_string_ids(spark):
+    """exact_convergence=True swaps the probabilistic xxhash checksum
+    for a join-based label diff on non-integral ids (ADVICE r9) — same
+    result, guaranteed change detection for adversarial id sets."""
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    from interlinked_spark.operators.graph import connected_components
+
+    got = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            edges, "src", "dst", exact_convergence=True
+        ).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
 def test_connected_components_raises_without_convergence(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     from interlinked_spark.operators.graph import connected_components
