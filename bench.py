@@ -271,9 +271,14 @@ def main() -> None:
         # remaining TPC-H suite + light round-8b queries: tracked in the
         # full payload; the two heavy representatives (q08/q18) carry
         # the contract-line slot for the suite.
+        "tpch_q02",
         "tpch_q04",
         "tpch_q06",
         "tpch_q07",
+        "tpch_q11",
+        "tpch_q12",
+        "tpch_q16",
+        "tpch_q20",
         "tpch_q09",
         "tpch_q10",
         "tpch_q13",

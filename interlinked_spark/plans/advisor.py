@@ -27,13 +27,10 @@ _SMELLS = [
         "CartesianProduct",
         "unconstrained cross join: output is |L|x|R| — quadratic at scale",
     ),
-    (
-        "broadcast-nested-loop",
-        "high",
-        "BroadcastNestedLoopJoin",
-        "non-equi join shipped whole to every task; fine only when the "
-        "broadcast side is tiny (one-row stats frames, bounded dims)",
-    ),
+    # "broadcast-nested-loop" is handled separately (see
+    # _unproven_bnlj): a BNLJ whose broadcast side is an ungrouped
+    # aggregate is provably <= 1 row — the engine's own blessed
+    # one-row stats-frame crossJoin — and must not trip a CI gate.
     (
         "python-row-udf",
         "high",
@@ -52,6 +49,88 @@ _SMELLS = [
 ]
 
 
+def _tree_depth(line: str) -> int:
+    """Depth of a plan-tree line from its branch-marker column
+    (``:-``/``+-`` at column 3*depth); top-level nodes have no marker
+    and depth -1."""
+    for marker in (":- ", "+- "):
+        pos = line.find(marker)
+        if pos != -1:
+            return pos // 3
+    return -1
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """Lines of the subtree rooted at ``lines[i]`` (exclusive of
+    siblings): everything below until a line at depth <= root's."""
+    d = _tree_depth(lines[i])
+    out = []
+    for ln in lines[i + 1 :]:
+        if ln.strip() and _tree_depth(ln) <= d and _tree_depth(ln) != -1:
+            break
+        out.append(ln)
+    return out
+
+
+# Nodes that keep a broadcast side at <= its input row count between
+# the exchange and the proving ungrouped aggregate.  Anything else
+# (joins, Generate/Expand, Union) can multiply rows — bail to "high".
+_ROW_BOUNDED = (
+    "Project",
+    "Filter",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "Exchange",
+    "BroadcastExchange",
+    "BroadcastQueryStage",
+    "ShuffleQueryStage",
+    "AQEShuffleRead",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+    "InputAdapter",
+    "ReusedExchange",
+    "Sort ",
+    "CollectLimit",
+    "LocalLimit",
+    "GlobalLimit",
+)
+
+
+def _unproven_bnlj(plan: str) -> str | None:
+    """Return the first BroadcastNestedLoopJoin line whose broadcast
+    side is NOT provably single-row, else None.  Proof: the broadcast
+    subtree's topmost aggregate is ungrouped (``keys=[]`` — exactly one
+    output row) and every node between the exchange and it is
+    row-bounded.  One-row literal scans (``LocalTableScan`` emitting a
+    single literal row is not distinguishable textually) stay flagged —
+    false "high" is the safe direction for an advisory."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        d = _tree_depth(lines[i])
+        sub = _subtree(lines, i)
+        # direct children sit at depth d+1; the build side is the
+        # second (right) child unless the join says BuildLeft
+        children = [j for j, c in enumerate(sub) if _tree_depth(c) == d + 1]
+        if len(children) < 2:
+            return ln.strip()
+        build_idx = children[0] if "BuildLeft" in ln else children[1]
+        bsub = [sub[build_idx]] + _subtree(sub, build_idx)
+        proven = False
+        for node in bsub:
+            stripped = node.split("- ", 1)[-1].strip()
+            if "keys=[]" in node:
+                proven = True
+                break
+            if stripped and not stripped.startswith(_ROW_BOUNDED):
+                break
+        if not proven:
+            return ln.strip()
+    return None
+
+
 def advise(df: DataFrame) -> list[dict]:
     """Findings for ``df``'s physical plan: ``[{code, severity,
     reason, snippet}]``, worst first.  Also flags filters that did NOT
@@ -60,6 +139,19 @@ def advise(df: DataFrame) -> list[dict]:
     blocked pushdown and the scan reads everything."""
     plan = physical_plan(df)
     findings = []
+    bnlj = _unproven_bnlj(plan)
+    if bnlj is not None:
+        findings.append(
+            {
+                "code": "broadcast-nested-loop",
+                "severity": "high",
+                "reason": "non-equi join shipped whole to every task and the "
+                "broadcast side is not provably single-row (an ungrouped "
+                "aggregate would be) — fine only when that side is a "
+                "bounded dim",
+                "snippet": bnlj[:160],
+            }
+        )
     for code, severity, marker, reason in _SMELLS:
         if marker in plan:
             line = next(

@@ -117,6 +117,28 @@ def test_advise_reports_clean_and_warn():
     assert out.returncode == 0
 
 
+def test_advise_examples_surface_no_high_findings():
+    """Advisor-as-CI over the user-facing example workflows (r9 verdict
+    item 6): every DataFrame resource the examples expose passes the
+    plan advisor with ZERO high-severity findings — `advise` exits 1 on
+    high, so these invocations double as the CI gate a user would wire
+    up (README: Plan advisor)."""
+    surface = {
+        "examples.analytics:wkf": ["revenue.a", "table.lineitem"],
+        "examples.cdc_pipeline:wkf": ["docs.new_matches"],
+        "examples.grouped_models:wkf": ["nation_models"],
+        "examples.llm_pipeline:wkf": [
+            "docs.canonical",
+            "docs.decontaminated",
+            "mix.resampled",
+        ],
+    }
+    for source, targets in surface.items():
+        out = run_cli(source, "advise", *targets, timeout=420)
+        assert out.returncode == 0, (source, out.stdout, out.stderr[-500:])
+        assert "[high]" not in out.stdout, (source, out.stdout)
+
+
 def test_catalog_cli_runs_query_and_validates_jvm_free():
     """The CLI-facing catalog twin: every q.<name> runnable from the
     command line; validate/deps never build a SparkSession (lazy

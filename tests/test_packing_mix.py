@@ -322,8 +322,14 @@ def test_plan_advisor_flags_and_clears(spark):
     # either is the nested-loop smell family
     assert codes & {"cartesian-product", "broadcast-nested-loop"}
 
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    # ...but the engine's blessed one-row stats-frame crossJoin (the
+    # broadcast side is an ungrouped aggregate — provably single-row)
+    # must NOT trip the gate (r10: advisor-as-CI over the examples)
+    stats = b.agg(F.sum("y").alias("total"))
+    scalar_cross = a.crossJoin(F.broadcast(stats))
+    codes = {f["code"] for f in advise(scalar_cross)}
+    assert "broadcast-nested-loop" not in codes
+    assert "cartesian-product" not in codes
 
     gw = a.withColumn("r", F.sum("x").over(Window.orderBy("x")))
     codes = {f["code"] for f in advise(gw)}

@@ -50,3 +50,57 @@ def test_q21_single_lineitem_stats_pass(spark):
     # lineitem is scanned twice (stats + late rows) but NOT once per
     # correlated probe.
     assert plan.count("lineitem.parquet") == 2
+
+
+def test_partsupp_derivation_properties(spark):
+    """Derived partsupp (round 10): pair-set is a primary key, <= 4
+    suppliers per part, values inside the spec ranges, and the exact
+    ``table.partsupp`` route out-ranks the parquet pattern reader
+    (reference routing R1: exact-before-pattern)."""
+    from pyspark.sql import functions as F
+
+    from interlinked_spark.tpch import derive_partsupp
+
+    p = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    s = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    ps = derive_partsupp(p, s)
+    total = ps.count()
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == total
+    per_part = ps.groupBy("ps_partkey").count()
+    assert per_part.filter(F.col("count") > 4).count() == 0
+    assert ps.filter(~F.col("ps_availqty").between(1, 9999)).count() == 0
+    assert ps.filter(
+        (F.col("ps_supplycost") < 1.0) | (F.col("ps_supplycost") > 1000.0)
+    ).count() == 0
+    # every part appears; every suppkey is a real supplier key
+    assert per_part.count() == p.count()
+    n_sup = s.count()
+    assert ps.filter(~F.col("ps_suppkey").between(0, n_sup - 1)).count() == 0
+    # exact-route precedence: the workflow resolves table.partsupp to
+    # the derivation, not to a (nonexistent) partsupp.parquet read
+    routed = catalog.WKF.run("table.partsupp", spark=spark, base_dir=SF_SMOKE)
+    assert sorted(routed.columns) == sorted(ps.columns)
+    assert routed.count() == total
+
+
+def test_q02_min_cost_decorrelated_single_agg(spark):
+    # the correlated MIN becomes ONE partkey aggregate joined back;
+    # nation x region ride broadcast joins; global top-100 stays
+    # TakeOrderedAndProject
+    plan = _plan(spark, "tpch_q02")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_having_is_broadcast_scalar(spark):
+    # the totals frame joins as a one-row broadcast, never a shuffle
+    plan = _plan(spark, "tpch_q11")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_membership_stays_semi_join(spark):
+    plan = _plan(spark, "tpch_q20")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
