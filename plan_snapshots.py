@@ -76,10 +76,40 @@ def formatted_plan(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+# The 20 most expensive NON-headline catalog queries (by BENCH_LOCAL
+# secondary timings, r10 verdict item 4): state/index builders and
+# multi-stage deliverables where a silent plan regression would hurt
+# most.  Their run_query construction may execute bounded setup
+# (index writes, streaming replays) — the snapshot captures the final
+# returned plan, which is what regresses when a strategy flips.
+EXTENDED = [
+    "stream_vector_neardup",
+    "stream_dedup_neardup",
+    "stream_pack_sequences",
+    "dedup_incremental_compacted",
+    "similarity_incremental_indexed",
+    "orders_profile",
+    "doc_pack_incremental",
+    "stream_qhist_quantiles",
+    "supplier_triangles",
+    "embedding_semdedup",
+    "similarity_ivf_probed",
+    "stream_hll_distinct",
+    "events_qhist_state_quantiles",
+    "similarity_ivf_topk",
+    "brand_basket_pairs",
+    "dedup_incremental_matches",
+    "doc_bpe_token_counts",
+    "doc_shingle_novelty",
+    "brand_association_rules",
+    "embedding_contamination",
+]
+
+
 def headline_names() -> list[str]:
     import bench
 
-    return list(bench.HEADLINE)
+    return list(bench.HEADLINE) + EXTENDED
 
 
 def generate(spark, sf_dir: str = SF_DIR, names: list[str] | None = None) -> dict[str, str]:
