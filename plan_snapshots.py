@@ -88,7 +88,11 @@ EXTENDED = [
     "stream_pack_sequences",
     "dedup_incremental_compacted",
     "similarity_incremental_indexed",
-    "orders_profile",
+    # orders_profile is EXCLUDED: its exact-distinct profile plans one
+    # Expand branch per column, and Catalyst's distinct-aggregate
+    # rewrite orders the branches by per-session expression IDs — the
+    # same code produces a permuted (semantically identical) Expand on
+    # every new JVM, which would flake the drift gate.
     "doc_pack_incremental",
     "stream_qhist_quantiles",
     "supplier_triangles",

@@ -153,6 +153,27 @@ def test_pagerank_dangling_mass_redistributed(spark):
     assert pr["b"] > pr["a"]
 
 
+def test_pagerank_partitioned_path_matches_small_graph_path(spark):
+    from interlinked_spark.operators.graph import pagerank
+
+    # The dangling scalar has two in-plan shapes (frame-local window at
+    # n_parts==1, one-row broadcast otherwise); forcing a tiny
+    # rows_per_partition flips the same graph onto the partitioned
+    # path — ranks must agree to float-sum noise.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")],
+        ["src", "dst"],
+    )
+    small = {r["vertex"]: r["pagerank"] for r in pagerank(edges, iterations=6).collect()}
+    parted = {
+        r["vertex"]: r["pagerank"]
+        for r in pagerank(edges, iterations=6, rows_per_partition=2).collect()
+    }
+    assert small.keys() == parted.keys()
+    assert all(abs(small[v] - parted[v]) < 1e-12 for v in small)
+    assert abs(sum(small.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_guards(spark):
     from interlinked_spark.operators.graph import pagerank
 
