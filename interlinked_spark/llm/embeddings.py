@@ -283,7 +283,9 @@ def ivf_probed_top_k(
 ) -> DataFrame:
     """IVF approximate top-k probing only the ``n_probe`` nearest
     inverted lists of the DETERMINISTIC Lloyd quantizer
-    (:func:`kmeans_fit`) — a genuinely partial-probe ANN path
+    (:func:`kmeans_fit`; production callers should go through
+    :func:`fit_ivf` → :meth:`IvfIndex.probe`, which pins the fit's
+    column bindings to the probe) — a genuinely partial-probe ANN path
     (``n_probe < k_clusters`` misses neighbors whose list wasn't
     probed) whose output is still exactly reproducible, because every
     step (6dp-rounded squared distances, lowest-cid tiebreaks) is the
@@ -338,6 +340,83 @@ def ivf_probed_top_k(
     )
     return top_k_per_group(
         hits, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
+class IvfIndex:
+    """Fitted IVF quantizer: the :func:`kmeans_fit` centroid matrix plus
+    the column bindings it was fit with, so probe/assign calls can't
+    drift from the fit (mismatched ``vec_col``/``id_col`` between fit
+    and probe silently probes garbage lists).  Built by :func:`fit_ivf`
+    — the one blessed fit→probe handoff."""
+
+    def __init__(
+        self,
+        centroids: list[tuple[int, list[float]]],
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        if not centroids:
+            raise ValueError("IvfIndex needs at least one centroid")
+        self.centroids = centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @property
+    def k_clusters(self) -> int:
+        return len(self.centroids)
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        """Nearest-centroid tag per row — :func:`kmeans_assign` with the
+        fit's bindings; a narrow no-shuffle scoring pass."""
+        return kmeans_assign(
+            df, self.centroids, vec_col=self.vec_col, id_col=self.id_col
+        )
+
+    def probe(
+        self, corpus: DataFrame, queries: DataFrame, k: int = 5, n_probe: int = 3
+    ) -> DataFrame:
+        """Partial-probe approximate top-k — :func:`ivf_probed_top_k`
+        with the fit's centroids and bindings.  ``n_probe`` of
+        ``k_clusters`` lists are scanned per query; recall rises with
+        ``n_probe`` at linearly growing per-query scan cost."""
+        if n_probe < 1:
+            raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+        return ivf_probed_top_k(
+            corpus,
+            queries,
+            self.centroids,
+            k=k,
+            n_probe=min(n_probe, self.k_clusters),
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+        )
+
+
+def fit_ivf(
+    corpus: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    """Fit the IVF quantizer and return an :class:`IvfIndex` whose
+    ``.probe(corpus, queries, k, n_probe)`` / ``.assign(df)`` carry the
+    fit's centroids and column bindings — the production path from
+    corpus to ANN search (the catalog's ``similarity_ivf_probed`` is
+    exactly ``fit → probe`` spelled out).
+
+    Cost note (measured, SCALING.md k-means row): every assignment and
+    probe evaluates a ``k_clusters × dim`` argmin against the broadcast
+    centroid literal per row — per-row scoring cost AND Catalyst plan
+    size grow linearly with ``k_clusters``, so large-k indexes pay at
+    ANALYSIS time too, not just fit time.  Keep ``k_clusters`` at the
+    hundreds-scale and shard the corpus before reaching for tens of
+    thousands of lists."""
+    return IvfIndex(
+        kmeans_fit(corpus, vec_col=vec_col, id_col=id_col, k=k_clusters, iters=iters),
+        vec_col=vec_col,
+        id_col=id_col,
     )
 
 

@@ -302,7 +302,28 @@ def lsh_similarity_join(
     unchanged.
 
     The banding is seeded + model-cached (``_lsh_assignments``), so it
-    is deterministic across calls and identical for both sides."""
+    is deterministic across calls and identical for both sides.
+
+    **Choosing** ``bucket_length`` (measured, SCALING.md §AND-banding):
+    candidate mass per extra ``projections_per_band`` shrinks with
+    branching factor ≈ projection_sd / bucket_length, so a width far
+    above the per-projection spread barely cuts mass — on the dim-64
+    decorrelated corpus, sd-matched 0.125 collapsed candidate mass
+    ~3.7× per projection where this default 0.5 only ~2×.  For unit
+    vectors the projection sd is ≈ 1/sqrt(dim); start at
+    ``bucket_length ≈ 1/sqrt(dim)`` and verify recall at the target
+    threshold.  Pre-flight BEFORE launching the join — the bucket
+    assignment is cheap and the candidate mass is exactly predictable::
+
+        from interlinked_spark.operators.diagnostics import bucket_stats
+        a = _lsh_assignments(corpus, num_tables, bucket_length,
+                             "vec_id", "embedding", out_id="id")
+        bucket_stats(a, ["entry", "bucket"], id_col="id").show()
+        # pair_mass = raw candidate pairs the self-join would emit
+
+    A coarse width shows up there as a large ``pair_mass`` long before
+    any shuffle is paid; widen only if recall at the pinned
+    ``num_hash_tables`` drops below target."""
     from ..operators.checkpointing import materialize
 
     if self_pairs and queries is not corpus:

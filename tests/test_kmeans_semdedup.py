@@ -93,3 +93,43 @@ def test_ivf_probed_probe_all_equals_exact_and_partial_is_subset(spark):
         for r in cosine_top_k(e, qs, k=10_000, max_query_rows=None).collect()
     }
     assert all(true_cos[(q, n)] == c for q, n, c in partial)
+
+
+def test_fit_ivf_wrapper_matches_manual_handoff(spark):
+    """fit_ivf(...).probe(...) is exactly kmeans_fit -> ivf_probed_top_k
+    with the fit's own column bindings carried through (the blessed
+    production handoff); n_probe is clamped to k_clusters."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.llm.embeddings import fit_ivf, ivf_probed_top_k, kmeans_fit
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = fit_ivf(e, k_clusters=4, iters=2)
+    assert idx.k_clusters == 4
+    assert idx.centroids == kmeans_fit(e, k=4, iters=2)
+    qs = e.filter(F.col("vec_id") < 3)
+    manual = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in ivf_probed_top_k(e, qs, idx.centroids, k=5, n_probe=2).collect()
+    )
+    wrapped = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in idx.probe(e, qs, k=5, n_probe=2).collect()
+    )
+    assert wrapped == manual
+    # clamp: probing more lists than exist is the full probe, not an error
+    assert sorted(
+        (r.query_id, r.neighbor_id)
+        for r in idx.probe(e, qs, k=5, n_probe=99).collect()
+    ) == sorted(
+        (r.query_id, r.neighbor_id)
+        for r in idx.probe(e, qs, k=5, n_probe=4).collect()
+    )
+    # assign carries the fit's bindings: one cluster id per corpus row
+    assert idx.assign(e).count() == e.count()
+    with pytest.raises(ValueError):
+        idx.probe(e, qs, n_probe=0)
+    with pytest.raises(ValueError):
+        from interlinked_spark.llm.embeddings import IvfIndex
+
+        IvfIndex([])
