@@ -12,10 +12,23 @@ checked with a cheap count — no driver-side graph materialization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .checkpointing import materialize
+
+
+def _adaptive_parts(df: DataFrame, n_rows: int, rows_per_partition: int) -> int:
+    """Loop-frame partition count sized to a MEASURED row count (same
+    posture as the guarded broadcast in ``llm/similarity``): tiny graphs
+    collapse to one partition and stop paying 32-task scheduling per
+    per-round stage; at fact scale the count saturates at the session's
+    shuffle partitions and the plan is unchanged."""
+    try:
+        max_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 - conf lookup only tunes, never gates
+        max_parts = 200
+    return max(1, min(max_parts, -(-n_rows // max(1, rows_per_partition))))
 
 
 def connected_components(
@@ -25,6 +38,7 @@ def connected_components(
     max_iterations: int = 25,
     checkpoint_mode: str = "local",
     exact_convergence: bool = False,
+    rows_per_partition: int = 2_000_000,
 ) -> DataFrame:
     """Label each vertex of the undirected graph with the MINIMUM vertex
     id reachable from it.  Returns ``(vertex, component)``.
@@ -48,11 +62,20 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     e = materialize(e.distinct(), checkpoint_mode)
+    n_edges = e.count()  # one scalar over the checkpointed frame
+    n_parts = _adaptive_parts(e, n_edges, rows_per_partition)
+    if n_parts < e.rdd.getNumPartitions():
+        # Re-lay the edge frame once so every round's join scans
+        # n_parts tasks instead of the original shuffle width — the
+        # rounds ARE the cost of this operator (tiny-graph measurement:
+        # the 32-task per-stage scheduling dominated end-to-end time).
+        e = materialize(e.repartition(n_parts, "a"), checkpoint_mode)
 
     labels = materialize(
         e.select(F.col("a").alias("vertex"))
         .distinct()
-        .withColumn("component", F.col("vertex")),
+        .withColumn("component", F.col("vertex"))
+        .repartition(n_parts, "vertex"),
         checkpoint_mode,
     )
     # Convergence detection is ONE aggregate over the freshly-
@@ -92,21 +115,39 @@ def connected_components(
         )
 
     use_checksum = numeric or not exact_convergence
+    # The checksum normally rides the materialization action itself
+    # (Observation / CollectMetrics): zero extra jobs per round.  On
+    # the "reliable" path checkpoint() may run more than one internal
+    # job over the plan; the separate-collect fallback keeps the
+    # convergence read unambiguous there.
+    observe_checksum = use_checksum and checkpoint_mode == "local"
+    checksum_col = (
+        F.col("component").cast("decimal(38,0)")
+        if numeric
+        else F.xxhash64("vertex", "component").cast("decimal(38,0)")
+    )
     prev_sum = _checksum(labels) if use_checksum else None
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         nbr_min = (
             e.join(labels.select(F.col("vertex").alias("a"), "component"), "a")
             .select(F.col("b").alias("vertex"), "component")
         )
-        new_labels = materialize(
+        plan = (
             labels.unionByName(nbr_min)
             .groupBy("vertex")
-            .agg(F.min("component").alias("component")),
+            .agg(F.min("component").alias("component"))
+        )
+        obs = None
+        if observe_checksum:
+            obs = Observation(f"cc_round_{rnd}")
+            plan = plan.observe(obs, F.sum(checksum_col).alias("s"))
+        new_labels = materialize(
+            plan,
             checkpoint_mode,
             eager=True,  # flatten lineage before the convergence check
         )
         if use_checksum:
-            new_sum = _checksum(new_labels)
+            new_sum = obs.get["s"] if obs is not None else _checksum(new_labels)
             changed = new_sum != prev_sum
             prev_sum = new_sum
         else:
@@ -125,6 +166,7 @@ def greedy_first_fit(
     right: str = "right_id",
     max_iterations: int = 50,
     checkpoint_mode: str = "local",
+    rows_per_partition: int = 2_000_000,
 ) -> DataFrame:
     """Greedy maximal independent set in vertex-id order — the
     FIRST-FIT acceptance policy: a vertex is kept iff no KEPT
@@ -160,14 +202,26 @@ def greedy_first_fit(
         ).filter(F.col("d") != F.col("e")),
         checkpoint_mode,
     )
+    n_edges = earlier.count()
+    n_parts = _adaptive_parts(earlier, n_edges, rows_per_partition)
+    if n_parts < earlier.rdd.getNumPartitions():
+        # One-time re-lay so per-round stages run n_parts tasks (the
+        # rounds are the cost; see connected_components).
+        earlier = materialize(earlier.repartition(n_parts, "e"), checkpoint_mode)
     # st: 0 unknown, 1 kept, -1 rejected
     status = materialize(
         vertices.select(F.col(v_col).alias("v")).distinct().withColumn(
             "st", F.lit(0)
-        ),
+        ).repartition(n_parts, "v"),
         checkpoint_mode,
     )
-    for _ in range(max_iterations):
+    # The unresolved count rides the materialization action itself
+    # (Observation) on the local path — no separate per-round probe
+    # job; the reliable path keeps the explicit limit-probe
+    # (checkpoint() may run more than one internal job over the
+    # observed plan).
+    observe_count = checkpoint_mode == "local"
+    for rnd in range(max_iterations):
         nb = (
             earlier.join(
                 status.select(F.col("v").alias("e"), F.col("st").alias("est")), "e"
@@ -178,7 +232,7 @@ def greedy_first_fit(
                 F.max((F.col("est") == 0).cast("int")).alias("any_unknown"),
             )
         )
-        status = materialize(
+        plan = (
             status.join(nb, status["v"] == nb["d"], "left")
             .select(
                 "v",
@@ -190,11 +244,21 @@ def greedy_first_fit(
                 )
                 .otherwise(F.lit(0))
                 .alias("st"),
-            ),
-            checkpoint_mode,
-            eager=True,
+            )
         )
-        if status.filter(F.col("st") == 0).limit(1).count() == 0:
+        obs = None
+        if observe_count:
+            obs = Observation(f"mis_round_{rnd}")
+            plan = plan.observe(
+                obs, F.sum((F.col("st") == 0).cast("int")).alias("unresolved")
+            )
+        status = materialize(plan, checkpoint_mode, eager=True)
+        unresolved = (
+            obs.get["unresolved"]
+            if obs is not None
+            else status.filter(F.col("st") == 0).limit(1).count()
+        )
+        if not unresolved:
             return status.select(F.col("v").alias(v_col), (F.col("st") == 1).alias("kept"))
     raise RuntimeError(f"greedy_first_fit did not converge in {max_iterations} iterations")
 
