@@ -3387,7 +3387,7 @@ def q_stream_click_error_left_join(spark: SparkSession, base_dir: str) -> DataFr
         clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300, how="leftOuter"
     )
     out = j.select("user_id", "click_id", "error_id")
-    with replay_shuffle_partitions(spark, 8):
+    with replay_shuffle_partitions(spark, 4):
         sink = run_into_parquet(out, output_mode="append")
     return spark.read.parquet(sink)
 
@@ -3473,7 +3473,7 @@ def q_stream_click_error_full_join(spark: SparkSession, base_dir: str) -> DataFr
         clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300, how="fullOuter"
     )
     out = j.select("user_id", "click_id", "error_id")
-    with replay_shuffle_partitions(spark, 8):
+    with replay_shuffle_partitions(spark, 4):
         sink = run_into_parquet(out, output_mode="append")
     return spark.read.parquet(sink)
 
@@ -3496,7 +3496,10 @@ def q_stream_click_error_join(spark: SparkSession, base_dir: str) -> DataFrame:
     history, bounded on unbounded streams.  Drains through the
     production parquet sink with replay-sized state partitioning
     (state-store commit cost is per partition per micro-batch; measured
-    7.1s -> 2.7s at sf0.1 sizing 32 -> 8 for the bounded replay)."""
+    7.1s -> 2.7s at sf0.1 sizing 32 -> 8, then -> 2.0s at 4 — the
+    stream-STREAM joins commit TWO sides' interval state per partition,
+    so the bounded replay favors fewer, fatter state partitions than
+    the single-state streaming queries, which stay at 8)."""
     from .streaming import (
         replay_shuffle_partitions,
         run_into_parquet,
@@ -3506,7 +3509,7 @@ def q_stream_click_error_join(spark: SparkSession, base_dir: str) -> DataFrame:
     clicks, errors = _click_error_streams(spark, base_dir)
     j = stream_stream_join(clicks, errors, ["user_id"], "click_ts", "error_ts", 0, 300)
     out = j.select("user_id", "click_id", "error_id")
-    with replay_shuffle_partitions(spark, 8):
+    with replay_shuffle_partitions(spark, 4):
         sink = run_into_parquet(out, output_mode="append")
     return spark.read.parquet(sink)
 
