@@ -6,8 +6,9 @@ Hash-to-min label propagation: every vertex repeatedly adopts the
 minimum label among itself and its neighbors.  Each iteration is one
 join + one aggregate (both keyed shuffles); rounds needed = graph
 diameter, which for near-dup graphs (dense clique-ish clusters) is tiny.
-Each round is checkpointed so lineage stays flat and convergence is
-checked with a cheap count — no driver-side graph materialization.
+Each round is checkpointed so lineage stays flat, and the convergence
+checksum rides that same materialization action (Observation) — no
+driver-side graph materialization, no extra per-round job.
 """
 
 from __future__ import annotations
