@@ -3598,6 +3598,75 @@ def q_orders_merge_upsert(o: DataFrame) -> DataFrame:
 
 
 @defq(
+    "customer_scd2_segments",
+    oracle="""
+    WITH open_rows AS (
+      SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+             TIMESTAMP '1992-01-01' AS o_ord, TIMESTAMP '1992-01-01' AS eff_from,
+             0 AS src
+      FROM customer
+    ), ch AS (
+      SELECT cust_id, segment, o_ord, eff_from, src FROM (
+        SELECT o_custkey AS cust_id, o_orderpriority AS segment,
+               CAST(o_orderdate AS TIMESTAMP) AS o_ord,
+               CAST(o_orderdate AS TIMESTAMP) AS eff_from, 1 AS src,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey, CAST(o_orderdate AS TIMESTAMP)
+                 ORDER BY o_orderpriority) AS rn
+        FROM orders)
+      WHERE rn = 1
+    ), u AS (
+      SELECT * FROM open_rows UNION ALL SELECT * FROM ch
+    ), s AS (
+      SELECT *, LAG(segment) OVER w AS prev
+      FROM u WINDOW w AS (PARTITION BY cust_id ORDER BY o_ord, src, segment)
+    ), kept AS (
+      SELECT * FROM s WHERE src = 0 OR prev IS NULL OR prev <> segment
+    )
+    SELECT cust_id, segment, eff_from AS effective_from,
+           COALESCE(LEAD(eff_from) OVER w2,
+                    TIMESTAMP '2260-12-31 00:00:00') AS effective_to,
+           LEAD(eff_from) OVER w2 IS NULL AS is_current
+    FROM kept WINDOW w2 AS (PARTITION BY cust_id ORDER BY o_ord, src, segment)
+    """,
+    c="table.customer",
+    o="table.orders",
+)
+def q_customer_scd2_segments(c: DataFrame, o: DataFrame) -> DataFrame:
+    """Type-2 SCD apply (§2b-A warehouse MERGE family, next to upsert
+    and CDC keep-latest): customers seed the open dimension rows, each
+    order is a segment-change event, consecutive no-op changes
+    suppressed, surviving versions interval-chained with the last one
+    current (`operators/merge.scd2_apply`; one shuffle on the key).
+    Oracle: the identical dedupe -> lag-suppress -> lead-chain windows
+    in ANSI SQL."""
+    from .operators.merge import scd2_apply
+
+    hist = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp").alias("effective_from"),
+        # 2260 (not the classic 9999): the far-future sentinel must fit
+        # Arrow's nanosecond timestamp range (bound ~2262) or every
+        # pandas bridge over the result overflows; the operator default
+        # keeps 9999 for sinks that never cross Arrow.
+        F.lit("2260-12-31 00:00:00").cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ch = o.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").cast("timestamp").alias("change_ts"),
+    )
+    out = scd2_apply(
+        hist, ch, ["cust_id"], ["segment"], end_of_time="2260-12-31 00:00:00"
+    )
+    return out.select(
+        "cust_id", "segment", "effective_from", "effective_to", "is_current"
+    )
+
+
+@defq(
     "customer_balance_quartiles",
     oracle="""
     SELECT c_custkey,

@@ -35,6 +35,102 @@ def keep_latest(
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    ts_col: str = "change_ts",
+    eff_from: str = "effective_from",
+    eff_to: str = "effective_to",
+    is_current: str = "is_current",
+    end_of_time: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension apply: fold a change batch into
+    an interval-versioned dimension table.  ``history`` rows are
+    ``keys + tracked + (eff_from, eff_to, is_current)``; closed rows
+    (``is_current = false``) pass through untouched, each key's OPEN row
+    joins the batch's changes in one per-key timeline, consecutive
+    same-``tracked`` versions are suppressed (the standard no-op-change
+    rule), and the surviving versions re-chain: every version's
+    ``eff_to`` is the next version's ``eff_from``; the last is current
+    with ``eff_to = end_of_time``.  This is warehouse MERGE-for-SCD2
+    (Delta/Iceberg ``MERGE WHEN MATCHED THEN UPDATE/INSERT`` history
+    pattern) as a pure rewrite.
+
+    Scale shape: ONE shuffle on ``keys`` — dedupe, suppression (lag)
+    and re-chaining (lead) are three window passes over the SAME hash
+    partitioning, and the closed history unions back without moving.
+
+    Determinism without engine-specific hashing: equal-timestamp
+    changes for one key dedupe to the row with the smallest ``tracked``
+    tuple, and all ordering tie-breaks use the ``tracked`` values
+    themselves — so an ANSI-SQL oracle reproduces the result exactly.
+    Contract: ``tracked`` columns are orderable scalars and non-NULL
+    (engines disagree on NULL sort order); change timestamps are
+    expected at-or-after the open row's ``eff_from`` (late rows still
+    chain deterministically, ordered by timestamp, with the open row
+    anchored at its ``eff_from``); at most one open row per key.
+    Suppression never drops an OPEN row — it is already-persisted
+    state; only change rows are no-op-suppressed."""
+    keys = list(keys)
+    tracked = list(tracked)
+    eot = F.lit(end_of_time).cast("timestamp")
+    out_cols = [*keys, *tracked, eff_from, eff_to, is_current]
+
+    closed = history.filter(~F.col(is_current)).select(*out_cols)
+    open_rows = history.filter(F.col(is_current)).select(
+        *keys,
+        *tracked,
+        F.col(eff_from).cast("timestamp").alias("__ord"),
+        F.col(eff_from).cast("timestamp").alias("__from"),
+        F.lit(0).alias("__src"),
+    )
+    ch = changes.select(
+        *keys,
+        *tracked,
+        F.col(ts_col).cast("timestamp").alias("__ord"),
+        F.col(ts_col).cast("timestamp").alias("__from"),
+        F.lit(1).alias("__src"),
+    )
+    u = open_rows.unionByName(ch)
+
+    attrs = F.struct(*[F.col(c) for c in tracked])
+    # All three window passes (dedupe, suppress, chain) share ONE hash
+    # partitioning on the keys — a single exchange; the later passes
+    # re-sort in place.  Dedupe is itself lag-based: within an equal
+    # (timestamp, src) run ordered by the tracked tuple, the first row
+    # is the minimum — the survivors are exactly the per-(key, ts, src)
+    # minima a row_number over the finer partitioning would keep, but
+    # without the second exchange that finer key would cost
+    # (plan-pinned in tests).
+    w_chain = Window.partitionBy(*keys).orderBy("__ord", "__src", *tracked)
+
+    slot = F.struct(F.col("__ord"), F.col("__src"))
+    deduped = (
+        u.withColumn("__prev_slot", F.lag(slot).over(w_chain))
+        .filter(F.col("__prev_slot").isNull() | (F.col("__prev_slot") != slot))
+        .drop("__prev_slot")
+    )
+    survived = (
+        deduped.withColumn("__prev", F.lag(attrs).over(w_chain))
+        .filter(
+            (F.col("__src") == 0)
+            | F.col("__prev").isNull()
+            | (F.col("__prev") != attrs)
+        )
+        .drop("__prev")
+    )
+    chained = survived.withColumn("__next", F.lead("__from").over(w_chain)).select(
+        *keys,
+        *tracked,
+        F.col("__from").alias(eff_from),
+        F.coalesce(F.col("__next"), eot).alias(eff_to),
+        F.col("__next").isNull().alias(is_current),
+    )
+    return closed.unionByName(chained)
+
+
 def merge_upsert(
     current: DataFrame,
     updates: DataFrame,

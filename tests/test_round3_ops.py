@@ -410,3 +410,88 @@ def test_query_names_orders_driver_unverified_first():
         # within greens: non-decreasing last-green round
         rounds = [green[n] for n in names if n in green]
         assert rounds == sorted(rounds)
+
+
+def test_scd2_apply_chains_suppresses_and_passes_closed(spark):
+    """scd2_apply: closed history untouched; open row + changes chain by
+    timestamp; consecutive same-attr changes suppressed; last version
+    current with end-of-time; equal-ts changes dedupe to the smallest
+    tracked tuple; change-only keys start their own history."""
+    from interlinked_spark.operators.merge import scd2_apply
+
+    TS = "cast('{}' as timestamp)"
+    hist = spark.createDataFrame(
+        [
+            # k=1: one closed + one open row
+            (1, "A", "2020-01-01", "2021-01-01", False),
+            (1, "B", "2021-01-01", "9999-12-31", True),
+            # k=2: open only, no changes arrive
+            (2, "Z", "2020-06-01", "9999-12-31", True),
+        ],
+        ["k", "attr", "effective_from", "effective_to", "is_current"],
+    ).selectExpr(
+        "k", "attr",
+        "cast(effective_from as timestamp) as effective_from",
+        "cast(effective_to as timestamp) as effective_to",
+        "is_current",
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, "B", "2021-06-01"),  # no-op vs open B -> suppressed
+            (1, "C", "2022-01-01"),
+            (1, "C", "2022-07-01"),  # no-op vs C -> suppressed
+            (1, "D", "2023-01-01"),
+            (3, "Y", "2022-03-01"),  # new key, two same-ts changes
+            (3, "X", "2022-03-01"),  # dedupe keeps min tuple = X
+            (3, "Y", "2022-09-01"),
+        ],
+        ["k", "attr", "change_ts"],
+    ).selectExpr("k", "attr", "cast(change_ts as timestamp) as change_ts")
+
+    out = scd2_apply(hist, ch, ["k"], ["attr"], end_of_time="9999-12-31 00:00:00")
+    rows = {
+        (r.k, str(r.effective_from)[:10]): (r.attr, str(r.effective_to)[:10], r.is_current)
+        for r in out.collect()
+    }
+    # closed row untouched
+    assert rows[(1, "2020-01-01")] == ("A", "2021-01-01", False)
+    # open B now closes at C's arrival (the no-op B change left no version)
+    assert rows[(1, "2021-01-01")] == ("B", "2022-01-01", False)
+    assert rows[(1, "2022-01-01")] == ("C", "2023-01-01", False)
+    assert rows[(1, "2023-01-01")] == ("D", "9999-12-31", True)
+    # untouched open key stays current
+    assert rows[(2, "2020-06-01")] == ("Z", "9999-12-31", True)
+    # change-only key: X (min of equal-ts pair) then Y
+    assert rows[(3, "2022-03-01")] == ("X", "2022-09-01", False)
+    assert rows[(3, "2022-09-01")] == ("Y", "9999-12-31", True)
+    assert len(rows) == 7
+    # interval partition property: per key, versions tile [first, eot)
+    import collections
+    per_key = collections.defaultdict(list)
+    for r in out.collect():
+        per_key[r.k].append((r.effective_from, r.effective_to, r.is_current))
+    for k, ivs in per_key.items():
+        ivs.sort()
+        assert sum(1 for _, _, cur in ivs if cur) == 1
+        for (f1, t1, _), (f2, _t2, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2, f"gap/overlap in key {k}"
+
+
+def test_scd2_apply_single_shuffle(spark):
+    """The dedupe/suppress/chain windows share one hash partitioning:
+    exactly ONE Exchange on the change-union side of the plan."""
+    from interlinked_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, "A", "2020-01-01", "9999-12-31", True)],
+        ["k", "attr", "effective_from", "effective_to", "is_current"],
+    ).selectExpr("k", "attr",
+                 "cast(effective_from as timestamp) as effective_from",
+                 "cast(effective_to as timestamp) as effective_to", "is_current")
+    ch = spark.createDataFrame([(1, "B", "2021-01-01")], ["k", "attr", "change_ts"]) \
+        .selectExpr("k", "attr", "cast(change_ts as timestamp) as change_ts")
+    plan = scd2_apply(hist, ch, ["k"], ["attr"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan
