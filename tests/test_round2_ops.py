@@ -436,7 +436,16 @@ def test_whole_catalog_plan_audit(spark):
             continue
         df = catalog.run_query(name, spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        nested = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+        # A BNLJ whose broadcast side is PROVABLY one row (ungrouped
+        # aggregate behind row-bounded nodes) is the engine's blessed
+        # scalar-frame pattern — same proof the plan advisor uses; the
+        # allowlist covers deliberate theta/cross joins the proof can't
+        # certify.
+        from interlinked_spark.plans.advisor import _unproven_bnlj
+
+        nested = ("CartesianProduct" in plan) or (
+            "BroadcastNestedLoopJoin" in plan and _unproven_bnlj(plan) is not None
+        )
         if nested and name not in allowed_nested_loop:
             offenders.append((name, "nested-loop join"))
         if "BatchEvalPython" in plan and name not in allowed_row_udf:
