@@ -4205,6 +4205,74 @@ def q_stream_upsert_latest(spark: SparkSession, base_dir: str) -> DataFrame:
 
 
 @defq(
+    "stream_scd2_segments",
+    oracle="""
+    WITH open_rows AS (
+      SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+             TIMESTAMP '1992-01-01' AS o_ord, TIMESTAMP '1992-01-01' AS eff_from,
+             0 AS src
+      FROM customer
+    ), ch AS (
+      SELECT cust_id, segment, o_ord, eff_from, src FROM (
+        SELECT o_custkey AS cust_id, o_orderpriority AS segment,
+               CAST(o_orderdate AS TIMESTAMP) AS o_ord,
+               CAST(o_orderdate AS TIMESTAMP) AS eff_from, 1 AS src,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey, CAST(o_orderdate AS TIMESTAMP)
+                 ORDER BY o_orderpriority) AS rn
+        FROM orders)
+      WHERE rn = 1
+    ), u AS (
+      SELECT * FROM open_rows UNION ALL SELECT * FROM ch
+    ), s AS (
+      SELECT *, LAG(segment) OVER w AS prev
+      FROM u WINDOW w AS (PARTITION BY cust_id ORDER BY o_ord, src, segment)
+    ), kept AS (
+      SELECT * FROM s WHERE src = 0 OR prev IS NULL OR prev <> segment
+    )
+    SELECT cust_id, segment, eff_from AS effective_from,
+           COALESCE(LEAD(eff_from) OVER w2,
+                    TIMESTAMP '2260-12-31 00:00:00') AS effective_to,
+           LEAD(eff_from) OVER w2 IS NULL AS is_current
+    FROM kept WINDOW w2 AS (PARTITION BY cust_id ORDER BY o_ord, src, segment)
+    """,
+)
+def q_stream_scd2_segments(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming type-2 SCD maintenance (§2b-J sinks): the orders
+    change stream folds into a customer-segment dimension seeded from
+    the customer table, via foreachBatch `scd2_apply(drop_stale=True)`
+    (`streaming/ops.run_scd2_into_parquet`).  The materialized history
+    must equal the one-shot batch apply — the oracle is the identical
+    dedupe -> suppress -> chain SQL of `customer_scd2_segments`."""
+    from .streaming import replay_shuffle_partitions, run_scd2_into_parquet
+    from .sources.readers import read_table
+
+    c = read_table(spark, f"{base_dir}/customer.parquet")
+    seed = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp").alias("effective_from"),
+        F.lit("2260-12-31 00:00:00").cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    from .streaming.ops import stream_from_parquet
+
+    changes = stream_from_parquet(spark, f"{base_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").cast("timestamp").alias("change_ts"),
+    )
+    with replay_shuffle_partitions(spark, 8):
+        path = run_scd2_into_parquet(
+            changes, ["cust_id"], ["segment"], seed=seed,
+        )
+    out = spark.read.parquet(path)
+    return out.select(
+        "cust_id", "segment", "effective_from", "effective_to", "is_current"
+    )
+
+
+@defq(
     "doc_pii_scrub",
     oracle="""
     SELECT doc_id,

@@ -45,6 +45,7 @@ def scd2_apply(
     eff_to: str = "effective_to",
     is_current: str = "is_current",
     end_of_time: str = "9999-12-31 00:00:00",
+    drop_stale: bool = False,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension apply: fold a change batch into
     an interval-versioned dimension table.  ``history`` rows are
@@ -72,7 +73,15 @@ def scd2_apply(
     chain deterministically, ordered by timestamp, with the open row
     anchored at its ``eff_from``); at most one open row per key.
     Suppression never drops an OPEN row — it is already-persisted
-    state; only change rows are no-op-suppressed."""
+    state; only change rows are no-op-suppressed.
+
+    ``drop_stale=True`` enforces the monotonicity contract instead of
+    merely expecting it: change rows older than their key's open-row
+    ``eff_from`` are dropped (keys-partitioned join, same shuffle key
+    as the windows).  This is also exactly what makes a foreachBatch
+    replay idempotent — every row of an already-applied batch is stale
+    against the post-batch state, so re-applying is a no-op (the
+    streaming SCD2 sink runs with this on)."""
     keys = list(keys)
     tracked = list(tracked)
     eot = F.lit(end_of_time).cast("timestamp")
@@ -93,6 +102,13 @@ def scd2_apply(
         F.col(ts_col).cast("timestamp").alias("__from"),
         F.lit(1).alias("__src"),
     )
+    if drop_stale:
+        anchor = open_rows.select(*keys, F.col("__from").alias("__anchor"))
+        ch = (
+            ch.join(anchor, keys, "left")
+            .filter(F.col("__anchor").isNull() | (F.col("__ord") >= F.col("__anchor")))
+            .drop("__anchor")
+        )
     u = open_rows.unionByName(ch)
 
     attrs = F.struct(*[F.col(c) for c in tracked])

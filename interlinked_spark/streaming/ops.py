@@ -268,6 +268,79 @@ def run_upsert_into_parquet(
     return path
 
 
+def run_scd2_into_parquet(
+    stream: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    ts_col: str = "change_ts",
+    seed: Optional[DataFrame] = None,
+    path: Optional[str] = None,
+    end_of_time: str = "2260-12-31 00:00:00",
+    timeout_s: int = 300,
+) -> str:
+    """Streaming type-2 SCD maintenance (§2b-J sinks + §2b-A merge):
+    each micro-batch of change rows folds into the interval-versioned
+    dimension table with
+    :func:`~interlinked_spark.operators.merge.scd2_apply`
+    (``drop_stale=True``) — the foreachBatch pattern for keeping a
+    warehouse dimension's history current off a CDC stream.  ``seed``
+    optionally initializes the dimension before the first batch (open
+    rows as-of their ``effective_from``).
+
+    Replay idempotency comes from the stale-row drop: every row of an
+    already-applied batch is older than the post-batch open row's
+    ``effective_from``, so a foreachBatch retry is a no-op rewrite.
+    Chronologically ordered batches compose to the same table a single
+    batch apply produces (pinned in tests); the full-table parquet
+    rewrite is the local stand-in for a Delta/Iceberg MERGE, identical
+    topology.  The default end-of-time sentinel stays inside Arrow's
+    nanosecond range so pandas bridges over the result never overflow.
+    Returns the target directory."""
+    from ..operators.merge import scd2_apply
+
+    keys = list(keys)
+    tracked = list(tracked)
+    path = path or tempfile.mkdtemp(prefix="stream_scd2_")
+    spark = stream.sparkSession
+    if seed is not None:
+        seed.write.mode("overwrite").parquet(path)
+
+    def scd2_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            current = spark.read.parquet(path)
+        except AnalysisException:  # unseeded first batch: empty history
+            current = None
+        if current is None or not current.columns:
+            current = (
+                batch_df.sparkSession.createDataFrame([], batch_df.schema)
+                .select(
+                    *keys,
+                    *tracked,
+                    F.col(ts_col).cast("timestamp").alias("effective_from"),
+                    F.col(ts_col).cast("timestamp").alias("effective_to"),
+                    F.lit(True).alias("is_current"),
+                )
+            )
+        merged = scd2_apply(
+            current,
+            batch_df,
+            keys,
+            tracked,
+            ts_col=ts_col,
+            end_of_time=end_of_time,
+            drop_stale=True,
+        )
+        # Break lineage from the files about to be overwritten (same
+        # rationale as the upsert sink: a cache is not durability).
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+    foreach_batch_into(stream, scd2_batch, timeout_s=timeout_s, output_mode="append")
+    return path
+
+
 def stateful_running_counts(
     stream: DataFrame,
     key_cols: Sequence[str],

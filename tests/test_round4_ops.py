@@ -131,3 +131,56 @@ def test_events_after_cutoff_integer_nanos():
     exact = ((dt - epoch) // timedelta(microseconds=1)) * 1000
     assert isinstance(exact, int)
     assert exact == 9223372036854775000  # near int64 max, > 2**53
+
+
+def test_stream_scd2_multibatch_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """Chronologically ordered micro-batches through the streaming SCD2
+    sink produce the SAME dimension table as a one-shot scd2_apply, and
+    re-running the drained stream against the committed state changes
+    nothing (drop_stale = replay idempotency)."""
+    from interlinked_spark.operators.merge import scd2_apply
+    from interlinked_spark.streaming import run_scd2_into_parquet
+
+    seed = spark.createDataFrame(
+        [(1, "A", "2020-01-01", "2260-12-31", True),
+         (2, "Z", "2020-01-01", "2260-12-31", True)],
+        ["k", "attr", "effective_from", "effective_to", "is_current"],
+    ).selectExpr("k", "attr",
+                 "cast(effective_from as timestamp) as effective_from",
+                 "cast(effective_to as timestamp) as effective_to", "is_current")
+    changes = spark.createDataFrame(
+        [(1, "B", "2021-01-01"), (1, "B", "2021-06-01"), (2, "Z", "2021-02-01"),
+         (1, "C", "2022-01-01"), (2, "Y", "2022-02-01"), (3, "N", "2022-03-01")],
+        ["k", "attr", "change_ts"],
+    ).selectExpr("k", "attr", "cast(change_ts as timestamp) as change_ts")
+
+    # two chronologic files -> two micro-batches (maxFilesPerTrigger=1)
+    src = str(tmp_path / "chg")
+    early = changes.filter(F.col("change_ts") < "2022-01-01").coalesce(1)
+    late = changes.filter(F.col("change_ts") >= "2022-01-01").coalesce(1)
+    early.write.parquet(src)
+    late.write.mode("append").parquet(src)
+    # file order is not guaranteed chronological; stream per-file and
+    # rely on drop_stale only across REPLAYS, so feed two sinks in
+    # explicit order instead: batch1 then batch2 via two drains.
+    target = str(tmp_path / "dim")
+    seed.write.parquet(target)
+    for part in (early, late):
+        one = str(tmp_path / f"one_{id(part)}")
+        part.write.parquet(one)
+        stream = spark.readStream.schema(part.schema).parquet(one)
+        run_scd2_into_parquet(stream, ["k"], ["attr"], path=target)
+    got = {(r.k, str(r.effective_from)[:10], r.attr, str(r.effective_to)[:10], r.is_current)
+           for r in spark.read.parquet(target).collect()}
+    want = {(r.k, str(r.effective_from)[:10], r.attr, str(r.effective_to)[:10], r.is_current)
+            for r in scd2_apply(seed, changes, ["k"], ["attr"],
+                                end_of_time="2260-12-31 00:00:00").collect()}
+    assert got == want
+    # replay the FULL change set against committed state: no-op
+    full = str(tmp_path / "full")
+    changes.coalesce(1).write.parquet(full)
+    stream = spark.readStream.schema(changes.schema).parquet(full)
+    run_scd2_into_parquet(stream, ["k"], ["attr"], path=target)
+    again = {(r.k, str(r.effective_from)[:10], r.attr, str(r.effective_to)[:10], r.is_current)
+             for r in spark.read.parquet(target).collect()}
+    assert again == got
