@@ -291,6 +291,9 @@ def main() -> None:
         "corpus_temperature_mix",
         "corpus_mix_kl",
         "doc_length_buckets",
+        # round-10 SCD2 pair (batch apply + streaming sink)
+        "customer_scd2_segments",
+        "stream_scd2_segments",
         # rebuilds its packing state (2 parquet writes) per run — the
         # production loop amortizes this; not a plan to gate on.
         "doc_pack_incremental",
