@@ -462,6 +462,22 @@ def main() -> None:
             math.exp(sum(math.log(r) for r in vs_floor.values()) / len(vs_floor)),
             3,
         )
+        # Median-vs-floor is inflated by the floor ratchet (floors absorb
+        # every historical minimum, medians never get back down to them),
+        # so also emit best-pass-vs-floor: the geomean of this round's
+        # per-query MINIMUM over the floor.  ~1.0 here + a higher median
+        # figure = run-to-run variance; both elevated = real regression
+        # (VERDICT r10 item 4).
+        vs_floor_min = [
+            min(xs) / floor[n]
+            for n, xs in samples.items()
+            if floor.get(n) and xs
+        ]
+        if vs_floor_min:
+            contract["geomean_vs_floor_min"] = round(
+                math.exp(sum(math.log(r) for r in vs_floor_min) / len(vs_floor_min)),
+                3,
+            )
         # Only genuine excesses (beyond this round's measured IQR noise
         # band) are named as "worst"; the count of within-noise queries
         # rides along so a clean round reads as clean, not as three

@@ -44,11 +44,61 @@ def canonical_rows(columns, rows) -> list[str]:
     return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
+# Dtype-parity families (VERDICT r10 item 2).  The driver's value hasher is
+# stricter than our stringified `_canon`: DuckDB HUGEINT (the type of a bare
+# `SUM(<int CASE>)`) hash-mismatched Spark BIGINT at the driver even though
+# the values were identical (tpch_q12, round 10).  So `compare()` now also
+# requires the two engines' result types to land in the same *family*.
+# Families are deliberately coarse where width genuinely can't change the
+# hashed value (all <=64-bit ints are one family — fetchall yields the same
+# Python int) and deliberately distinct where the driver's canonicalisation
+# can diverge (HUGEINT, DECIMAL, FLOAT vs DOUBLE).
+_SPARK_TYPE_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "double",
+    "string": "string", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+_DUCK_TYPE_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    # 64-bit-unrepresentable / driver-canonicalisation hazards: own families,
+    # so they can never silently match a Spark type.
+    "UBIGINT": "uint64", "HUGEINT": "int128", "UHUGEINT": "uint128",
+    "FLOAT": "float", "REAL": "float", "DOUBLE": "double",
+    "VARCHAR": "string", "BOOLEAN": "boolean",
+    "DATE": "date", "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp", "TIMESTAMP_NS": "timestamp",
+    "BLOB": "binary",
+}
+
+
+def spark_type_family(dtype: str) -> str:
+    dtype = dtype.strip().lower()
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return f"array<{spark_type_family(dtype[6:-1])}>"
+    if dtype.startswith("decimal"):
+        return dtype.replace(" ", "")
+    return _SPARK_TYPE_FAMILY.get(dtype, dtype)
+
+
+def duck_type_family(dtype) -> str:
+    s = str(dtype).strip().upper()
+    if s.endswith("[]"):
+        return f"array<{duck_type_family(s[:-2])}>"
+    if s.startswith("DECIMAL"):
+        return s.replace(" ", "").lower()
+    return _DUCK_TYPE_FAMILY.get(s, s.lower())
+
+
 def compare(spark_df, con, oracle_sql: str) -> dict:
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = spark_df.columns
+    spark_types = dict(spark_df.dtypes)
     res = con.sql(oracle_sql)
     duck_cols = res.columns
+    duck_types = dict(zip(duck_cols, res.types))
     duck_rows = res.fetchall()
 
     report = {
@@ -56,6 +106,17 @@ def compare(spark_df, con, oracle_sql: str) -> dict:
         "cols_match": sorted(spark_cols) == sorted(duck_cols),
         "count_match": len(spark_rows) == len(duck_rows),
     }
+    if report["cols_match"]:
+        type_diffs = {
+            c: (spark_types[c], str(duck_types[c]))
+            for c in spark_cols
+            if spark_type_family(spark_types[c]) != duck_type_family(duck_types[c])
+        }
+        report["types_match"] = not type_diffs
+        if type_diffs:
+            report["type_diffs"] = type_diffs
+    else:
+        report["types_match"] = False
     if report["cols_match"]:
         s = canonical_rows(spark_cols, spark_rows)
         d = canonical_rows(duck_cols, duck_rows)
@@ -69,5 +130,10 @@ def compare(spark_df, con, oracle_sql: str) -> dict:
         report["values_match"] = False
         report["spark_cols"] = spark_cols
         report["duck_cols"] = duck_cols
-    report["ok"] = report["count_match"] and report["cols_match"] and report["values_match"]
+    report["ok"] = (
+        report["count_match"]
+        and report["cols_match"]
+        and report["types_match"]
+        and report["values_match"]
+    )
     return report

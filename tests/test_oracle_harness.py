@@ -1,0 +1,58 @@
+"""The local oracle harness must be at least as strict as the driver's
+correctness gate (VERDICT r10 item 2): in round 10 a bare DuckDB
+``SUM(CASE ... THEN 1 ...)`` (HUGEINT) passed the stringified local
+compare but hash-mismatched the driver against Spark's BIGINT.  These
+tests pin the dtype-parity layer that closes that gap."""
+
+from .oracle_harness import (
+    compare,
+    duck_connection,
+    duck_type_family,
+    spark_type_family,
+)
+from .conftest import SF_ORACLE
+
+
+def test_type_families_align_on_common_types():
+    pairs = [
+        ("bigint", "BIGINT"), ("int", "INTEGER"), ("int", "BIGINT"),
+        ("double", "DOUBLE"), ("string", "VARCHAR"), ("boolean", "BOOLEAN"),
+        ("date", "DATE"), ("timestamp", "TIMESTAMP"),
+        ("decimal(38,2)", "DECIMAL(38,2)"),
+        ("array<bigint>", "INTEGER[]"),
+    ]
+    for s, d in pairs:
+        assert spark_type_family(s) == duck_type_family(d), (s, d)
+
+
+def test_hugeint_never_matches_a_spark_type():
+    assert duck_type_family("HUGEINT") == "int128"
+    for s in ("bigint", "int", "double", "decimal(38,0)", "string"):
+        assert spark_type_family(s) != duck_type_family("HUGEINT")
+    assert duck_type_family("UBIGINT") != spark_type_family("bigint")
+    assert duck_type_family("DOUBLE") != spark_type_family("float")
+
+
+def test_uncast_sum_fixture_fails_locally(spark):
+    """The exact tpch_q12 bug class: identical values, HUGEINT vs BIGINT.
+
+    The old stringified compare passed this; the dtype-parity compare
+    must fail it so the driver never sees it first."""
+    con = duck_connection(SF_ORACLE)
+    try:
+        df = (
+            spark.read.parquet(f"{SF_ORACLE}/region.parquet")
+            .groupBy("r_name")
+            .count()
+            .withColumnRenamed("count", "n")
+        )
+        bad = "SELECT r_name, SUM(1) AS n FROM region GROUP BY r_name"
+        good = "SELECT r_name, CAST(SUM(1) AS BIGINT) AS n FROM region GROUP BY r_name"
+        bad_report = compare(df, con, bad)
+        assert not bad_report["ok"], bad_report
+        assert not bad_report["types_match"]
+        assert "n" in bad_report["type_diffs"]
+        good_report = compare(df, con, good)
+        assert good_report["ok"], good_report
+    finally:
+        con.close()
