@@ -463,6 +463,7 @@ def semdedup_keep_assigned(
     tagged: DataFrame,
     cosine_threshold: float = 0.3,
     max_cluster_size: int | None = 100_000,
+    eager: bool = True,
 ) -> DataFrame:
     """The pair-join half of :func:`semdedup_keep`, decoupled from the
     quantizer: ``tagged`` is ``(id, __v, cluster_id)`` from ANY
@@ -470,7 +471,19 @@ def semdedup_keep_assigned(
     k, oracle-unrollable), or a scalable quantizer (MLlib KMeans
     ``transform``, IVF lists) when k grows with n and a k*d literal
     expression would blow up analysis/codegen time.  Same guard, same
-    keep rule, same output contract."""
+    keep rule, same output contract.
+
+    Execution contract (ADVICE r10): with ``eager=True`` (default —
+    the bench/loop posture) the call EXECUTES: ``tagged`` is persisted
+    for its three consumers, the result is materialized via an eager
+    ``localCheckpoint`` (blocks pinned to executor storage) and
+    ``tagged`` unpersisted, so repeated invocations never accumulate
+    cache blocks.  ``eager=False`` composes lazily instead — no
+    persist, no checkpoint, the returned plan recomputes the
+    assignment once per consumer (~3 passes if collected once) —
+    for callers that only build plans.  Note the ``max_cluster_size``
+    guard runs a count job at CALL time in both modes; pass ``None``
+    for a fully lazy composition."""
     from pyspark import StorageLevel
 
     # Arrow-vectorized cosine for the within-cluster pair filter — the
@@ -479,7 +492,8 @@ def semdedup_keep_assigned(
     # path (`similarity.cosine_similarity_vec` docstring).
     from .similarity import cosine_similarity_vec
 
-    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     if max_cluster_size is not None:
         hot = (
             tagged.groupBy("cluster_id")
@@ -519,8 +533,9 @@ def semdedup_keep_assigned(
     # accumulate MEMORY_AND_DISK blocks and lean on LRU eviction.  The
     # caller computes the result exactly once anyway, so the eager
     # localCheckpoint costs one pass it was about to pay regardless.
-    from ..operators.checkpointing import materialize
+    if eager:
+        from ..operators.checkpointing import materialize
 
-    result = materialize(result, "local", eager=True)
-    tagged.unpersist()
+        result = materialize(result, "local", eager=True)
+        tagged.unpersist()
     return result

@@ -264,6 +264,54 @@ def greedy_first_fit(
     raise RuntimeError(f"greedy_first_fit did not converge in {max_iterations} iterations")
 
 
+def _estimated_row_bytes(schema) -> int:
+    """Conservative per-row byte estimate from the schema alone (no
+    job): fixed-width types at their storage width, strings at a
+    deliberately pessimistic 48 bytes (UnsafeRow offset+len plus a
+    typical short-id payload), anything else at 64."""
+    from pyspark.sql import types as T
+
+    width = 0
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
+            width += 8
+        elif isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            width += 4
+        elif isinstance(dt, (T.ShortType,)):
+            width += 2
+        elif isinstance(dt, (T.ByteType, T.BooleanType)):
+            width += 1
+        elif isinstance(dt, T.StringType):
+            width += 48
+        else:
+            width += 64
+    return max(width, 1)
+
+
+def _auto_broadcast_threshold_bytes(sess) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes
+    (<=0 = broadcasting disabled); size-suffix strings ('10MB',
+    '10485760b') parsed the way Spark's byteStringAs does."""
+    try:
+        raw = str(sess.conf.get("spark.sql.autoBroadcastJoinThreshold")).strip().lower()
+    except Exception:  # noqa: BLE001 - conf lookup only tunes, never gates
+        return 10 * 1024 * 1024
+    mult = 1
+    for suffix, m in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -296,12 +344,16 @@ def pagerank(
     session's shuffle partitions; small graphs collapse to a few
     partitions and stop paying 32-task scheduling per tiny stage),
     and when the weighted-edge frame is under
-    ``broadcast_weight_rows`` it joins as an explicit broadcast built
-    ONCE and reused across rounds (one executor-local map join per
-    round instead of shuffling the rank frame).  At fact-scale edge
-    counts both knobs leave the plan exactly as before — partition
-    count saturates and the broadcast hint is skipped (AQE still
-    re-plans from observed sizes).
+    ``broadcast_weight_rows`` rows AND its schema-estimated byte size
+    fits the session's ``spark.sql.autoBroadcastJoinThreshold`` it
+    joins as an explicit broadcast built ONCE and reused across rounds
+    (one executor-local map join per round instead of shuffling the
+    rank frame).  The byte gate is what makes the hint safe: explicit
+    hints override the threshold and AQE never demotes them, so
+    rows-alone gating could pin a multi-hundred-MB string-keyed frame
+    on the driver.  At fact-scale edge counts both gates fail and the
+    plan is exactly as before — partition count saturates, no hint,
+    and AQE re-plans broadcast-vs-shuffle from observed sizes.
 
     The dangling-mass scalar has two in-plan shapes, picked by the
     same measured edge count (never a driver collect):
@@ -356,7 +408,20 @@ def pagerank(
     )
     n = verts.count()  # one scalar, once — iteration bodies stay lazy
     weights = ew.select("s", "d", "w")
-    w_join = F.broadcast(weights) if n_edges <= broadcast_weight_rows else weights
+    # Broadcast is gated on ESTIMATED BYTES vs the session's own
+    # autoBroadcastJoinThreshold, not rows alone: an explicit hint
+    # overrides the threshold and AQE never demotes user hints, so a
+    # row-count-only gate could pin a multi-hundred-MB frame (string
+    # vertex ids) onto the driver and every executor.  The row cap
+    # remains as a belt-and-braces bound; either limit failing skips
+    # the hint and leaves broadcast-vs-shuffle to AQE's observed sizes.
+    est_bytes = n_edges * _estimated_row_bytes(weights.schema)
+    thresh = _auto_broadcast_threshold_bytes(sess)
+    w_join = (
+        F.broadcast(weights)
+        if n_edges <= broadcast_weight_rows and 0 < est_bytes <= thresh
+        else weights
+    )
     gw = Window.partitionBy()
     pr = verts.withColumn("pr", F.lit(1.0 / n))
     for it in range(1, iterations + 1):

@@ -266,9 +266,21 @@ def write_zordered(
     # partition) would single-thread it: measured 1.4-2.6 s of a 3.6 s
     # write at 100k rows on local[32].  Fan the input out to the
     # session's parallelism first; at fact scale inputs already carry
-    # >= cores partitions and this is a no-op (no extra exchange).
+    # >= cores partitions and this is skipped.  The probe is
+    # ``inputFiles()`` (analysis-only plan walk), NOT
+    # ``df.rdd.getNumPartitions()``: touching ``.rdd`` finalizes the
+    # physical plan and under AQE can EXECUTE upstream shuffle stages,
+    # running the input once for the probe and again for the write
+    # (ADVICE r10).  Scan-like inputs parallelize ~one partition per
+    # file; a shuffled input (no/any files, but an upstream exchange)
+    # already carries shuffle.partitions tasks and skips the fan-out
+    # via the n_input_files=0 branch or the >= parallelism file count.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        n_input_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - probe only tunes, never gates
+        n_input_files = 0
+    if 0 < n_input_files < parallelism:
         staged = staged.repartition(parallelism)
     for i, c in enumerate(zorder_cols):
         # bucket = count of grid boundaries at-or-below the value

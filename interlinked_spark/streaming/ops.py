@@ -277,6 +277,7 @@ def run_scd2_into_parquet(
     path: Optional[str] = None,
     end_of_time: str = "2260-12-31 00:00:00",
     timeout_s: int = 300,
+    on_stale: str = "warn",
 ) -> str:
     """Streaming type-2 SCD maintenance (§2b-J sinks + §2b-A merge):
     each micro-batch of change rows folds into the interval-versioned
@@ -295,7 +296,22 @@ def run_scd2_into_parquet(
     rewrite is the local stand-in for a Delta/Iceberg MERGE, identical
     topology.  The default end-of-time sentinel stays inside Arrow's
     nanosecond range so pandas bridges over the result never overflow.
-    Returns the target directory."""
+
+    CHRONOLOGICAL-BATCH CONTRACT: ``drop_stale`` treats any change row
+    older than its key's committed open-row ``effective_from`` as a
+    replay and drops it.  A file source lists batches in FILE order,
+    not event-time order — with multiple input files and
+    ``maxFilesPerTrigger``, an out-of-chronology batch would be
+    silently swallowed.  ``on_stale`` surfaces that instead of hiding
+    it: per batch, stale rows are counted (one keys-partitioned join,
+    same shuffle key as the apply) and ``'warn'`` (default) emits a
+    ``UserWarning`` with the count, ``'fail'`` raises (strict — note a
+    foreachBatch RETRY of an applied batch is all-stale by design, so
+    'fail' trades replay idempotency for ordering strictness),
+    ``'drop'`` keeps the old silent behavior.  Returns the target
+    directory."""
+    if on_stale not in ("warn", "fail", "drop"):
+        raise ValueError(f"on_stale must be 'warn', 'fail' or 'drop', got {on_stale!r}")
     from ..operators.merge import scd2_apply
 
     keys = list(keys)
@@ -312,6 +328,32 @@ def run_scd2_into_parquet(
             current = spark.read.parquet(path)
         except AnalysisException:  # unseeded first batch: empty history
             current = None
+        if on_stale != "drop" and current is not None and current.columns:
+            anchor = current.filter(F.col("is_current")).select(
+                *keys, F.col("effective_from").alias("__anchor")
+            )
+            n_stale = (
+                batch_df.select(
+                    *keys, F.col(ts_col).cast("timestamp").alias("__ts")
+                )
+                .join(anchor, keys, "inner")
+                .filter(F.col("__ts") < F.col("__anchor"))
+                .count()
+            )
+            if n_stale:
+                msg = (
+                    f"run_scd2_into_parquet: batch {_batch_id} carries "
+                    f"{n_stale} change row(s) older than their key's "
+                    f"committed open-row effective_from; drop_stale will "
+                    f"discard them. Expected only on a foreachBatch replay "
+                    f"— an out-of-chronology source (multi-file parquet "
+                    f"dir + maxFilesPerTrigger) loses these rows."
+                )
+                if on_stale == "fail":
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
         if current is None or not current.columns:
             current = (
                 batch_df.sparkSession.createDataFrame([], batch_df.schema)

@@ -133,3 +133,27 @@ def test_fit_ivf_wrapper_matches_manual_handoff(spark):
         from interlinked_spark.llm.embeddings import IvfIndex
 
         IvfIndex([])
+
+
+def test_semdedup_keep_assigned_lazy_mode(spark):
+    """eager=False composes lazily (no persist, no checkpoint) and
+    yields the same kept set as the default eager path (ADVICE r10)."""
+    from pyspark.sql import functions as F
+
+    from interlinked_spark.llm.embeddings import semdedup_keep_assigned
+
+    tagged = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.001], 0),  # near-dup pair, cluster 0
+         (3, [0.0, 1.0], 1), (4, [-1.0, 0.0], 1)],   # dissimilar, cluster 1
+        ["id", "__v", "cluster_id"],
+    ).withColumn("__v", F.col("__v").cast("array<double>"))
+
+    eager = {(r.id, r.kept) for r in semdedup_keep_assigned(
+        tagged, cosine_threshold=0.9, max_cluster_size=None).collect()}
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    lazy_df = semdedup_keep_assigned(
+        tagged, cosine_threshold=0.9, max_cluster_size=None, eager=False)
+    # composing the plan persisted nothing and ran nothing new
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+    assert {(r.id, r.kept) for r in lazy_df.collect()} == eager
+    assert eager == {(1, True), (2, False), (3, True), (4, True)}

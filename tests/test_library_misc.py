@@ -410,3 +410,21 @@ def test_bpe_exhausted_merges_oracle_parity(spark):
         map(tuple, con.execute(bpe_token_counts_sql("documents", merges=3)).fetchall())
     )
     assert oracle == got  # NULL-propagation would make these (id, None)
+
+
+def test_queries_md_count_matches_catalog():
+    """QUERIES.md is auto-generated; pin its row count to the live
+    catalog so the doc can't drift (VERDICT r10 item 8)."""
+    import re
+    from pathlib import Path
+
+    from interlinked_spark import catalog
+
+    text = Path("/root/repo/QUERIES.md").read_text()
+    rows = re.findall(r"^\| \d+ \| `([a-z0-9_]+)`", text, flags=re.M)
+    names = catalog.query_names()
+    assert len(rows) == len(names), (
+        f"QUERIES.md has {len(rows)} rows but catalog registers "
+        f"{len(names)} queries — regenerate QUERIES.md"
+    )
+    assert set(rows) == set(names)

@@ -439,3 +439,53 @@ def test_temperature_sample_10x_stress(spark, docs):
     shifted_hits = {i % 10_000_000 for i in a if i >= 10_000_000}
     assert shifted_hits != base
     big.unpersist()
+
+
+def test_pagerank_broadcast_gate_helpers():
+    """The broadcast hint is gated on estimated BYTES vs the session's
+    autoBroadcastJoinThreshold, not rows alone (ADVICE r10 medium):
+    explicit hints override the threshold and AQE never demotes them."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from interlinked_spark.operators.graph import _estimated_row_bytes
+
+    long_schema = StructType([
+        StructField("s", LongType()), StructField("d", LongType()),
+        StructField("w", DoubleType()),
+    ])
+    str_schema = StructType([
+        StructField("s", StringType()), StructField("d", StringType()),
+        StructField("w", DoubleType()),
+    ])
+    assert _estimated_row_bytes(long_schema) == 24
+    assert _estimated_row_bytes(str_schema) == 104
+    # 5M string-keyed edges (the ADVICE scenario) estimate ~520MB —
+    # far past any sane threshold, so the old row-only gate was unsafe
+    assert 5_000_000 * _estimated_row_bytes(str_schema) > 100 * 1024 * 1024
+
+
+def test_pagerank_broadcast_threshold_parsing(spark):
+    from interlinked_spark.operators.graph import _auto_broadcast_threshold_bytes
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        for raw, want in [("10MB", 10 << 20), ("10485760b", 10485760),
+                          ("512k", 512 << 10), ("-1", -1), ("1g", 1 << 30)]:
+            spark.conf.set(key, raw)
+            assert _auto_broadcast_threshold_bytes(spark) == want, raw
+        # threshold -1 (broadcast disabled): pagerank must still run,
+        # just without the hint — results identical
+        spark.conf.set(key, "-1")
+        from interlinked_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+        )
+        pr = {r["vertex"]: r["pagerank"] for r in pagerank(edges, iterations=5).collect()}
+        assert abs(sum(pr.values()) - 1.0) < 1e-9
+        assert max(pr.values()) - min(pr.values()) < 1e-9  # cycle = uniform
+    finally:
+        spark.conf.set(key, orig)

@@ -184,3 +184,98 @@ def test_stream_scd2_multibatch_equals_batch_and_replay_idempotent(spark, tmp_pa
     again = {(r.k, str(r.effective_from)[:10], r.attr, str(r.effective_to)[:10], r.is_current)
              for r in spark.read.parquet(target).collect()}
     assert again == got
+
+
+def test_scd2_validate_rejects_duplicate_open_rows(spark):
+    """validate=True fails fast on >1 open row per key (the contract
+    clause that otherwise mis-chains silently, VERDICT r10 item 6)."""
+    import pytest
+
+    from interlinked_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, "A", "2020-01-01", "9999-12-31", True),
+         (1, "B", "2021-01-01", "9999-12-31", True)],
+        ["k", "attr", "effective_from", "effective_to", "is_current"],
+    ).selectExpr("k", "attr",
+                 "cast(effective_from as timestamp) as effective_from",
+                 "cast(effective_to as timestamp) as effective_to", "is_current")
+    ch = spark.createDataFrame(
+        [(1, "C", "2022-01-01")], ["k", "attr", "change_ts"]
+    ).selectExpr("k", "attr", "cast(change_ts as timestamp) as change_ts")
+    with pytest.raises(ValueError, match="open .*rows|open \\(is_current\\)"):
+        scd2_apply(hist, ch, ["k"], ["attr"], validate=True)
+    # without the flag the call stays lazy/permissive (old behavior)
+    assert scd2_apply(hist, ch, ["k"], ["attr"]) is not None
+
+
+def test_scd2_validate_rejects_null_tracked(spark):
+    """validate=True fails fast on NULL tracked/timestamp values
+    (engines disagree on NULL sort order -> nondeterministic chain)."""
+    import pytest
+
+    from interlinked_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, "A", "2020-01-01", "9999-12-31", True)],
+        ["k", "attr", "effective_from", "effective_to", "is_current"],
+    ).selectExpr("k", "attr",
+                 "cast(effective_from as timestamp) as effective_from",
+                 "cast(effective_to as timestamp) as effective_to", "is_current")
+    ch_null_attr = spark.createDataFrame(
+        [(1, None, "2022-01-01")], "k long, attr string, change_ts string"
+    ).selectExpr("k", "attr", "cast(change_ts as timestamp) as change_ts")
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_apply(hist, ch_null_attr, ["k"], ["attr"], validate=True)
+    ch_null_ts = spark.createDataFrame(
+        [(1, "B", None)], "k long, attr string, change_ts string"
+    ).selectExpr("k", "attr", "cast(change_ts as timestamp) as change_ts")
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_apply(hist, ch_null_ts, ["k"], ["attr"], validate=True)
+    # clean inputs pass the same flag
+    ch_ok = spark.createDataFrame(
+        [(1, "B", "2022-01-01")], ["k", "attr", "change_ts"]
+    ).selectExpr("k", "attr", "cast(change_ts as timestamp) as change_ts")
+    out = scd2_apply(hist, ch_ok, ["k"], ["attr"], validate=True)
+    assert out.count() == 2
+
+
+def test_stream_scd2_on_stale_surfaces_out_of_order_batch(spark, tmp_path):
+    """An out-of-chronology micro-batch (rows older than the committed
+    open row) is DETECTED: on_stale='warn' (default) emits a UserWarning
+    with the dropped-row count; on_stale='fail' raises (ADVICE r10)."""
+    import warnings
+
+    import pytest
+
+    from interlinked_spark.streaming import run_scd2_into_parquet
+
+    seed = spark.createDataFrame(
+        [(1, "B", "2022-01-01", "2260-12-31", True)],
+        ["k", "attr", "effective_from", "effective_to", "is_current"],
+    ).selectExpr("k", "attr",
+                 "cast(effective_from as timestamp) as effective_from",
+                 "cast(effective_to as timestamp) as effective_to", "is_current")
+    old_change = spark.createDataFrame(
+        [(1, "A", "2021-01-01")], ["k", "attr", "change_ts"]
+    ).selectExpr("k", "attr", "cast(change_ts as timestamp) as change_ts")
+
+    target = str(tmp_path / "dim")
+    seed.write.parquet(target)
+    src = str(tmp_path / "old")
+    old_change.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(old_change.schema).parquet(src)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        run_scd2_into_parquet(stream, ["k"], ["attr"], path=target)
+    msgs = [str(w.message) for w in caught if "older than" in str(w.message)]
+    assert msgs and "1 change row" in msgs[0]
+    # the stale row was dropped: dimension unchanged
+    assert spark.read.parquet(target).count() == 1
+
+    stream = spark.readStream.schema(old_change.schema).parquet(src)
+    with pytest.raises(Exception, match="older than"):
+        run_scd2_into_parquet(stream, ["k"], ["attr"], path=target, on_stale="fail")
+    with pytest.raises(ValueError, match="on_stale"):
+        run_scd2_into_parquet(stream, ["k"], ["attr"], path=target, on_stale="boom")
