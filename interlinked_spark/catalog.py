@@ -7073,6 +7073,101 @@ def q_stream_qhist_quantiles(spark: SparkSession, base_dir: str) -> DataFrame:
     )
 
 
+@defq(
+    "corpus_budget_prefix",
+    oracle=f"""
+    WITH sel AS ({sampling.budget_select_sql(
+        "documents", "source", "doc_id", "n_chars", budget=4000
+    )})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_selected
+    FROM sel GROUP BY source
+    """,
+    d="table.documents",
+)
+def q_corpus_budget_prefix(d: DataFrame) -> DataFrame:
+    """Token-budget corpus selection (§2b-K): per source, the
+    deterministic hash-ordered document prefix whose cumulative char
+    mass stays within a 4000-char budget — the "N tokens from each
+    source" pretraining-mix primitive
+    (``operators/sampling.py::budget_select``).  The engine runs the
+    bucketed two-phase prefix sum (per-(source, bucket) windows, bucket
+    offsets cumsum'd on a KB-sized frame); the oracle is the collapsed
+    single-window form — identical selected set because the bucket is
+    a prefix of the order hash."""
+    sel = sampling.budget_select(d, "source", "doc_id", "n_chars", budgets=4000)
+    return group_agg(
+        sel,
+        ["source"],
+        {
+            "n_selected": F.count("*").cast("bigint"),
+            "chars_selected": F.sum("n_chars").cast("bigint"),
+        },
+    )
+
+
+_NEARDUP_CLUSTER_CTE = r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS l, b.doc_id AS r
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT l AS a, r AS b FROM pairs UNION SELECT r, l FROM pairs
+    ), reach(v, c) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.c FROM edges e JOIN reach r ON e.a = r.v
+    ), cl AS (
+      SELECT d.doc_id AS doc_id, COALESCE(m.c, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN (SELECT v, MIN(c) AS c FROM reach GROUP BY v) m
+      ON d.doc_id = m.v
+    )
+"""
+
+
+@defq(
+    "doc_splits_by_neardup_cluster",
+    oracle=_NEARDUP_CLUSTER_CTE
+    + f"""
+    SELECT doc_id, cluster_id,
+           {sampling.dataset_splits_sql(
+               "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+           )} AS split
+    FROM cl
+    """,
+    d="table.documents",
+)
+def q_doc_splits_by_neardup_cluster(d: DataFrame) -> DataFrame:
+    """Near-dup-leakage-safe dataset splits (§2b-K): split assignment
+    keyed on the NEAR-DUP CLUSTER id (min doc id of each Jaccard>=0.5
+    component), not the document — so a test document can never have a
+    near-duplicate in train, the contamination channel exact-dedup
+    splits and source-keyed splits both miss.  Composition of
+    ``llm/dedup.near_dup_clusters`` (banded index join + hash-to-min
+    CC) with ``operators/sampling.dataset_splits`` (one md5-band
+    projection, no extra shuffle); the oracle re-derives the clusters
+    with the recursive-CTE reachability and applies the identical band
+    CASE."""
+    from .llm.dedup import near_dup_clusters
+
+    cl = near_dup_clusters(d, threshold=0.5)
+    return sampling.dataset_splits(
+        cl, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "cluster_id", "split")
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -475,3 +475,113 @@ def weighted_sample_key_sql(key_col: str, weight_expr: str, salt: str = "aes") -
         f"round(ln((('0x' || substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 8))::BIGINT + 0.5)"
         f" / {float(_HEX_SPACE)}) / ({weight_expr}), 6)"
     )
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    size_col: str,
+    budgets: dict[str, int] | int,
+    salt: str = "",
+    bucket_chars: int = 1,
+) -> DataFrame:
+    """Token-budget corpus selection (§2b-K training-pipeline): per
+    group, keep the DETERMINISTIC hash-ordered prefix of rows whose
+    inclusive running ``size_col`` total stays within the group's
+    budget — "take 50B tokens from source A, 30B from B" as one
+    reproducible operator.  Order is ``md5(salt || key)`` (ties broken
+    by the key), the same hash family as every sampler/splitter here,
+    so the selected set is stable across runs/engines/partitionings
+    and SQL-portable for the oracle.
+
+    Scale shape — the naive form is one global window per group
+    (PARTITION BY group ORDER BY hash), which funnels each group
+    through ONE task; a 100 TB source would serialize.  Instead the
+    same two-phase prefix-sum the sequence packer uses: rows bucket by
+    the first ``bucket_chars`` hex chars of their order hash (the
+    bucket is a PREFIX of the order key, so bucket-major order == hash
+    order), phase 1 aggregates per-(group, bucket) size totals — a
+    groups x 16^bucket_chars frame, KBs — and window-cumsums the
+    bucket OFFSETS on that tiny frame; phase 2 broadcast-joins the
+    offsets back and runs the row-level cumsum per (group, bucket) —
+    16^bucket_chars-way parallel per group.  Raise ``bucket_chars``
+    with corpus size (2 -> 256-way, 3 -> 4096-way).
+
+    ``budgets``: int (every group gets the same budget) or a
+    group -> budget dict — groups absent from the dict are excluded
+    (a NULL budget selects nothing).  ``size_col`` values must be
+    POSITIVE (they are char/token counts): bucket-level pruning drops
+    whole buckets whose offset already meets the budget, which is only
+    sound when every row strictly increases the running total.
+    Returns the selected rows plus ``__cum`` (the group-level
+    inclusive running total) for auditing; callers drop it when not
+    wanted."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    tagged = df.withColumn("__h", h).withColumn(
+        "__b", F.substring(F.col("__h"), 1, bucket_chars)
+    )
+    totals = tagged.groupBy(group_col, "__b").agg(F.sum(size_col).alias("__bsum"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).cast("long")
+    ).select(group_col, "__b", "__off")
+    if isinstance(budgets, dict):
+        pairs: list = []
+        for g, b in budgets.items():
+            pairs.extend([F.lit(g), F.lit(int(b))])
+        budget = F.element_at(F.create_map(*pairs), F.col(group_col))
+    else:
+        budget = F.lit(int(budgets))
+    w_row = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), [group_col, "__b"])
+        # Bucket-level pruning BEFORE the row-level exchange: a bucket
+        # whose offset already meets the budget can never contribute
+        # (cum = offset + positive running sum > budget for its every
+        # row), so those rows are dropped map-side and only the prefix
+        # buckets shuffle into the window — with budget << corpus that
+        # is 1-2 buckets instead of 16^bucket_chars.  (A NULL budget —
+        # group absent from the dict — fails this predicate too.)
+        .filter(F.col("__off") < budget)
+        .withColumn(
+            "__cum", (F.col("__off") + F.sum(size_col).over(w_row)).cast("long")
+        )
+        .filter(F.col("__cum") <= budget)
+        .drop("__h", "__b", "__off")
+    )
+
+
+def budget_select_sql(
+    table: str,
+    group_col: str,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`budget_select` with a uniform budget
+    (oracle parity helper): the bucketed two-phase engine cumsum
+    collapses to one global window because the bucket is a prefix of
+    the order hash."""
+    salt = _sql_str(salt)
+    return f"""
+    SELECT * FROM (
+      SELECT *,
+             CAST(SUM({size_col}) OVER (
+               PARTITION BY {group_col}
+               ORDER BY md5('{salt}' || CAST({key_col} AS VARCHAR)), {key_col}
+             ) AS BIGINT) AS __cum
+      FROM {table})
+    WHERE __cum <= {int(budget)}
+    """

@@ -172,6 +172,12 @@ HEAVY = [
     # design claim is ~linear; staging + per-batch fixed job overhead
     # dominates at small k.
     ("stream_dedup_neardup", None),
+    # round 11: budget-prefix selection — the budget is FIXED while the
+    # corpus grows k-fold, so bucket-level offset pruning should keep
+    # the row-level exchange ~constant and the exponent should track
+    # the scan+phase-1 aggregate (sublinear at these sizes), NOT the
+    # corpus-sized window a naive global cumsum would pay.
+    ("corpus_budget_prefix", None),
 ]
 
 

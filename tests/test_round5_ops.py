@@ -148,3 +148,49 @@ def test_zordered_write_narrows_both_dimensions(spark, tmp_path):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
     ).first()
     assert (got.n, got.s) == (want.n, want.s)
+
+
+def test_budget_select_prefix_semantics(spark):
+    """budget_select keeps exactly the hash-ordered prefix within the
+    inclusive budget, per group; dict budgets exclude absent groups."""
+    from interlinked_spark.operators.sampling import budget_select
+
+    rows = [(g, i, 10) for g in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, ["g", "k", "sz"])
+
+    # uniform budget: 55 -> floor(55/10) = 5 rows per group
+    sel = budget_select(df, "g", "k", "sz", budgets=55)
+    got = sel.groupBy("g").count().collect()
+    assert {r["g"]: r["count"] for r in got} == {"a": 5, "b": 5}
+    # the selected set IS the global hash-order prefix
+    import hashlib
+
+    def h(k):
+        return hashlib.md5(str(k).encode()).hexdigest()
+
+    keys_a = sorted([r.k for r in sel.filter("g = 'a'").collect()])
+    want_a = sorted(sorted(range(20), key=lambda k: (h(k), k))[:5])
+    assert keys_a == want_a
+    # __cum audits the group-level inclusive running total
+    assert sel.filter("__cum > 55").count() == 0
+    assert sel.groupBy("g").agg({"__cum": "max"}).collect()[0][1] == 50
+
+    # dict budgets: absent group selects nothing
+    sel2 = budget_select(df, "g", "k", "sz", budgets={"a": 200})
+    got2 = {r["g"]: r["count"] for r in sel2.groupBy("g").count().collect()}
+    assert got2 == {"a": 20}
+
+
+def test_budget_select_bucketing_invariant(spark):
+    """The bucketed two-phase cumsum selects the SAME set for any
+    bucket_chars (the bucket is a prefix of the order hash), including
+    the collapsed single-window oracle form."""
+    from interlinked_spark.operators.sampling import budget_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    picks = []
+    for bc in (1, 2):
+        sel = budget_select(docs, "source", "doc_id", "n_chars", budgets=3000,
+                            bucket_chars=bc)
+        picks.append({(r.source, r.doc_id) for r in sel.select("source", "doc_id").collect()})
+    assert picks[0] == picks[1] and picks[0]
