@@ -7168,6 +7168,45 @@ def q_doc_splits_by_neardup_cluster(d: DataFrame) -> DataFrame:
     ).select("doc_id", "cluster_id", "split")
 
 
+from .operators.joins import qgram_array_sql as _qgram_sql  # noqa: E402
+
+
+@defq(
+    "part_name_fuzzy_pairs",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_partkey, p_brand AS brand, {_qgram_sql("p_name")} AS gr
+      FROM part)
+    SELECT brand, l_id, r_id, ROUND(jac, 6) AS jaccard FROM (
+      SELECT a.brand AS brand, a.p_partkey AS l_id, b.p_partkey AS r_id,
+             len(list_intersect(a.gr, b.gr)) * 1.0
+             / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jac
+      FROM g a JOIN g b ON a.brand = b.brand AND a.p_partkey < b.p_partkey)
+    WHERE jac >= 0.5
+    """,
+    p="table.part",
+)
+def q_part_name_fuzzy_pairs(p: DataFrame) -> DataFrame:
+    """Entity-resolution fuzzy join (§2b-C): near-identical part names
+    WITHIN a brand at 3-gram Jaccard >= 0.5 — the duplicate-listing /
+    record-linkage shape (``operators/joins.py::fuzzy_string_join``).
+    Engine = q-gram posting join blocked on the brand (never the
+    cartesian: candidate mass is per-(brand, gram) df products, with
+    ``max_qgram_df`` as the production hot-gram cap); oracle = the
+    brute-force within-brand pair scan with the identical gram
+    normalization (``qgram_array_sql``)."""
+    from .operators.joins import fuzzy_string_join
+
+    l = p.select(F.col("p_partkey").alias("l_id"), F.col("p_name").alias("l_name"),
+                 F.col("p_brand").alias("brand"))
+    r = p.select(F.col("p_partkey").alias("r_id"), F.col("p_name").alias("r_name"),
+                 F.col("p_brand").alias("brand"))
+    return fuzzy_string_join(
+        l, r, "l_name", "r_name", "l_id", "r_id",
+        threshold=0.5, q=3, extra_on=["brand"], dedupe_self=True,
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

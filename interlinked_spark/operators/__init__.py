@@ -7,6 +7,9 @@ from .joins import (
     range_join,
     banded_range_join,
     asof_join,
+    fuzzy_string_join,
+    qgram_array,
+    qgram_array_sql,
 )
 from .aggregates import (
     group_agg,
@@ -38,6 +41,7 @@ from .diagnostics import bucket_stats, drop_hot_buckets, join_size_stats, profil
 __all__ = [
     "equi_join", "broadcast_join", "semi_join", "anti_join", "cross_join",
     "range_join", "banded_range_join", "asof_join",
+    "fuzzy_string_join", "qgram_array", "qgram_array_sql",
     "group_agg", "rollup_agg", "cube_agg", "distinct_agg", "approx_distinct",
     "approx_quantiles", "dedup_exact", "collect_sorted",
     "ranked", "top_k_per_group", "running", "shifted", "window_spec",

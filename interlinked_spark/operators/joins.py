@@ -154,3 +154,97 @@ def asof_join(
     for c in value_cols:
         out = out.withColumnRenamed(f"__r_{c}", c)
     return out
+
+
+def qgram_array(col: Union[str, Column], q: int = 3) -> Column:
+    """Distinct character q-grams of a normalized string (lowercased,
+    trimmed, whitespace collapsed); strings shorter than ``q`` yield
+    one gram — the whole string.  Shared by :func:`fuzzy_string_join`
+    and its SQL oracle twin (the two must stay expression-identical)."""
+    s = F.regexp_replace(F.lower(F.trim(F.col(col) if isinstance(col, str) else col)), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(q - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(q))))
+
+
+def qgram_array_sql(expr: str, q: int = 3) -> str:
+    """DuckDB twin of :func:`qgram_array` (oracle parity helper)."""
+    s = f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({s}) - {q - 1}, 1) + 1), "
+        f"i -> substr({s}, i, {q})))"
+    )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.5,
+    q: int = 3,
+    extra_on: Optional[Sequence[str]] = None,
+    dedupe_self: bool = False,
+    max_qgram_df: Optional[int] = None,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: pairs of rows whose strings match
+    at q-gram Jaccard >= ``threshold`` — duplicate product listings,
+    near-identical vendor names, record linkage across feeds.
+
+    Scale posture — never the cartesian: each side explodes to
+    (id, gram) postings (grams per row = O(len)), candidates are the
+    POSTING equi-join on the gram (+ ``extra_on`` exact blocking keys,
+    the standard ER practice: block on brand/zip/etc. so the gram join
+    only fans out within a block), the per-pair intersection size
+    falls out of one groupBy count, and the exact Jaccard filter runs
+    on that aggregate — the same block-then-verify topology as the
+    MinHash/LSH dedup stack, with the same knob for pathological
+    blocks: ``max_qgram_df`` drops grams whose combined document
+    frequency across both sides exceeds the cap (one gram-level
+    aggregate + broadcast anti-joins), trading recall ONLY for pairs whose every
+    shared gram is ultra-common (documented, like the MinHash
+    hot-bucket cap).  At 100 TB the posting join shuffles
+    O(rows x grams), not O(rows^2).
+
+    ``left``/``right`` must carry unique ``left_id``/``right_id``
+    (other columns are ignored — join the ids back for payloads);
+    ``dedupe_self=True`` keeps only ``left_id < right_id`` pairs
+    BEFORE the aggregate (the self-join case: halves the candidate
+    mass and drops self-matches).  Returns
+    ``extra_on + (left_id, right_id, jaccard)`` with jaccard rounded
+    to 6dp; the threshold compares the UNROUNDED ratio (exact in
+    doubles — small-integer numerator/denominator), so the boundary
+    cannot flip across engines."""
+    extra = list(extra_on or [])
+    grams = qgram_array(left_col, q)
+    lpost = left.select(
+        F.col(left_id), *extra, grams.alias("__g"), F.size(grams).alias("__ln")
+    ).withColumn("__g", F.explode("__g"))
+    grams_r = qgram_array(right_col, q)
+    rpost = right.select(
+        F.col(right_id), *extra, grams_r.alias("__g"), F.size(grams_r).alias("__rn")
+    ).withColumn("__g", F.explode("__g"))
+    if max_qgram_df is not None:
+        hot = (
+            lpost.select("__g")
+            .unionByName(rpost.select("__g"))
+            .groupBy("__g")
+            .count()
+            .filter(F.col("count") > max_qgram_df)
+            .select("__g")
+        )
+        lpost = lpost.join(F.broadcast(hot), "__g", "left_anti")
+        rpost = rpost.join(F.broadcast(hot), "__g", "left_anti")
+    cand = lpost.join(rpost, ["__g", *extra])
+    if dedupe_self:
+        cand = cand.filter(F.col(left_id) < F.col(right_id))
+    inter = cand.groupBy(left_id, right_id, *extra, "__ln", "__rn").agg(
+        F.count("*").alias("__inter")
+    )
+    jac = F.col("__inter") / (F.col("__ln") + F.col("__rn") - F.col("__inter"))
+    return (
+        inter.filter(jac >= F.lit(float(threshold)))
+        .select(*extra, left_id, right_id, F.round(jac, 6).alias("jaccard"))
+    )

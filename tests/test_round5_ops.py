@@ -194,3 +194,66 @@ def test_budget_select_bucketing_invariant(spark):
                             bucket_chars=bc)
         picks.append({(r.source, r.doc_id) for r in sel.select("source", "doc_id").collect()})
     assert picks[0] == picks[1] and picks[0]
+
+
+def test_fuzzy_string_join_cross_table_and_hot_gram_cap(spark):
+    """fuzzy_string_join: cross-table ER semantics (exact q-gram
+    Jaccard against a hand computation) and the max_qgram_df cap drops
+    ONLY pairs whose every shared gram is ultra-common."""
+    from interlinked_spark.operators.joins import fuzzy_string_join, qgram_array
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zzz unique")], ["lid", "lname"]
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (11, "acme  CORP"), (12, "other co")],
+        ["rid", "rname"],
+    )
+    out = fuzzy_string_join(left, right, "lname", "rname", "lid", "rid",
+                            threshold=0.5, q=3)
+    pairs = {(r.lid, r.rid): r.jaccard for r in out.collect()}
+    # whitespace-collapse + lowercase: "acme  CORP" normalizes to
+    # "acme corp" -> jaccard 1.0; "acme corp." adds one gram
+    assert pairs[(1, 11)] == 1.0
+    assert (1, 10) in pairs and 0.8 < pairs[(1, 10)] < 1.0
+    assert all(l != 2 for l, _ in pairs)
+
+    # hand-check the gram set definition the oracle twin mirrors
+    g = spark.range(1).select(qgram_array(F.lit("ab"), 3).alias("g")).collect()[0].g
+    assert g == ["ab"]  # shorter than q -> one gram, the whole string
+
+    # cap = 1: every shared gram of the acme pairs is in >1 row ->
+    # both pairs disappear; nothing else changes
+    capped = fuzzy_string_join(left, right, "lname", "rname", "lid", "rid",
+                               threshold=0.5, q=3, max_qgram_df=1)
+    assert capped.count() == 0
+
+
+def test_fuzzy_string_join_self_dedupe_matches_bruteforce(spark):
+    """dedupe_self keeps exactly the l<r half; result equals a
+    brute-force pair scan on the same normalization."""
+    import itertools
+
+    from interlinked_spark.operators.joins import fuzzy_string_join
+
+    p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    l = p.selectExpr("p_partkey AS l_id", "p_name AS l_name", "p_brand AS brand")
+    r = p.selectExpr("p_partkey AS r_id", "p_name AS r_name", "p_brand AS brand")
+    got = {(x.l_id, x.r_id) for x in fuzzy_string_join(
+        l, r, "l_name", "r_name", "l_id", "r_id",
+        threshold=0.5, extra_on=["brand"], dedupe_self=True).collect()}
+
+    rows = [(x.p_partkey, x.p_brand, " ".join(x.p_name.lower().strip().split()))
+            for x in p.select("p_partkey", "p_brand", "p_name").collect()]
+
+    def grams(s):
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    want = set()
+    for (ak, ab, an), (bk, bb, bn) in itertools.combinations(sorted(rows), 2):
+        if ab != bb:
+            continue
+        ga, gb = grams(an), grams(bn)
+        if len(ga & gb) / len(ga | gb) >= 0.5:
+            want.add((min(ak, bk), max(ak, bk)))
+    assert got == want and got
