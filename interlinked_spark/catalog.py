@@ -7207,6 +7207,81 @@ def q_part_name_fuzzy_pairs(p: DataFrame) -> DataFrame:
     )
 
 
+@defq(
+    "embedding_arrow_stats",
+    oracle="""
+    SELECT vec_id AS id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_component,
+           CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS BIGINT) AS argmax_pos
+    FROM embeddings
+    """,
+    e="table.embeddings",
+)
+def q_embedding_arrow_stats(e: DataFrame) -> DataFrame:
+    """mapInArrow tier (§2b-I): per-vector L2 norm / max component /
+    first-argmax position computed as numpy reductions DIRECTLY on the
+    Arrow buffers — no pandas materialization on either side, the
+    cheapest Python table-function rung
+    (``operators/udfs.py::embedding_arrow_stats``).  Rounding happens
+    JVM-side (HALF_UP, matching the oracle's ROUND) so the Python
+    kernel ships raw doubles."""
+    from .operators.udfs import embedding_arrow_stats
+
+    out = embedding_arrow_stats(e, "vec_id", "embedding")
+    return out.select(
+        "id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.round("max_component", 6).alias("max_component"),
+        "argmax_pos",
+    )
+
+
+@defq(
+    "hourly_value_ohlc",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, hour,
+           ROUND((MIN({'t': ts, 'i': event_id, 'v': value})).v, 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND((MAX({'t': ts, 'i': event_id, 'v': value})).v, 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM t GROUP BY event_type, hour
+    """,
+    ev="table.events",
+)
+def q_hourly_value_ohlc(ev: DataFrame) -> DataFrame:
+    """OHLC downsampling (§2b-D positional-aggregate family): per
+    (event_type, hour) bar — open = value at the EARLIEST event, close
+    at the LATEST, plus high/low — the market-data / metrics-rollup
+    resample shape.  Positional first/last are ONE hash aggregate of
+    ordered structs (``min(struct(ts, event_id, value))``), never a
+    window: at 100 TB the bars frame is groups-sized and the fact
+    table crosses the exchange exactly once.  ``event_id`` tie-breaks
+    equal timestamps so both engines pick the same row (``min_by`` /
+    ``arg_min`` on bare ts would be tie-arbitrary); both engines order
+    structs lexicographically by field position, so the oracle's
+    struct MIN/MAX is the exact twin."""
+    t = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts", "event_id", "value",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return t.groupBy("event_type", "hour").agg(
+        F.round(first_s["value"], 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(last_s["value"], 6).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -141,3 +141,71 @@ def position_tokens_udtf():
                 yield i + 1, tok
 
     return PositionTokens
+
+
+def arrow_map_batches(
+    df: DataFrame,
+    fn: Callable,
+    schema: str,
+) -> DataFrame:
+    """Tier 4b — ``mapInArrow``: like :func:`map_batches` but the
+    callable receives/returns raw ``pyarrow.RecordBatch`` objects, with
+    NO Arrow <-> pandas conversion on either side.  For numeric kernels
+    that compute directly on Arrow buffers (``pyarrow.compute``, numpy
+    views) this skips the pandas materialization both ways — the
+    cheapest Python table-function rung above whole-stage-JVM, worth it
+    exactly when the per-batch work is vectorizable and the pandas
+    object overhead would dominate (wide arrays, binary payloads)."""
+    return df.mapInArrow(fn, schema=schema)
+
+
+def embedding_arrow_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector L2 norm + max component + argmax index, computed
+    Arrow-natively (§2b-I mapInArrow tier): each batch's list column is
+    flattened to ONE contiguous values buffer, the kernel runs as
+    numpy reductions over the reshaped (rows, dim) view — zero pandas,
+    zero per-row Python — and the result ships back as a RecordBatch.
+    Deterministic (argmax = FIRST maximal index) so the DuckDB twin
+    (``list_aggregate`` + ``list_position``) value-hash-matches."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            if isinstance(vecs, pa.ChunkedArray):  # pragma: no cover
+                vecs = vecs.combine_chunks()
+            lists = vecs
+            n = len(lists)
+            if n == 0:
+                continue
+            offs = np.asarray(lists.offsets)
+            flat = np.asarray(lists.values, dtype=np.float64)
+            widths = np.diff(offs)
+            if widths.min() == widths.max():  # fixed-dim fast path
+                m = flat[offs[0]: offs[-1]].reshape(n, int(widths[0]))
+                norm = np.sqrt((m * m).sum(axis=1))
+                mx = m.max(axis=1)
+                am = m.argmax(axis=1)
+            else:  # ragged fallback, still batch-level numpy
+                norm = np.empty(n); mx = np.empty(n); am = np.empty(n, dtype=np.int64)
+                for i in range(n):
+                    row = flat[offs[i]: offs[i + 1]]
+                    norm[i] = np.sqrt((row * row).sum())
+                    mx[i] = row.max()
+                    am[i] = int(row.argmax())
+            # Unrounded: callers round JVM-side (F.round, HALF_UP)
+            # so the rounding rule matches the SQL oracle's ROUND,
+            # not numpy's half-even.
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(norm), pa.array(mx),
+                 pa.array(am.astype(np.int64) + 1)],
+                names=["id", "l2_norm", "max_component", "argmax_pos"],
+            )
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>"))
+    return arrow_map_batches(
+        sel, kernel,
+        "id long, l2_norm double, max_component double, argmax_pos long",
+    )

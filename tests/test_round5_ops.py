@@ -257,3 +257,22 @@ def test_fuzzy_string_join_self_dedupe_matches_bruteforce(spark):
         if len(ga & gb) / len(ga | gb) >= 0.5:
             want.add((min(ak, bk), max(ak, bk)))
     assert got == want and got
+
+
+def test_embedding_arrow_stats_ragged_and_fixed(spark):
+    """mapInArrow kernel: fixed-dim fast path and ragged fallback give
+    identical per-row answers; argmax is the FIRST maximal position."""
+    import math
+
+    from interlinked_spark.operators.udfs import embedding_arrow_stats
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [2.0, 2.0, 1.0]), (3, [5.0, 5.0])],
+        "id long, v array<double>",
+    )
+    got = {r.id: r for r in embedding_arrow_stats(df, "id", "v").collect()}
+    assert math.isclose(got[1].l2_norm, 5.0)
+    assert got[1].argmax_pos == 2 and got[1].max_component == 4.0
+    assert got[2].argmax_pos == 1  # tie between components 1 and 2 -> first
+    assert got[3].argmax_pos == 1  # exact tie -> first maximal position
+    assert math.isclose(got[2].l2_norm, 3.0)
