@@ -7282,6 +7282,93 @@ def q_hourly_value_ohlc(ev: DataFrame) -> DataFrame:
     )
 
 
+def _budget_gate_oracle(n_batches: int, budget: int) -> str:
+    """Unrolled sequential-fold oracle for the streaming budget gate
+    (the pagerank_sql pattern: fixed iteration count -> CTE chain).
+    Batch membership replays ``_stage_id_ordered_files``'s id-range
+    split; within each batch the admission is the hash-order prefix of
+    the REMAINING budget (earlier batches' ADMITTED mass is charged,
+    rejected rows are not — a plain global window can't express that,
+    hence the fold)."""
+    order = "md5('' || CAST(st.doc_id AS VARCHAR)), st.doc_id"
+    parts = [
+        "WITH bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),",
+        "staged AS (",
+        "  SELECT d.source, d.doc_id, d.n_chars,",
+        f"         CAST((d.doc_id - b.lo) // ((b.hi - b.lo) // {n_batches} + 1) AS BIGINT) AS batch",
+        "  FROM documents d CROSS JOIN bounds b)",
+    ]
+    spent_terms: list[str] = []
+    for i in range(n_batches):
+        spent = (
+            "0" if not spent_terms
+            else " + ".join(f"COALESCE(sp{j}.s, 0)" for j in range(i))
+        )
+        joins = "".join(
+            f" LEFT JOIN sp{j} ON st.source = sp{j}.source" for j in range(i)
+        )
+        parts.append(
+            f", cum{i} AS (SELECT st.source, st.doc_id, st.n_chars, st.batch, "
+            f"{spent} AS spent, SUM(st.n_chars) OVER (PARTITION BY st.source "
+            f"ORDER BY {order}) AS c FROM staged st{joins} WHERE st.batch = {i})"
+        )
+        parts.append(
+            f", adm{i} AS (SELECT * FROM cum{i} WHERE spent + c <= {budget})"
+        )
+        parts.append(
+            f", sp{i} AS (SELECT source, SUM(n_chars) AS s FROM adm{i} GROUP BY source)"
+        )
+        spent_terms.append(f"sp{i}")
+    union = " UNION ALL ".join(
+        f"SELECT source, n_chars, batch FROM adm{i}" for i in range(n_batches)
+    )
+    parts.append(
+        f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_admitted,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_admitted,
+           CAST(MIN(batch) AS BIGINT) AS first_batch,
+           CAST(MAX(batch) AS BIGINT) AS last_batch
+    FROM ({union}) GROUP BY source
+    """
+    )
+    return "\n".join(parts)
+
+
+@defq(
+    "stream_budget_admissions",
+    oracle=_budget_gate_oracle(n_batches=4, budget=4000),
+)
+def q_stream_budget_admissions(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming token-budget ingest gate (§2b-J x §2b-K): documents
+    replay as 4 id-ordered micro-batches; each batch admits its
+    deterministic hash-order prefix of the REMAINING per-source budget
+    and writes its own ``batch=<id>`` partition (replay = identical
+    rewrite).  First-come semantics: an ingest gate never retracts
+    already-admitted rows, so the oracle is the unrolled sequential
+    fold (``_budget_gate_oracle``), not a global window
+    (`streaming/ops.run_budget_gate_into_parquet`)."""
+    from .streaming import replay_shuffle_partitions, run_budget_gate_into_parquet
+    from .streaming.ops import stream_from_parquet
+
+    d = spark.read.parquet(f"{base_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    staged = _stage_id_ordered_files(d, "doc_id", 4)
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        path = run_budget_gate_into_parquet(
+            stream, "source", "doc_id", "n_chars", budgets=4000
+        )
+    adm = spark.read.parquet(path)
+    return adm.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_admitted"),
+        F.sum("n_chars").cast("bigint").alias("chars_admitted"),
+        F.min("batch").cast("bigint").alias("first_batch"),
+        F.max("batch").cast("bigint").alias("last_batch"),
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

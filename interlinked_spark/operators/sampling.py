@@ -485,6 +485,7 @@ def budget_select(
     budgets: dict[str, int] | int,
     salt: str = "",
     bucket_chars: int = 1,
+    spent: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budget corpus selection (§2b-K training-pipeline): per
     group, keep the DETERMINISTIC hash-ordered prefix of rows whose
@@ -514,9 +515,13 @@ def budget_select(
     POSITIVE (they are char/token counts): bucket-level pruning drops
     whole buckets whose offset already meets the budget, which is only
     sound when every row strictly increases the running total.
+    ``spent``: optional already-consumed totals — a small
+    ``(group_col, __spent)`` frame broadcast-joined in so the
+    effective budget is ``budget - spent`` (how the streaming gate
+    charges earlier batches against each group's budget).
     Returns the selected rows plus ``__cum`` (the group-level
-    inclusive running total) for auditing; callers drop it when not
-    wanted."""
+    inclusive running total, NOT counting ``spent``) for auditing;
+    callers drop it when not wanted."""
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
@@ -539,6 +544,11 @@ def budget_select(
         budget = F.element_at(F.create_map(*pairs), F.col(group_col))
     else:
         budget = F.lit(int(budgets))
+    if spent is not None:
+        tagged = tagged.join(
+            F.broadcast(spent.select(group_col, "__spent")), group_col, "left"
+        )
+        budget = budget - F.coalesce(F.col("__spent"), F.lit(0)).cast("long")
     w_row = (
         Window.partitionBy(group_col, "__b")
         .orderBy("__h", key_col)
@@ -558,7 +568,7 @@ def budget_select(
             "__cum", (F.col("__off") + F.sum(size_col).over(w_row)).cast("long")
         )
         .filter(F.col("__cum") <= budget)
-        .drop("__h", "__b", "__off")
+        .drop("__h", "__b", "__off", "__spent")
     )
 
 

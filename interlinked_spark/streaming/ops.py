@@ -860,3 +860,69 @@ def run_hll_into_state(
 
     foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
     return state_path
+
+
+def run_budget_gate_into_parquet(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    size_col: str,
+    budgets,
+    path: Optional[str] = None,
+    salt: str = "",
+    bucket_chars: int = 1,
+    timeout_s: int = 300,
+) -> str:
+    """Streaming token-budget ingest gate (§2b-J x §2b-K): first-come
+    admission until each group's budget fills — "ingest until source A
+    has 50B tokens" enforced AT THE STREAM, so past-budget data never
+    reaches the corpus sink.  Per micro-batch: committed totals from
+    EARLIER batches are charged against the budgets
+    (``budget_select(spent=...)`` — one tiny broadcast), the batch's
+    admitted prefix is chosen in the same deterministic md5-hash order
+    as the batch operator, and the batch writes its OWN
+    ``batch=<id>`` partition dir (overwrite) — so a foreachBatch
+    replay recomputes from totals that exclude its own prior partial
+    write and rewrites the identical partition: exactly-once admission
+    under the at-least-once contract, the same idempotency shape as
+    the qhist/HLL state gates.
+
+    Admission order is (batch arrival, within-batch hash) — the gate
+    deliberately keeps FIRST-COME semantics rather than re-ranking
+    history (a one-shot :func:`~interlinked_spark.operators.sampling.
+    budget_select` over the union could evict already-admitted rows;
+    an ingest gate must never retract).  With id-ordered batches the
+    admitted set equals a single cumsum over (batch, hash, key) order
+    — the catalog oracle.  Returns the target dir; read back with
+    ``spark.read.parquet(path)`` (the ``batch`` partition column
+    records the admitting micro-batch)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.sampling import budget_select
+
+    path = path or tempfile.mkdtemp(prefix="stream_budget_")
+    spark = stream.sparkSession
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            committed = spark.read.parquet(path)
+        except AnalysisException:
+            committed = None
+        spent = None
+        if committed is not None and committed.columns:
+            spent = (
+                committed.filter(F.col("batch") < batch_id)
+                .groupBy(group_col)
+                .agg(F.sum(size_col).cast("long").alias("__spent"))
+            )
+        admitted = budget_select(
+            batch_df, group_col, key_col, size_col, budgets,
+            salt=salt, bucket_chars=bucket_chars, spent=spent,
+        )
+        # Lineage break before the partition overwrite (same rationale
+        # as the upsert/SCD2 sinks), then exactly-once-by-rewrite.
+        admitted = admitted.localCheckpoint(eager=True)
+        admitted.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    foreach_batch_into(stream, gate_batch, timeout_s=timeout_s, output_mode="append")
+    return path

@@ -276,3 +276,56 @@ def test_embedding_arrow_stats_ragged_and_fixed(spark):
     assert got[2].argmax_pos == 1  # tie between components 1 and 2 -> first
     assert got[3].argmax_pos == 1  # exact tie -> first maximal position
     assert math.isclose(got[2].l2_norm, 3.0)
+
+
+def test_budget_select_spent_charges_budget(spark):
+    """spent totals reduce the effective budget per group (the
+    streaming gate's residual mechanism)."""
+    from interlinked_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame([("a", i, 10) for i in range(10)], ["g", "k", "sz"])
+    spent = spark.createDataFrame([("a", 30)], ["g", "__spent"])
+    sel = budget_select(df, "g", "k", "sz", budgets=55, spent=spent)
+    # residual 25 -> floor(25/10) = 2 rows; no __spent leaks out
+    assert sel.count() == 2
+    assert "__spent" not in sel.columns
+    # a group with no spent row keeps the full budget
+    df2 = df.union(spark.createDataFrame([("b", i, 10) for i in range(10)], df.schema))
+    sel2 = budget_select(df2, "g", "k", "sz", budgets=55, spent=spent)
+    got = {r["g"]: r["count"] for r in sel2.groupBy("g").count().collect()}
+    assert got == {"a": 2, "b": 5}
+
+
+def test_stream_budget_gate_replay_idempotent_and_first_come(spark, tmp_path):
+    """The gate admits first-come across batches (batch-1 rows are
+    charged batch-0's admissions) and a full replay of the drained
+    stream rewrites identical partitions."""
+    from pyspark.sql import functions as SF
+
+    from interlinked_spark.streaming import run_budget_gate_into_parquet
+    from interlinked_spark.streaming.ops import stream_from_parquet
+
+    rows = [("a", i, 10) for i in range(8)]
+    df = spark.createDataFrame(rows, ["g", "k", "sz"])
+    src = str(tmp_path / "src")
+    # two id-ordered files -> two micro-batches (k 0-3, then 4-7)
+    df.filter("k < 4").coalesce(1).write.parquet(src)
+    df.filter("k >= 4").coalesce(1).write.mode("append").parquet(src)
+    target = str(tmp_path / "adm")
+
+    # budget 60 -> 6 rows total; batch file order isn't guaranteed, so
+    # assert the invariants that hold either way: total mass == budget,
+    # and every batch-local admission is a hash-order prefix.
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_budget_gate_into_parquet(stream, "g", "k", "sz", budgets=60, path=target)
+    adm = spark.read.parquet(target)
+    assert adm.agg(SF.sum("sz")).first()[0] == 60
+    assert adm.count() == 6
+    first = {r.k for r in adm.collect()}
+
+    # replay the whole source against committed state: identical set
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_budget_gate_into_parquet(stream, "g", "k", "sz", budgets=60, path=target)
+    again = spark.read.parquet(target)
+    assert {r.k for r in again.collect()} == first
+    assert again.agg(SF.sum("sz")).first()[0] == 60
