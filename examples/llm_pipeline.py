@@ -197,6 +197,39 @@ def splits_card(d):
 
 
 @wkf.depend(d="docs.canonical")
+@wkf.provide("splits_leakage_safe")
+def splits_leakage_safe(d, jaccard_threshold: float = 0.5):
+    """Near-dup-cluster-keyed splits (round 11): the band is on the
+    CLUSTER id, so a test doc can never have a near-duplicate in train
+    — the leakage channel source-keyed splits miss when near-dups
+    cross sources (`catalog.doc_splits_by_neardup_cluster`)."""
+    from interlinked_spark.operators.sampling import dataset_splits
+
+    clusters = near_dup_clusters(d, threshold=jaccard_threshold)
+    s = dataset_splits(clusters, "cluster_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, salt="train-v1")
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+
+
+@wkf.depend(d="docs.canonical")
+@wkf.provide("mix.budgeted")
+def mix_budgeted(d, chars_per_source: int = 2000):
+    """The other mix knob (round 11): an EXACT per-source budget — the
+    deterministic hash-order prefix of each source until its char
+    budget fills (`sampling.budget_select`; bucketed two-phase cumsum,
+    past-budget buckets pruned before the shuffle).  Production ingest
+    enforces the same contract AT THE STREAM via
+    `streaming.run_budget_gate_into_parquet`."""
+    from interlinked_spark.operators.sampling import budget_select
+
+    sel = budget_select(d, "source", "doc_id", "n_chars", budgets=chars_per_source)
+    return sel.drop("__cum")
+
+
+@wkf.depend(d="docs.canonical")
 @wkf.provide("mix.resampled")
 def mix_resampled(d, tau: float = 0.5, target_docs: int = 100):
     """Temperature-resample the canonical corpus: per-source token-mass
@@ -229,9 +262,9 @@ def packed_card(d, capacity: int = 256):
 
 
 if __name__ == "__main__":
-    out, mix, matches, splits, packed, card = wkf.run(
+    out, mix, matches, splits, packed, card, safe, budgeted = wkf.run(
         "report", "mix_report", "batch.matches", "splits_card", "packed_card",
-        "source_card",
+        "source_card", "splits_leakage_safe", "mix.budgeted",
     )
     card.show(5, truncate=False)
     row = out.first()
@@ -249,3 +282,7 @@ if __name__ == "__main__":
         f"packed the resampled mix into {prow.n_sequences} sequences "
         f"({prow.tokens_packed} tokens, avg {prow.avg_docs_per_seq} docs/seq)"
     )
+    safe.show(truncate=False)
+    per_src = budgeted.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    assert per_src.filter(F.col("chars") > 2000).count() == 0
+    print(f"budgeted mix: {budgeted.count()} docs, every source <= 2000 chars")
