@@ -268,6 +268,15 @@ def main() -> None:
         "dedup_incremental_compacted",
         "stream_dedup_neardup",
         "stream_vector_neardup",
+        # round 11: budget/ER/positional additions — streaming gate
+        # restages its source per run (harness artifact), the batch
+        # trio are one-aggregate demos.
+        "stream_budget_admissions",
+        "corpus_budget_prefix",
+        "part_name_fuzzy_pairs",
+        "doc_splits_by_neardup_cluster",
+        "embedding_arrow_stats",
+        "hourly_value_ohlc",
         # remaining TPC-H suite + light round-8b queries: tracked in the
         # full payload; the two heavy representatives (q08/q18) carry
         # the contract-line slot for the suite.
