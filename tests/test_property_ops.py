@@ -602,3 +602,93 @@ def test_profile_table_matches_python_reference(sp, rows):
         else:
             assert got[col]["min_str"] == (min(nn) if nn else None)
             assert got[col]["max_str"] == (max(nn) if nn else None)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200), st.integers(1, 40)),
+        min_size=0, max_size=16, unique_by=lambda t: t[1],
+    ),
+    budget=st.integers(0, 300),
+    bucket_chars=st.integers(1, 2),
+)
+@OP_SETTINGS
+def test_budget_select_matches_python_prefix(sp, rows, budget, bucket_chars):
+    """budget_select == the sequential hash-order prefix fold, for any
+    sizes/budget/bucketing; selected mass never exceeds the budget and
+    a larger budget's selection is a superset."""
+    import hashlib
+
+    from interlinked_spark.operators.sampling import budget_select
+
+    df = sp.createDataFrame(rows or [(None, None, None)], "g int, k int, sz int").filter(
+        F.col("k").isNotNull()
+    )
+    got = {
+        (r.g, r.k)
+        for r in budget_select(df, "g", "k", "sz", budgets=budget,
+                               bucket_chars=bucket_chars).collect()
+    }
+
+    def h(k):
+        return hashlib.md5(str(k).encode()).hexdigest()
+
+    want, spent = set(), defaultdict(int)
+    for g, k, sz in sorted(rows, key=lambda t: (t[0], h(t[1]), t[1])):
+        if spent[g] + sz <= budget:
+            spent[g] += sz
+            want.add((g, k))
+    assert got == want
+
+    bigger = {
+        (r.g, r.k)
+        for r in budget_select(df, "g", "k", "sz", budgets=budget + 50,
+                               bucket_chars=bucket_chars).collect()
+    }
+    assert got <= bigger
+
+
+@given(
+    left=st.lists(st.text(alphabet="ab c", min_size=1, max_size=8),
+                  min_size=0, max_size=6),
+    right=st.lists(st.text(alphabet="ab c", min_size=1, max_size=8),
+                   min_size=0, max_size=6),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@OP_SETTINGS
+def test_fuzzy_join_matches_python_reference(sp, left, right, threshold):
+    """fuzzy_string_join == brute-force q-gram Jaccard over the cross
+    product (tiny inputs), and a higher threshold's pairs are a subset."""
+    from interlinked_spark.operators.joins import fuzzy_string_join
+
+    l = sp.createDataFrame(
+        list(enumerate(left)) or [(None, None)], "lid int, ls string"
+    ).filter(F.col("lid").isNotNull())
+    r = sp.createDataFrame(
+        list(enumerate(right)) or [(None, None)], "rid int, rs string"
+    ).filter(F.col("rid").isNotNull())
+    got = {
+        (x.lid, x.rid)
+        for x in fuzzy_string_join(l, r, "ls", "rs", "lid", "rid",
+                                   threshold=threshold).collect()
+    }
+
+    def grams(s):
+        s = " ".join(s.lower().strip().split())
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    want = set()
+    for i, a in enumerate(left):
+        ga = grams(a)
+        for j, b in enumerate(right):
+            gb = grams(b)
+            if len(ga & gb) / len(ga | gb) >= threshold:
+                want.add((i, j))
+    assert got == want
+
+    stricter = {
+        (x.lid, x.rid)
+        for x in fuzzy_string_join(l, r, "ls", "rs", "lid", "rid",
+                                   threshold=min(threshold + 0.2, 1.0)).collect()
+    }
+    assert stricter <= got
