@@ -188,44 +188,75 @@ def fuzzy_string_join(
     extra_on: Optional[Sequence[str]] = None,
     dedupe_self: bool = False,
     max_qgram_df: Optional[int] = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Entity-resolution fuzzy join: pairs of rows whose strings match
     at q-gram Jaccard >= ``threshold`` — duplicate product listings,
     near-identical vendor names, record linkage across feeds.
 
-    Scale posture — never the cartesian: each side explodes to
-    (id, gram) postings (grams per row = O(len)), candidates are the
-    POSTING equi-join on the gram (+ ``extra_on`` exact blocking keys,
-    the standard ER practice: block on brand/zip/etc. so the gram join
-    only fans out within a block), the per-pair intersection size
-    falls out of one groupBy count, and the exact Jaccard filter runs
-    on that aggregate — the same block-then-verify topology as the
-    MinHash/LSH dedup stack, with the same knob for pathological
-    blocks: ``max_qgram_df`` drops grams whose combined document
-    frequency across both sides exceeds the cap (one gram-level
-    aggregate + broadcast anti-joins), trading recall ONLY for pairs whose every
-    shared gram is ultra-common (documented, like the MinHash
-    hot-bucket cap).  At 100 TB the posting join shuffles
-    O(rows x grams), not O(rows^2).
+    Scale posture — never the cartesian, and not even the full posting
+    join: candidates come from PREFIX-FILTERED (id, gram) postings
+    (SSJoin/PPJoin): grams sort in a global md5 order and each row
+    indexes only its first ``|g| - ceil(t*|g|) + 1`` grams — EXACT,
+    because a pair with J >= t shares >= ceil(t*|x|) grams per side,
+    so its globally-smallest shared gram must sit inside BOTH
+    prefixes.  At t=0.5 that halves posting volume and quarters
+    candidate mass.  The posting equi-join (on the gram + ``extra_on``
+    exact blocking keys — the standard ER practice: block on
+    brand/zip/etc.) yields DISTINCT candidate pairs; verification then
+    computes exact Jaccard from the two full gram ARRAYS
+    (``array_intersect`` on ~tens of elements per pair, JVM-side).
+    ``max_qgram_df`` additionally drops prefix grams whose combined
+    document frequency exceeds the cap (one gram-level aggregate +
+    broadcast anti-joins), trading recall ONLY for pairs whose every
+    shared prefix gram is ultra-common (documented, like the MinHash
+    hot-bucket cap).  ``prefix_filter=False`` indexes every gram (the
+    naive posture; kept for A/B).  At 100 TB the posting join shuffles
+    O(rows x prefix), not O(rows^2).
 
     ``left``/``right`` must carry unique ``left_id``/``right_id``
     (other columns are ignored — join the ids back for payloads);
     ``dedupe_self=True`` keeps only ``left_id < right_id`` pairs
-    BEFORE the aggregate (the self-join case: halves the candidate
+    BEFORE the distinct (the self-join case: halves the candidate
     mass and drops self-matches).  Returns
     ``extra_on + (left_id, right_id, jaccard)`` with jaccard rounded
     to 6dp; the threshold compares the UNROUNDED ratio (exact in
     doubles — small-integer numerator/denominator), so the boundary
     cannot flip across engines."""
     extra = list(extra_on or [])
-    grams = qgram_array(left_col, q)
-    lpost = left.select(
-        F.col(left_id), *extra, grams.alias("__g"), F.size(grams).alias("__ln")
-    ).withColumn("__g", F.explode("__g"))
-    grams_r = qgram_array(right_col, q)
-    rpost = right.select(
-        F.col(right_id), *extra, grams_r.alias("__g"), F.size(grams_r).alias("__rn")
-    ).withColumn("__g", F.explode("__g"))
+
+    def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
+        return side.select(
+            F.col(id_col), *extra, qgram_array(col, q).alias("__gr")
+        ).withColumn("__n", F.size("__gr"))
+
+    def postings(gf: DataFrame, id_col: str) -> DataFrame:
+        if prefix_filter:
+            # Global canonical gram order = md5(gram): deterministic,
+            # data-independent (df-ascending would be optimal but costs
+            # a frequency pass; md5 decorrelates from the text either
+            # way).  Prefix length |g| - ceil(t|g|) + 1.
+            plen = (
+                F.col("__n")
+                - F.ceil(F.lit(float(threshold)) * F.col("__n")).cast("int")
+                + F.lit(1)
+            )
+            ordered = F.transform(
+                F.array_sort(
+                    F.transform(
+                        "__gr", lambda g: F.struct(F.md5(g).alias("h"), g.alias("g"))
+                    )
+                ),
+                lambda s: s["g"],
+            )
+            grams = F.slice(ordered, F.lit(1), plen)
+        else:
+            grams = F.col("__gr")
+        return gf.select(id_col, *extra, F.explode(grams).alias("__g"))
+
+    lg = gram_frame(left, left_col, left_id)
+    rg = gram_frame(right, right_col, right_id)
+    lpost, rpost = postings(lg, left_id), postings(rg, right_id)
     if max_qgram_df is not None:
         hot = (
             lpost.select("__g")
@@ -240,11 +271,17 @@ def fuzzy_string_join(
     cand = lpost.join(rpost, ["__g", *extra])
     if dedupe_self:
         cand = cand.filter(F.col(left_id) < F.col(right_id))
-    inter = cand.groupBy(left_id, right_id, *extra, "__ln", "__rn").agg(
-        F.count("*").alias("__inter")
+    cand = cand.select(left_id, right_id, *extra).distinct()
+    verified = cand.join(
+        lg.select(left_id, F.col("__gr").alias("__lgr"), F.col("__n").alias("__ln")),
+        left_id,
+    ).join(
+        rg.select(right_id, F.col("__gr").alias("__rgr"), F.col("__n").alias("__rn")),
+        right_id,
     )
-    jac = F.col("__inter") / (F.col("__ln") + F.col("__rn") - F.col("__inter"))
+    inter = F.size(F.array_intersect("__lgr", "__rgr"))
+    jac = inter / (F.col("__ln") + F.col("__rn") - inter)
     return (
-        inter.filter(jac >= F.lit(float(threshold)))
+        verified.filter(jac >= F.lit(float(threshold)))
         .select(*extra, left_id, right_id, F.round(jac, 6).alias("jaccard"))
     )
