@@ -178,6 +178,12 @@ HEAVY = [
     # the scan+phase-1 aggregate (sublinear at these sizes), NOT the
     # corpus-sized window a naive global cumsum would pay.
     ("corpus_budget_prefix", None),
+    # round 11: the streaming twin — 4 staged micro-batches through the
+    # budget gate; admissions are budget-bounded, so per-batch work
+    # beyond the batch scan (residual aggregate over committed
+    # admissions, batch-partition rewrite) should stay ~flat while the
+    # corpus grows k-fold.
+    ("stream_budget_admissions", None),
 ]
 
 
