@@ -166,7 +166,16 @@ def embedding_arrow_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame
     numpy reductions over the reshaped (rows, dim) view — zero pandas,
     zero per-row Python — and the result ships back as a RecordBatch.
     Deterministic (argmax = FIRST maximal index) so the DuckDB twin
-    (``list_aggregate`` + ``list_position``) value-hash-matches."""
+    (``list_aggregate`` + ``list_position``) value-hash-matches.
+
+    Null contract: a NULL or empty (zero-length) vector yields NULL for
+    all three stats — the kernel never raises on them (a null list slot
+    shares offsets with its neighbor in Arrow, so unguarded it would
+    read a zero-width slice and ``row.max()`` would raise in the
+    executor).  Elements INSIDE a vector must be non-null: the cast to
+    ``array<double>`` preserves inner nulls, which become NaN under the
+    numpy view and poison that row's stats (NaN norm/max) rather than
+    erroring — callers wanting stricter behavior should pre-filter."""
     import numpy as np
     import pyarrow as pa
 
@@ -183,24 +192,33 @@ def embedding_arrow_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame
             offs = np.asarray(lists.offsets)
             flat = np.asarray(lists.values, dtype=np.float64)
             widths = np.diff(offs)
-            if widths.min() == widths.max():  # fixed-dim fast path
+            if lists.null_count:
+                ok = np.asarray(lists.is_valid()) & (widths > 0)
+            else:
+                ok = widths > 0
+            if ok.all() and widths.min() == widths.max():  # fixed-dim fast path
                 m = flat[offs[0]: offs[-1]].reshape(n, int(widths[0]))
                 norm = np.sqrt((m * m).sum(axis=1))
                 mx = m.max(axis=1)
                 am = m.argmax(axis=1)
+                mask = None
             else:  # ragged fallback, still batch-level numpy
-                norm = np.empty(n); mx = np.empty(n); am = np.empty(n, dtype=np.int64)
+                norm = np.empty(n); mx = np.empty(n); am = np.zeros(n, dtype=np.int64)
                 for i in range(n):
+                    if not ok[i]:  # null/empty vector -> NULL stats
+                        continue
                     row = flat[offs[i]: offs[i + 1]]
                     norm[i] = np.sqrt((row * row).sum())
                     mx[i] = row.max()
                     am[i] = int(row.argmax())
+                mask = None if ok.all() else ~ok
             # Unrounded: callers round JVM-side (F.round, HALF_UP)
             # so the rounding rule matches the SQL oracle's ROUND,
             # not numpy's half-even.
+            am_out = am.astype(np.int64) + 1
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(norm), pa.array(mx),
-                 pa.array(am.astype(np.int64) + 1)],
+                [ids, pa.array(norm, mask=mask), pa.array(mx, mask=mask),
+                 pa.array(am_out, mask=mask)],
                 names=["id", "l2_norm", "max_component", "argmax_pos"],
             )
 

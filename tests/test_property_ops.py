@@ -2,6 +2,14 @@
 checks a Spark operator against a trivially-correct Python reference on
 random tiny inputs.  Few examples per property (every example is a real
 Spark job); the value is the random structure, not the volume.
+
+Determinism: every settings profile here uses ``derandomize=True`` so a
+"property-verified" claim means the same thing on every machine — the
+example set is a fixed function of the strategy, not of a per-run seed.
+(Round 11 shipped a red test as green because 8 un-seeded examples
+missed a coin-flip-probability divergence.)  Tests whose Python
+reference is a cheap sequential fold get the wider ``OP_SETTINGS_DEEP``
+profile; the Spark-side cost per example is a collect on <=16 rows.
 """
 
 from collections import defaultdict
@@ -11,10 +19,23 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+_SUPPRESS = [HealthCheck.function_scoped_fixture, HealthCheck.too_slow]
+
 OP_SETTINGS = settings(
     max_examples=8,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    derandomize=True,
+    suppress_health_check=_SUPPRESS,
+)
+
+# Wider, still deterministic profile for properties whose reference fold
+# is pure Python and whose divergences need more random structure to hit
+# (order-sensitive folds, admission thresholds).
+OP_SETTINGS_DEEP = settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=_SUPPRESS,
 )
 
 keys = st.integers(0, 6)
@@ -612,11 +633,22 @@ def test_profile_table_matches_python_reference(sp, rows):
     budget=st.integers(0, 300),
     bucket_chars=st.integers(1, 2),
 )
-@OP_SETTINGS
+@OP_SETTINGS_DEEP
 def test_budget_select_matches_python_prefix(sp, rows, budget, bucket_chars):
-    """budget_select == the sequential hash-order prefix fold, for any
+    """budget_select == the sequential hash-order PREFIX fold, for any
     sizes/budget/bucketing; selected mass never exceeds the budget and
-    a larger budget's selection is a superset."""
+    a larger budget's selection is a superset.
+
+    Prefix semantics (matches the operator, ``budget_select_sql``, and
+    both driver oracles): the running total accrues over EVERY row in
+    hash order, and a row is admitted iff its inclusive running total is
+    within budget — so the first over-budget row blocks everything after
+    it.  This is deliberately NOT first-fit (where a skipped row leaves
+    the budget unchanged and a later smaller row can still be admitted):
+    prefix keeps the selection a contiguous hash-order prefix, which is
+    what makes the bucketed two-phase distributed plan (and incremental
+    re-runs under a grown budget — the superset law below) possible.
+    """
     import hashlib
 
     from interlinked_spark.operators.sampling import budget_select
@@ -633,10 +665,10 @@ def test_budget_select_matches_python_prefix(sp, rows, budget, bucket_chars):
     def h(k):
         return hashlib.md5(str(k).encode()).hexdigest()
 
-    want, spent = set(), defaultdict(int)
+    want, cum = set(), defaultdict(int)
     for g, k, sz in sorted(rows, key=lambda t: (t[0], h(t[1]), t[1])):
-        if spent[g] + sz <= budget:
-            spent[g] += sz
+        cum[g] += sz  # accrue unconditionally: prefix, not first-fit
+        if cum[g] <= budget:
             want.add((g, k))
     assert got == want
 

@@ -278,6 +278,29 @@ def test_embedding_arrow_stats_ragged_and_fixed(spark):
     assert math.isclose(got[2].l2_norm, 3.0)
 
 
+def test_embedding_arrow_stats_null_and_empty_vectors(spark):
+    """Null contract: NULL or empty vectors yield NULL stats (never an
+    executor ValueError from a zero-width slice), valid rows in the
+    same batch are unaffected, and an all-valid fixed-dim batch still
+    takes the fast path (covered by the test above)."""
+    import math
+
+    from interlinked_spark.operators.udfs import embedding_arrow_stats
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, []), (4, [7.0])],
+        "id long, v array<double>",
+    )
+    got = {r.id: r for r in embedding_arrow_stats(df, "id", "v").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for bad in (2, 3):
+        assert got[bad].l2_norm is None
+        assert got[bad].max_component is None
+        assert got[bad].argmax_pos is None
+    assert math.isclose(got[1].l2_norm, 5.0) and got[1].argmax_pos == 2
+    assert got[4].max_component == 7.0 and got[4].argmax_pos == 1
+
+
 def test_budget_select_spent_charges_budget(spark):
     """spent totals reduce the effective budget per group (the
     streaming gate's residual mechanism)."""
