@@ -17,6 +17,8 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .checkpointing import materialize
+
 OnType = Union[str, Sequence[str], Column]
 
 
@@ -189,6 +191,7 @@ def fuzzy_string_join(
     dedupe_self: bool = False,
     max_qgram_df: Optional[int] = None,
     prefix_filter: bool = True,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Entity-resolution fuzzy join: pairs of rows whose strings match
     at q-gram Jaccard >= ``threshold`` — duplicate product listings,
@@ -222,7 +225,12 @@ def fuzzy_string_join(
     ``extra_on + (left_id, right_id, jaccard)`` with jaccard rounded
     to 6dp; the threshold compares the UNROUNDED ratio (exact in
     doubles — small-integer numerator/denominator), so the boundary
-    cannot flip across engines."""
+    cannot flip across engines.
+
+    Each side's gram frame is materialized (``checkpoint_mode``, same
+    knob as the dedup family) because it feeds both the posting explode
+    and the verification join — one base scan + shingle pass per side
+    instead of two."""
     extra = list(extra_on or [])
 
     def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
@@ -254,8 +262,14 @@ def fuzzy_string_join(
             grams = F.col("__gr")
         return gf.select(id_col, *extra, F.explode(grams).alias("__g"))
 
-    lg = gram_frame(left, left_col, left_id)
-    rg = gram_frame(right, right_col, right_id)
+    # Each gram frame feeds BOTH the posting explode and the exact-
+    # Jaccard verify join; without truncation the base scan + normalize
+    # + shingle lineage re-runs for each consumer (twice per side — at
+    # 100 TB the scan IS the cost).  Same policy as the dedup family
+    # (llm/dedup.py): localCheckpoint by default, "reliable" on a real
+    # cluster (see operators/checkpointing.py for the trade).
+    lg = materialize(gram_frame(left, left_col, left_id), checkpoint_mode)
+    rg = materialize(gram_frame(right, right_col, right_id), checkpoint_mode)
     lpost, rpost = postings(lg, left_id), postings(rg, right_id)
     if max_qgram_df is not None:
         hot = (

@@ -107,6 +107,15 @@ EXTENDED = [
     "doc_shingle_novelty",
     "brand_association_rules",
     "embedding_contamination",
+    # round-11 additions (r11 verdict item 3): the six new queries were
+    # outside the gate — part_name_fuzzy_pairs is top-5 expensive
+    # repo-wide, and a plan regression in any of them was invisible.
+    "part_name_fuzzy_pairs",
+    "stream_budget_admissions",
+    "doc_splits_by_neardup_cluster",
+    "corpus_budget_prefix",
+    "hourly_value_ohlc",
+    "embedding_arrow_stats",
 ]
 
 
