@@ -210,6 +210,37 @@ def compact_table(
     return before, _count(path)
 
 
+def _should_fan_out(df: DataFrame, parallelism: int) -> bool:
+    """Decide whether a CPU-bound staged write should ``repartition``
+    its input to the session parallelism first — WITHOUT finalizing the
+    physical plan (no ``.rdd``, which under AQE can execute upstream
+    stages; ADVICE r10).  Scan-like inputs report ~one partition per
+    input file, so fewer files than cores means the map stage would
+    under-parallelize.  Zero files means either an in-memory input
+    (createDataFrame local relation, parallelized RDD — a handful of
+    partitions, fan out) or shuffled lineage (already
+    ``shuffle.partitions`` tasks, don't): the ANALYZED logical plan
+    tells them apart at analysis time — a shuffle-introducing logical
+    node is visible before physical planning (ADVICE r11)."""
+    import re
+
+    try:
+        n_input_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - probe only tunes, never gates
+        n_input_files = 0
+    if n_input_files:
+        return n_input_files < parallelism
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 - probe only tunes, never gates
+        return False
+    return not re.search(
+        r"\b(Aggregate|Join|Window|Sort|Distinct|Deduplicate"
+        r"|Repartition|Intersect|Except)\b",
+        analyzed,
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -266,21 +297,10 @@ def write_zordered(
     # partition) would single-thread it: measured 1.4-2.6 s of a 3.6 s
     # write at 100k rows on local[32].  Fan the input out to the
     # session's parallelism first; at fact scale inputs already carry
-    # >= cores partitions and this is skipped.  The probe is
-    # ``inputFiles()`` (analysis-only plan walk), NOT
-    # ``df.rdd.getNumPartitions()``: touching ``.rdd`` finalizes the
-    # physical plan and under AQE can EXECUTE upstream shuffle stages,
-    # running the input once for the probe and again for the write
-    # (ADVICE r10).  Scan-like inputs parallelize ~one partition per
-    # file; a shuffled input (no/any files, but an upstream exchange)
-    # already carries shuffle.partitions tasks and skips the fan-out
-    # via the n_input_files=0 branch or the >= parallelism file count.
+    # >= cores partitions and this is skipped.  The decision is
+    # execution-free — see :func:`_should_fan_out`.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_input_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 - probe only tunes, never gates
-        n_input_files = 0
-    if 0 < n_input_files < parallelism:
+    if _should_fan_out(df, parallelism):
         staged = staged.repartition(parallelism)
     for i, c in enumerate(zorder_cols):
         # bucket = count of grid boundaries at-or-below the value

@@ -74,12 +74,26 @@ _DUCK_TYPE_FAMILY = {
 }
 
 
+def _decimal_family(s: str) -> str:
+    """Decimals compare on SCALE only: the engines widen SUM/AVG
+    precision differently (Spark decimal(22,2) vs DuckDB DECIMAL(38,2))
+    while ``fetchall``/``collect`` canonicalize both to ``Decimal``
+    values that the driver's value hasher treats identically — exact
+    precision-string equality would false-fail locally on queries the
+    driver passes (ADVICE r11).  Scale stays significant: it changes
+    the canonical string/quantum of the values themselves."""
+    import re
+
+    m = re.match(r"decimal\((\d+),(\d+)\)", s)
+    return f"decimal(scale={m.group(2)})" if m else s
+
+
 def spark_type_family(dtype: str) -> str:
     dtype = dtype.strip().lower()
     if dtype.startswith("array<") and dtype.endswith(">"):
         return f"array<{spark_type_family(dtype[6:-1])}>"
     if dtype.startswith("decimal"):
-        return dtype.replace(" ", "")
+        return _decimal_family(dtype.replace(" ", ""))
     return _SPARK_TYPE_FAMILY.get(dtype, dtype)
 
 
@@ -88,7 +102,7 @@ def duck_type_family(dtype) -> str:
     if s.endswith("[]"):
         return f"array<{duck_type_family(s[:-2])}>"
     if s.startswith("DECIMAL"):
-        return s.replace(" ", "").lower()
+        return _decimal_family(s.replace(" ", "").lower())
     return _DUCK_TYPE_FAMILY.get(s, s.lower())
 
 

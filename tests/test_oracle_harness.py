@@ -19,10 +19,18 @@ def test_type_families_align_on_common_types():
         ("double", "DOUBLE"), ("string", "VARCHAR"), ("boolean", "BOOLEAN"),
         ("date", "DATE"), ("timestamp", "TIMESTAMP"),
         ("decimal(38,2)", "DECIMAL(38,2)"),
+        # engines widen SUM/AVG decimal PRECISION differently while the
+        # canonicalized values are identical — scale is what matters
+        # (ADVICE r11: exact precision-string compare false-failed
+        # spark decimal(22,2) vs duck DECIMAL(38,2))
+        ("decimal(22,2)", "DECIMAL(38,2)"),
         ("array<bigint>", "INTEGER[]"),
     ]
     for s, d in pairs:
         assert spark_type_family(s) == duck_type_family(d), (s, d)
+    # scale differences stay significant: they change the values' quantum
+    assert spark_type_family("decimal(38,2)") != duck_type_family("DECIMAL(38,3)")
+    assert spark_type_family("decimal(10,0)") != duck_type_family("DECIMAL(10,2)")
 
 
 def test_hugeint_never_matches_a_spark_type():

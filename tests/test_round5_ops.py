@@ -150,6 +150,25 @@ def test_zordered_write_narrows_both_dimensions(spark, tmp_path):
     assert (got.n, got.s) == (want.n, want.s)
 
 
+def test_zorder_fanout_probe_input_shapes(spark):
+    """_should_fan_out (ADVICE r11): in-memory local relations DO get
+    the map-stage fan-out (the old inputFiles()==0 branch silently
+    single-threaded them), shuffled lineage does NOT (it already
+    carries shuffle.partitions tasks), few-file scans DO, and the
+    probe never executes the plan (no .rdd touch to test directly,
+    but a wrong answer here shows up as the 1.4-2.6s single-thread
+    cost the writer comment measures)."""
+    from interlinked_spark.sources.writers import _should_fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    local = spark.createDataFrame([(i, i * 2) for i in range(100)], "a int, b int")
+    assert _should_fan_out(local, par) is True
+    shuffled = local.groupBy("a").count()
+    assert _should_fan_out(shuffled, par) is False
+    scan = spark.read.parquet(f"{SF}/events.parquet")  # few files < cores
+    assert _should_fan_out(scan, par) is (len(scan.inputFiles()) < par)
+
+
 def test_budget_select_prefix_semantics(spark):
     """budget_select keeps exactly the hash-ordered prefix within the
     inclusive budget, per group; dict budgets exclude absent groups."""
