@@ -7369,6 +7369,175 @@ def q_stream_budget_admissions(spark: SparkSession, base_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round 12 — edit-distance join, regression/robust/decayed aggregates,
+# hard-negative mining
+# =====================================================================
+
+
+@defq(
+    "part_name_edit_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT p_partkey, p_brand AS brand,
+             regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g') AS s
+      FROM part)
+    SELECT a.brand AS brand, a.p_partkey AS l_id, b.p_partkey AS r_id,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS distance
+    FROM n a JOIN n b ON a.brand = b.brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+    p="table.part",
+)
+def q_part_name_edit_pairs(p: DataFrame) -> DataFrame:
+    """Edit-distance (Levenshtein <= 2) join within a brand (§2b-C):
+    typo-tolerant record linkage, the character-noise complement of
+    ``part_name_fuzzy_pairs``'s token-overlap Jaccard.  Engine =
+    ``operators/joins.py::edit_distance_join`` — q-gram COUNT-filtered
+    posting join (one edit destroys <= q distinct grams) + length
+    filter + short-string band, exact ``levenshtein`` only on
+    survivors; oracle = the brute-force within-brand pair scan with
+    the identical normalization."""
+    from .operators.joins import edit_distance_join
+
+    l = p.select(F.col("p_partkey").alias("l_id"), F.col("p_name").alias("l_name"),
+                 F.col("p_brand").alias("brand"))
+    r = p.select(F.col("p_partkey").alias("r_id"), F.col("p_name").alias("r_name"),
+                 F.col("p_brand").alias("brand"))
+    return edit_distance_join(
+        l, r, "l_name", "r_name", "l_id", "r_id",
+        max_distance=2, q=2, extra_on=["brand"], dedupe_self=True,
+    )
+
+
+@defq(
+    "user_value_trend",
+    oracle="""
+    SELECT user_id,
+           CAST(regr_count(value, epoch(ts) / 86400.0 - 19723) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch(ts) / 86400.0 - 19723), 6) AS slope,
+           ROUND(regr_intercept(value, epoch(ts) / 86400.0 - 19723), 6) AS intercept,
+           ROUND(regr_r2(value, epoch(ts) / 86400.0 - 19723), 6) AS r2
+    FROM events
+    GROUP BY user_id
+    """,
+    e="table.events",
+)
+def q_user_value_trend(e: DataFrame) -> DataFrame:
+    """Per-user linear trend of event value over time (§2b-D regression
+    family): SQL-standard ``regr_count/slope/intercept/r2`` aggregates —
+    JVM co-moment accumulators, ONE hash aggregate, no window
+    (``operators/aggregates.py::regression_agg``).  x is days since
+    2024-01-01 (timestamp->double keeps microseconds, epoch() parity;
+    the offset conditions the moments — raw epoch seconds at 1.7e9
+    would burn the co-moment precision the 6dp round needs)."""
+    from .operators.aggregates import regression_agg
+
+    x = F.col("ts").cast("double") / 86400.0 - 19723
+    return regression_agg(e, ["user_id"], x, "value")
+
+
+@defq(
+    "events_decayed_value",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value,
+             pow(2.0, -(epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts)) / 604800.0) AS wt
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(wt * value), 6) AS decayed_sum,
+           ROUND(SUM(wt), 6) AS decayed_count,
+           ROUND(SUM(wt * value) / SUM(wt), 6) AS decayed_mean
+    FROM w
+    GROUP BY user_id
+    """,
+    e="table.events",
+)
+def q_events_decayed_value(e: DataFrame) -> DataFrame:
+    """Per-user exponentially time-decayed value stats, half-life 7
+    days against a FIXED reference instant (§2b-D/E,
+    ``operators/timeseries.py::time_decayed_agg``): the feature-store
+    recency weighting that needs no window, no ordering and no
+    running-product blowup — one hash aggregate whose weight is a
+    per-row scalar.  The reference is an explicit literal (replay/
+    oracle determinism), never now()."""
+    from .operators.timeseries import time_decayed_agg
+
+    return time_decayed_agg(
+        e, ["user_id"], "ts", "value",
+        half_life_seconds=7 * 86400.0, ref_ts="2024-02-01 00:00:00",
+    )
+
+
+@defq(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY user_id),
+    dev AS (
+      SELECT e.user_id, abs(e.value - med.m) AS d, med.m AS m
+      FROM events e JOIN med USING (user_id)),
+    mad AS (
+      SELECT user_id, quantile_cont(d, 0.5) AS md
+      FROM dev GROUP BY user_id)
+    SELECT dev.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(dev.m), 6) AS median,
+           ROUND(ANY_VALUE(mad.md), 6) AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3 * 1.4826 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (user_id)
+    GROUP BY dev.user_id
+    """,
+    e="table.events",
+)
+def q_events_mad_outliers(e: DataFrame) -> DataFrame:
+    """Robust per-USER outlier summary via MAD (§2b-D robust stats,
+    ``operators/aggregates.py::mad_outlier_summary``): median, median
+    absolute deviation scaled by 1.4826 (normal-consistent sigma), and
+    the count beyond 3 scaled MADs.  This is the HIGH-CARDINALITY-group
+    regime of ``event_value_mad_outliers`` (per event_type, 3 groups):
+    that query broadcasts its tiny stats frames back twice, which stops
+    working when the group key is millions of entities — here the stats
+    join is AQE-chosen and the MAD window shares the final aggregate's
+    user_id partitioning (one exchange for both passes), the plan that
+    survives a per-user keyspace at 100 TB."""
+    from .operators.aggregates import mad_outlier_summary
+
+    return mad_outlier_summary(e, ["user_id"], "value", n_sigmas=3.0)
+
+
+@defq(
+    "embedding_hard_negatives",
+    oracle="""
+    SELECT anchor_id, negative_id, negative_label, cosine FROM (
+      SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+             c.label AS negative_label,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS rk
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND q.label != c.label
+      WHERE q.vec_id < 8
+    ) WHERE rk <= 5
+    """,
+    e="table.embeddings",
+)
+def q_embedding_hard_negatives(e: DataFrame) -> DataFrame:
+    """Hard-negative mining for contrastive training (§2b-K,
+    ``llm/similarity.py::hard_negative_mining``): per anchor, the 5
+    most-similar vectors with a DIFFERENT label — broadcast anchors,
+    JVM dot products, label filter BEFORE the per-anchor top-k window.
+    Oracle = brute-force label-mismatch scan with the identical
+    rounded-cosine/id tie order."""
+    from .llm.similarity import hard_negative_mining
+
+    return hard_negative_mining(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -132,6 +132,68 @@ _DIM_CACHE: dict = {}
 _DIM_CACHE_MAX = 256
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    min_cosine: float | None = None,
+    max_anchor_rows: int | None = 10_000,
+) -> DataFrame:
+    """Hard negatives for contrastive training (§2b-K): for each anchor
+    vector, the ``k`` corpus vectors MOST cosine-similar to it whose
+    ``label_col`` DIFFERS — the near-miss examples that teach an
+    embedding model its decision boundary (random negatives are too
+    easy; same-label neighbors are positives, not negatives).
+
+    Plan: the anchor set broadcasts (it is the model-training batch or
+    a bounded sample — ``max_anchor_rows`` guards misuse, same contract
+    as :func:`cosine_top_k`), dot products run JVM-side (``zip_with``),
+    the label-mismatch filter prunes BEFORE the per-anchor top-k window
+    (a WindowGroupLimit below the shuffle in Spark 3.5+).  The corpus
+    side streams: one scan, no shuffle of corpus rows except the
+    bounded per-anchor top-k exchange.  ``min_cosine`` optionally drops
+    easy negatives map-side (semi-hard mining), shrinking the window
+    input.  Ties break by neighbor id; cosine rounds to 6dp AFTER the
+    ordering decision, matching the SQL twin."""
+    if max_anchor_rows is not None:
+        probe = anchors.limit(max_anchor_rows + 1).count()
+        if probe > max_anchor_rows:
+            raise ValueError(
+                f"hard_negative_mining anchor side exceeds {max_anchor_rows} "
+                "rows; the plan broadcasts every anchor to every corpus "
+                "task. Mine in bounded anchor batches (the training-loop "
+                "shape), or raise/disable max_anchor_rows."
+            )
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("__alabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__clabel"),
+    )
+    scored = (
+        c.join(F.broadcast(a), on=F.col("anchor_id") != F.col("negative_id"))
+        .filter(F.col("__clabel") != F.col("__alabel"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity_vec(F.col("__av"), F.col("__cv")), 6)
+        )
+    )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= F.lit(float(min_cosine)))
+    return top_k_per_group(
+        scored.select("anchor_id", "negative_id", F.col("__clabel").alias("negative_label"), "cosine"),
+        ["anchor_id"],
+        [F.col("cosine").desc(), F.col("negative_id").asc()],
+        k,
+    )
+
+
 def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
     """Fitted (cached) BRP model for ``prepped``, or ``None`` when the
     frame is empty (BRP.fit throws on zero rows — an empty side of a

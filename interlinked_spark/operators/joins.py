@@ -158,12 +158,21 @@ def asof_join(
     return out
 
 
+def norm_string(col: Union[str, Column]) -> Column:
+    """Canonical string normalization shared by every string-matching
+    operator and its SQL oracle twin (lowercase, trim, collapse
+    whitespace) — the two sides must stay expression-identical."""
+    return F.regexp_replace(
+        F.lower(F.trim(F.col(col) if isinstance(col, str) else col)), r"\s+", " "
+    )
+
+
 def qgram_array(col: Union[str, Column], q: int = 3) -> Column:
     """Distinct character q-grams of a normalized string (lowercased,
     trimmed, whitespace collapsed); strings shorter than ``q`` yield
     one gram — the whole string.  Shared by :func:`fuzzy_string_join`
     and its SQL oracle twin (the two must stay expression-identical)."""
-    s = F.regexp_replace(F.lower(F.trim(F.col(col) if isinstance(col, str) else col)), r"\s+", " ")
+    s = norm_string(col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(q - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(q))))
 
@@ -176,6 +185,121 @@ def qgram_array_sql(expr: str, q: int = 3) -> str:
         f"range(1, greatest(len({s}) - {q - 1}, 1) + 1), "
         f"i -> substr({s}, i, {q})))"
     )
+
+
+def _fuzzy_frames(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    threshold: float,
+    q: int,
+    extra: list,
+    dedupe_self: bool,
+    max_qgram_df: Optional[int],
+    prefix_filter: bool,
+    checkpoint_mode: str,
+):
+    """Shared candidate-generation pipeline for :func:`fuzzy_string_join`
+    and :func:`fuzzy_candidate_stats` — returns ``(lg, rg, lpost, rpost,
+    cand)`` where ``cand`` is the RAW posting-join output (pre-distinct,
+    post ``dedupe_self``): its row count is the candidate MASS the
+    prefix filter exists to cut."""
+
+    def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
+        return side.select(
+            F.col(id_col), *extra, qgram_array(col, q).alias("__gr")
+        ).withColumn("__n", F.size("__gr"))
+
+    def postings(gf: DataFrame, id_col: str) -> DataFrame:
+        if prefix_filter:
+            # Global canonical gram order = md5(gram): deterministic,
+            # data-independent (df-ascending would be optimal but costs
+            # a frequency pass; md5 decorrelates from the text either
+            # way).  Prefix length |g| - ceil(t|g|) + 1.
+            plen = (
+                F.col("__n")
+                - F.ceil(F.lit(float(threshold)) * F.col("__n")).cast("int")
+                + F.lit(1)
+            )
+            ordered = F.transform(
+                F.array_sort(
+                    F.transform(
+                        "__gr", lambda g: F.struct(F.md5(g).alias("h"), g.alias("g"))
+                    )
+                ),
+                lambda s: s["g"],
+            )
+            grams = F.slice(ordered, F.lit(1), plen)
+        else:
+            grams = F.col("__gr")
+        return gf.select(id_col, *extra, F.explode(grams).alias("__g"))
+
+    # Each gram frame feeds BOTH the posting explode and the exact-
+    # Jaccard verify join; without truncation the base scan + normalize
+    # + shingle lineage re-runs for each consumer (twice per side — at
+    # 100 TB the scan IS the cost).  Same policy as the dedup family
+    # (llm/dedup.py): localCheckpoint by default, "reliable" on a real
+    # cluster (see operators/checkpointing.py for the trade).
+    lg = materialize(gram_frame(left, left_col, left_id), checkpoint_mode)
+    rg = materialize(gram_frame(right, right_col, right_id), checkpoint_mode)
+    lpost, rpost = postings(lg, left_id), postings(rg, right_id)
+    if max_qgram_df is not None:
+        hot = (
+            lpost.select("__g")
+            .unionByName(rpost.select("__g"))
+            .groupBy("__g")
+            .count()
+            .filter(F.col("count") > max_qgram_df)
+            .select("__g")
+        )
+        lpost = lpost.join(F.broadcast(hot), "__g", "left_anti")
+        rpost = rpost.join(F.broadcast(hot), "__g", "left_anti")
+    cand = lpost.join(rpost, ["__g", *extra])
+    if dedupe_self:
+        cand = cand.filter(F.col(left_id) < F.col(right_id))
+    return lg, rg, lpost, rpost, cand
+
+
+def fuzzy_candidate_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.5,
+    q: int = 3,
+    extra_on: Optional[Sequence[str]] = None,
+    dedupe_self: bool = False,
+    max_qgram_df: Optional[int] = None,
+    prefix_filter: bool = True,
+    checkpoint_mode: str = "local",
+) -> dict:
+    """Diagnostic twin of :func:`fuzzy_string_join`: instead of the
+    verified pairs, return the pipeline's volume counters as driver
+    scalars — posting rows per side, raw candidate mass (posting-join
+    output, pre-distinct), and distinct candidate pairs (= exact-Jaccard
+    verifications that would run).  This is the A/B instrument for the
+    prefix filter's claimed cut (``prefix_filter`` on vs off); the
+    counts are what an operator would watch before unleashing the join
+    on a 100-TB corpus."""
+    extra = list(extra_on or [])
+    _lg, _rg, lpost, rpost, cand = _fuzzy_frames(
+        left, right, left_col, right_col, left_id, right_id,
+        threshold, q, extra, dedupe_self, max_qgram_df, prefix_filter,
+        checkpoint_mode,
+    )
+    return {
+        "postings_left": lpost.count(),
+        "postings_right": rpost.count(),
+        "candidate_mass": cand.count(),
+        "candidate_pairs": (
+            cand.select(left_id, right_id, *extra).distinct().count()
+        ),
+    }
 
 
 def fuzzy_string_join(
@@ -231,60 +355,12 @@ def fuzzy_string_join(
     knob as the dedup family) because it feeds both the posting explode
     and the verification join — one base scan + shingle pass per side
     instead of two."""
+    lg, rg, _lpost, _rpost, cand = _fuzzy_frames(
+        left, right, left_col, right_col, left_id, right_id,
+        threshold, q, list(extra_on or []), dedupe_self,
+        max_qgram_df, prefix_filter, checkpoint_mode,
+    )
     extra = list(extra_on or [])
-
-    def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
-        return side.select(
-            F.col(id_col), *extra, qgram_array(col, q).alias("__gr")
-        ).withColumn("__n", F.size("__gr"))
-
-    def postings(gf: DataFrame, id_col: str) -> DataFrame:
-        if prefix_filter:
-            # Global canonical gram order = md5(gram): deterministic,
-            # data-independent (df-ascending would be optimal but costs
-            # a frequency pass; md5 decorrelates from the text either
-            # way).  Prefix length |g| - ceil(t|g|) + 1.
-            plen = (
-                F.col("__n")
-                - F.ceil(F.lit(float(threshold)) * F.col("__n")).cast("int")
-                + F.lit(1)
-            )
-            ordered = F.transform(
-                F.array_sort(
-                    F.transform(
-                        "__gr", lambda g: F.struct(F.md5(g).alias("h"), g.alias("g"))
-                    )
-                ),
-                lambda s: s["g"],
-            )
-            grams = F.slice(ordered, F.lit(1), plen)
-        else:
-            grams = F.col("__gr")
-        return gf.select(id_col, *extra, F.explode(grams).alias("__g"))
-
-    # Each gram frame feeds BOTH the posting explode and the exact-
-    # Jaccard verify join; without truncation the base scan + normalize
-    # + shingle lineage re-runs for each consumer (twice per side — at
-    # 100 TB the scan IS the cost).  Same policy as the dedup family
-    # (llm/dedup.py): localCheckpoint by default, "reliable" on a real
-    # cluster (see operators/checkpointing.py for the trade).
-    lg = materialize(gram_frame(left, left_col, left_id), checkpoint_mode)
-    rg = materialize(gram_frame(right, right_col, right_id), checkpoint_mode)
-    lpost, rpost = postings(lg, left_id), postings(rg, right_id)
-    if max_qgram_df is not None:
-        hot = (
-            lpost.select("__g")
-            .unionByName(rpost.select("__g"))
-            .groupBy("__g")
-            .count()
-            .filter(F.col("count") > max_qgram_df)
-            .select("__g")
-        )
-        lpost = lpost.join(F.broadcast(hot), "__g", "left_anti")
-        rpost = rpost.join(F.broadcast(hot), "__g", "left_anti")
-    cand = lpost.join(rpost, ["__g", *extra])
-    if dedupe_self:
-        cand = cand.filter(F.col(left_id) < F.col(right_id))
     cand = cand.select(left_id, right_id, *extra).distinct()
     verified = cand.join(
         lg.select(left_id, F.col("__gr").alias("__lgr"), F.col("__n").alias("__ln")),
@@ -298,4 +374,108 @@ def fuzzy_string_join(
     return (
         verified.filter(jac >= F.lit(float(threshold)))
         .select(*extra, left_id, right_id, F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 2,
+    q: int = 2,
+    extra_on: Optional[Sequence[str]] = None,
+    dedupe_self: bool = False,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Edit-distance (Levenshtein) similarity join: pairs of rows whose
+    NORMALIZED strings (:func:`norm_string`) are within ``max_distance``
+    edits — typo-tolerant record linkage, the complement of
+    :func:`fuzzy_string_join`'s token-overlap notion (Jaccard tolerates
+    word reordering, edit distance tolerates character noise).
+
+    Scale posture — never the cartesian: candidates come from a q-gram
+    COUNT filter (the classic Ed-Join/qgram-join bound): one edit
+    operation can destroy at most ``q`` distinct q-grams, so a pair
+    within ``d`` edits shares at least ``max(|Gx|,|Gy|) - q*d`` distinct
+    grams.  The posting equi-join (gram + ``extra_on`` blocking keys)
+    counts shared grams per pair in ONE aggregation, the count filter
+    prunes before any string comparison, and a normalized-length filter
+    (``| |x|-|y| | <= d`` — each edit changes length by at most 1)
+    stacks on top.  Strings too short for the bound to bite
+    (``|G| <= q*d``, i.e. at most ~``q*d + q - 1`` chars) can share ZERO
+    grams with a valid partner, so they go through a separate
+    short-string band: length-banded pairs within the blocking keys —
+    a bounded set (the short-string population of a corpus is finite
+    and the band is +-d characters), unioned in before verification.
+    Verification is exact ``levenshtein`` on the normalized strings —
+    JVM-side, only on surviving candidates.
+
+    Exact (100% recall) by construction: both filters are necessary
+    conditions for ``ed <= d``.  Returns ``extra_on + (left_id,
+    right_id, distance)``.  ``dedupe_self=True`` keeps ``left_id <
+    right_id`` (self-join case).  Gram frames are materialized
+    (``checkpoint_mode``) — they feed postings, the short band, and
+    verification."""
+    extra = list(extra_on or [])
+    d = int(max_distance)
+
+    def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
+        s = norm_string(col)
+        return materialize(
+            side.select(
+                F.col(id_col), *extra,
+                s.alias("__s"),
+                F.length(s).alias("__len"),
+                qgram_array(col, q).alias("__gr"),
+            ).withColumn("__n", F.size("__gr")),
+            checkpoint_mode,
+        )
+
+    lg = gram_frame(left, left_col, left_id)
+    rg = gram_frame(right, right_col, right_id)
+
+    def postings(gf: DataFrame, id_col: str) -> DataFrame:
+        return gf.select(
+            id_col, *extra, F.col("__n"), F.col("__len"),
+            F.explode("__gr").alias("__g"),
+        )
+
+    lpost = postings(lg, left_id).withColumnRenamed("__n", "__ln").withColumnRenamed("__len", "__llen")
+    rpost = postings(rg, right_id).withColumnRenamed("__n", "__rn").withColumnRenamed("__len", "__rlen")
+    counted = (
+        lpost.join(rpost, ["__g", *extra])
+        .filter(F.abs(F.col("__llen") - F.col("__rlen")) <= d)
+        .groupBy(left_id, right_id, *extra)
+        .agg(
+            F.count("*").alias("__shared"),
+            F.first("__ln").alias("__ln"),
+            F.first("__rn").alias("__rn"),
+        )
+        .filter(F.col("__shared") >= F.greatest("__ln", "__rn") - F.lit(q * d))
+        .select(left_id, right_id, *extra)
+    )
+    # Short-string band: |G| <= q*d strings can evade the posting join
+    # entirely (a valid pair may share zero grams).  Any partner must
+    # ALSO be short — ed <= d bounds the length gap by d and gram count
+    # grows with length — so the band is short x short within the
+    # blocking keys, never short x corpus.
+    ls = lg.filter(F.col("__n") <= q * d).select(left_id, *extra, F.col("__len").alias("__llen"))
+    rs = rg.filter(F.col("__n") <= q * d).select(right_id, *extra, F.col("__len").alias("__rlen"))
+    short = (
+        ls.join(rs, extra) if extra else ls.crossJoin(rs)
+    ).filter(F.abs(F.col("__llen") - F.col("__rlen")) <= d).select(left_id, right_id, *extra)
+
+    cand = counted.unionByName(short).distinct()
+    if dedupe_self:
+        cand = cand.filter(F.col(left_id) < F.col(right_id))
+    verified = cand.join(
+        lg.select(left_id, F.col("__s").alias("__lstr")), left_id
+    ).join(rg.select(right_id, F.col("__s").alias("__rstr")), right_id)
+    dist = F.levenshtein("__lstr", "__rstr")
+    return (
+        verified.filter(dist <= d)
+        .select(*extra, left_id, right_id, dist.alias("distance"))
     )

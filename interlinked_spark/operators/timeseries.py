@@ -74,3 +74,41 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def time_decayed_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+    ref_ts: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exponential time-decayed aggregate per group (§2b-D/E): each
+    row weighs ``2^(-(ref - t) / half_life)``, outputs the decayed sum,
+    decayed count (sum of weights) and decayed mean — the feature-store
+    staple ("clicks, recency-weighted, half-life 7 days") that replaces
+    arbitrary trailing-window cutoffs with smooth recency.
+
+    ``ref_ts`` is an EXPLICIT timestamp literal (e.g. ``"2024-07-01
+    00:00:00"``), never now(): the same input must produce the same
+    output on every run/engine (replay, backfill, oracle parity).
+
+    Scale: the weight is a per-row scalar against a FIXED reference —
+    so this is ONE hash aggregate (partial + final), no window, no
+    per-group ordering, and no running-product numeric blowup (the
+    recursive EWMA formulation overflows ``(1-a)^-n``; anchoring to
+    ``ref_ts`` keeps every exponent bounded by the data's time span).
+    Rows after ``ref_ts`` get weight > 1 by the same formula —
+    callers wanting a strict horizon filter first."""
+    # timestamp -> double keeps the fractional microseconds (DuckDB
+    # epoch() parity); unix_timestamp would silently floor to seconds.
+    age = F.to_timestamp(F.lit(ref_ts)).cast("double") - F.col(ts_col).cast("double")
+    w = F.pow(F.lit(2.0), -age / F.lit(float(half_life_seconds)))
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(w * F.col(value_col)), round_dp).alias("decayed_sum"),
+        F.round(F.sum(w), round_dp).alias("decayed_count"),
+        F.round(F.sum(w * F.col(value_col)) / F.sum(w), round_dp).alias("decayed_mean"),
+    )

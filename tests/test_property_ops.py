@@ -724,3 +724,59 @@ def test_fuzzy_join_matches_python_reference(sp, left, right, threshold):
                                    threshold=min(threshold + 0.2, 1.0)).collect()
     }
     assert stricter <= got
+
+@given(
+    left=st.lists(st.text(alphabet="ab c", min_size=1, max_size=8),
+                  min_size=0, max_size=6),
+    right=st.lists(st.text(alphabet="ab c", min_size=1, max_size=8),
+                   min_size=0, max_size=6),
+    d=st.sampled_from([0, 1, 2]),
+)
+@OP_SETTINGS
+def test_edit_distance_join_matches_python_reference(sp, left, right, d):
+    """edit_distance_join == brute-force Levenshtein over the cross
+    product of normalized strings — the q-gram count filter and the
+    short-string band must cost ZERO recall at any distance; a tighter
+    distance's pairs are a subset."""
+    from interlinked_spark.operators.joins import edit_distance_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def norm(s):
+        return " ".join(s.lower().strip().split())
+
+    l = sp.createDataFrame(
+        list(enumerate(left)) or [(None, None)], "lid int, ls string"
+    ).filter(F.col("lid").isNotNull())
+    r = sp.createDataFrame(
+        list(enumerate(right)) or [(None, None)], "rid int, rs string"
+    ).filter(F.col("rid").isNotNull())
+    got = {
+        (x.lid, x.rid, x.distance)
+        for x in edit_distance_join(l, r, "ls", "rs", "lid", "rid",
+                                    max_distance=d, q=2).collect()
+    }
+    want = {
+        (i, j, lev(norm(a), norm(b)))
+        for i, a in enumerate(left)
+        for j, b in enumerate(right)
+        if lev(norm(a), norm(b)) <= d
+    }
+    assert got == want
+
+    if d > 0:
+        tighter = {
+            (x.lid, x.rid)
+            for x in edit_distance_join(l, r, "ls", "rs", "lid", "rid",
+                                        max_distance=d - 1, q=2).collect()
+        }
+        assert tighter <= {(i, j) for i, j, _ in got}
