@@ -330,6 +330,13 @@ def main() -> None:
         "source_scorecard",
         "doc_bpe_merges",
         "doc_bpe_token_counts",
+        # round 12: edit-distance ER join + aggregate-family demos +
+        # hard-negative mining (broadcast anchor batch is the demo cost)
+        "part_name_edit_pairs",
+        "user_value_trend",
+        "events_decayed_value",
+        "events_mad_outliers",
+        "embedding_hard_negatives",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -327,8 +327,12 @@ def fuzzy_string_join(
     indexes only its first ``|g| - ceil(t*|g|) + 1`` grams — EXACT,
     because a pair with J >= t shares >= ceil(t*|x|) grams per side,
     so its globally-smallest shared gram must sit inside BOTH
-    prefixes.  At t=0.5 that halves posting volume and quarters
-    candidate mass.  The posting equi-join (on the gram + ``extra_on``
+    prefixes.  Measured at t=0.5 on the part corpus (SCALING.json
+    ``fuzzy_prefix_filter_ab``): 0.60x posting volume, 0.54x raw
+    candidate mass vs indexing every gram — it halves both (the
+    earlier "quarters candidate mass" estimate overshot; blocking
+    keys already absorb part of the cut).  The posting equi-join (on
+    the gram + ``extra_on``
     exact blocking keys — the standard ER practice: block on
     brand/zip/etc.) yields DISTINCT candidate pairs; verification then
     computes exact Jaccard from the two full gram ARRAYS

@@ -116,6 +116,14 @@ EXTENDED = [
     "corpus_budget_prefix",
     "hourly_value_ohlc",
     "embedding_arrow_stats",
+    # round-12 additions: every new query enters the gate the round it
+    # ships (the r11 lesson — a regression in an ungated plan is
+    # invisible until it costs a bench round).
+    "part_name_edit_pairs",
+    "user_value_trend",
+    "events_decayed_value",
+    "events_mad_outliers",
+    "embedding_hard_negatives",
 ]
 
 

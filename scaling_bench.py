@@ -184,6 +184,14 @@ HEAVY = [
     # admissions, batch-partition rewrite) should stay ~flat while the
     # corpus grows k-fold.
     ("stream_budget_admissions", None),
+    # round 12 (r11 verdict item 5): the entity-resolution fuzzy join.
+    # Scaled part copies shift p_partkey and suffix every p_name token
+    # per copy (zero shared grams across copies, same design as
+    # documents) while brands stay shared — so per-(brand, gram)
+    # document frequency is constant and both posting volume and true
+    # pairs grow exactly k-fold: the posting-join design claim is
+    # ~linear, NOT the quadratic a within-brand cartesian would show.
+    ("part_name_fuzzy_pairs", None),
 ]
 
 
@@ -244,6 +252,46 @@ def scaled_embeddings(spark: SparkSession, base: str, k: int):
     return out
 
 
+def scaled_part(spark: SparkSession, base: str, k: int):
+    """k-fold part copies: shifted p_partkey, p_name mapped through a
+    PER-COPY DISJOINT alphabet (a-z -> a private Unicode block per
+    copy), brands SHARED across copies (the blocking key's per-brand
+    population grows k-fold, which is the honest stress:
+    brand-disjoint copies would hand the join k independent problems).
+
+    Why alphabet remapping and not the documents-style ``_cj`` token
+    suffix: the fuzzy/edit joins shingle CHARACTERS, and a suffixed
+    token ("small_c1" vs "small_c2") still shares most of its 3-grams
+    — the first measured run scored a bogus exponent 2.08 because
+    every copy's names were cross-copy similar at J >= 0.5.  A
+    bijective character map preserves within-copy gram Jaccard and
+    edit distance EXACTLY while making cross-copy gram sets disjoint
+    (every letter is copy-private; spaces survive but every 3-gram
+    contains a letter), so per-(brand, gram) df stays constant and
+    true pairs grow exactly k-fold."""
+    part = spark.read.parquet(f"{base}/part.parquet")
+    src = "abcdefghijklmnopqrstuvwxyz"
+    parts = [part]
+    for j in range(1, k):
+        dst = "".join(chr(0x3B1 + 0x80 * j + i) for i in range(26))
+        parts.append(
+            part.select(
+                *[
+                    (F.col("p_partkey") + F.lit(j * ID_STRIDE)).alias("p_partkey")
+                    if c == "p_partkey"
+                    else F.translate(F.lower("p_name"), src, dst).alias("p_name")
+                    if c == "p_name"
+                    else F.col(c)
+                    for c in part.columns
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def scaled_id_shift(
     spark: SparkSession, base: str, table: str, id_cols: list[str], k: int
 ):
@@ -290,7 +338,7 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
         out = os.path.join(cache, f"x{k}")
         # versioned marker: bumping it invalidates cache dirs built
         # under an older SHIFTED/perturbation layout
-        if os.path.exists(os.path.join(out, "_DONE_v2")):
+        if os.path.exists(os.path.join(out, "_DONE_v4")):
             return out
         if os.path.exists(out):  # stale (old-layout or partial) build
             shutil.rmtree(out)
@@ -303,16 +351,19 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
     scaled_embeddings(spark, base, k).repartition(4).write.parquet(
         f"{out}/embeddings.parquet"
     )
+    scaled_part(spark, base, k).repartition(4).write.parquet(
+        f"{out}/part.parquet"
+    )
     for t, id_cols in SHIFTED.items():
         scaled_id_shift(spark, base, t, id_cols, k).repartition(8).write.parquet(
             f"{out}/{t}.parquet"
         )
     for t in TABLES:
-        if t in ("documents", "embeddings", *SHIFTED):
+        if t in ("documents", "embeddings", "part", *SHIFTED):
             continue
         os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     if cache:
-        Path(out, "_DONE_v2").touch()
+        Path(out, "_DONE_v4").touch()
     return out
 
 
@@ -372,6 +423,36 @@ def candidate_mass_sweep(spark: SparkSession, n: int) -> dict:
             "n_buckets": int(row.n_buckets),
         }
     emb.unpersist()
+    return out
+
+
+def fuzzy_prefix_ab(spark: SparkSession, sf_dir: str) -> dict:
+    """Prefix-filter A/B on the part_name_fuzzy_pairs shape (r11 verdict
+    item 5): the SSJoin prefix filter's value is CLAIMED as 'halves
+    posting volume, quarters candidate mass' — this measures it.  Both
+    arms use the catalog query's exact parameters (t=0.5, q=3, brand
+    blocking, self-dedupe); identical verified-pair recall is a theorem
+    (the filter is exact), so only the volume counters differ."""
+    from interlinked_spark.operators.joins import fuzzy_candidate_stats
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    l = p.select(F.col("p_partkey").alias("l_id"), F.col("p_name").alias("l_name"),
+                 F.col("p_brand").alias("brand"))
+    r = p.select(F.col("p_partkey").alias("r_id"), F.col("p_name").alias("r_name"),
+                 F.col("p_brand").alias("brand"))
+    out = {}
+    for arm, flag in (("prefix_on", True), ("prefix_off", False)):
+        out[arm] = fuzzy_candidate_stats(
+            l, r, "l_name", "r_name", "l_id", "r_id",
+            threshold=0.5, q=3, extra_on=["brand"], dedupe_self=True,
+            prefix_filter=flag,
+        )
+    on, off = out["prefix_on"], out["prefix_off"]
+    out["posting_ratio"] = round(
+        (on["postings_left"] + on["postings_right"])
+        / max(off["postings_left"] + off["postings_right"], 1), 3)
+    out["candidate_mass_ratio"] = round(
+        on["candidate_mass"] / max(off["candidate_mass"], 1), 3)
     return out
 
 
@@ -466,6 +547,13 @@ def main() -> None:
             ),
             flush=True,
         )
+    fuzzy_ab = None
+    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_FUZZY_AB"):
+        fuzzy_ab = fuzzy_prefix_ab(spark, base)
+        print(
+            json.dumps({"fuzzy_prefix_filter_ab": fuzzy_ab}, separators=(",", ":")),
+            flush=True,
+        )
 
     out_file = Path(__file__).resolve().parent / "SCALING.json"
     if only and out_file.exists():
@@ -483,6 +571,8 @@ def main() -> None:
             payload["base_sf_dir"] = base
             if mass is not None:
                 payload["decorrelated_candidate_mass"] = mass
+            if fuzzy_ab is not None:
+                payload["fuzzy_prefix_filter_ab"] = fuzzy_ab
         except (json.JSONDecodeError, OSError, KeyError):
             payload = {
                 "metric": "scaling_exponents",
@@ -501,6 +591,8 @@ def main() -> None:
         }
         if mass is not None:
             payload["decorrelated_candidate_mass"] = mass
+        if fuzzy_ab is not None:
+            payload["fuzzy_prefix_filter_ab"] = fuzzy_ab
     out_file.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
