@@ -156,8 +156,10 @@ def hard_negative_mining(
     side streams: one scan, no shuffle of corpus rows except the
     bounded per-anchor top-k exchange.  ``min_cosine`` optionally drops
     easy negatives map-side (semi-hard mining), shrinking the window
-    input.  Ties break by neighbor id; cosine rounds to 6dp AFTER the
-    ordering decision, matching the SQL twin."""
+    input.  Cosine rounds to 6dp BEFORE the top-k window orders on it
+    (ties at the rounded value break by neighbor id) — the SQL twin
+    orders by the same rounded value, so the k-th boundary cannot flip
+    across engines."""
     if max_anchor_rows is not None:
         probe = anchors.limit(max_anchor_rows + 1).count()
         if probe > max_anchor_rows:

@@ -221,24 +221,39 @@ def _should_fan_out(df: DataFrame, parallelism: int) -> bool:
     partitions, fan out) or shuffled lineage (already
     ``shuffle.partitions`` tasks, don't): the ANALYZED logical plan
     tells them apart at analysis time — a shuffle-introducing logical
-    node is visible before physical planning (ADVICE r11)."""
-    import re
+    node is visible before physical planning (ADVICE r11).
 
+    The probe walks the analyzed plan's NODE tree (``nodeName`` per
+    TreeNode, ADVICE r12) rather than regexing ``toString()`` — a
+    capitalized word inside an alias or string literal ("Join me")
+    can't false-positive, and the match set is exact node names, not
+    substrings.  Performance-only heuristic either way: a wrong answer
+    costs one avoidable (or one missing) repartition, never rows."""
     try:
         n_input_files = len(df.inputFiles())
     except Exception:  # noqa: BLE001 - probe only tunes, never gates
         n_input_files = 0
     if n_input_files:
         return n_input_files < parallelism
+    shuffling = (
+        "Aggregate", "Join", "Window", "Sort", "Distinct", "Deduplicate",
+        "DeduplicateWithinWatermark", "Repartition", "RepartitionByExpression",
+        "Intersect", "Except", "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas", "FlatMapGroupsWithState", "CoGroup",
+        "MapGroups", "GlobalLimit",
+    )
     try:
-        analyzed = df._jdf.queryExecution().analyzed().toString()
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in shuffling:
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
     except Exception:  # noqa: BLE001 - probe only tunes, never gates
         return False
-    return not re.search(
-        r"\b(Aggregate|Join|Window|Sort|Distinct|Deduplicate"
-        r"|Repartition|Intersect|Except)\b",
-        analyzed,
-    )
+    return True
 
 
 def write_zordered(

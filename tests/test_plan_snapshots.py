@@ -14,6 +14,21 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
+def test_extended_names_have_snapshot_files():
+    """Commit-time tripwire (r12 verdict item 6): every name registered
+    in ``plan_snapshots.EXTENDED`` must already have a ``PLANS/<name>.txt``
+    file.  Runs in milliseconds with no Spark session, so adding a query
+    to the gate without running ``python plan_snapshots.py`` fails
+    instantly instead of 18 minutes into the full suite."""
+    import plan_snapshots as ps
+
+    missing = [n for n in ps.EXTENDED if not (ps.PLANS_DIR / f"{n}.txt").exists()]
+    assert not missing, (
+        f"EXTENDED names lack PLANS snapshots — run `python plan_snapshots.py` "
+        f"and commit the new files: {missing}"
+    )
+
+
 def test_headline_plans_match_snapshots(spark):
     import plan_snapshots as ps
 

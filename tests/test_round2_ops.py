@@ -424,6 +424,9 @@ def test_whole_catalog_plan_audit(spark):
         "doc_nb_lang_predictions",  # labels x vocab model grid + broadcast |labels|-row prior frame
         "orders_lineitem_join_size",  # cross join of ONE-ROW total/count frames
         "source_scorecard",        # broadcast ONE-ROW corpus token total
+        # deliberate broadcast brute-force (anchors x corpus on !=),
+        # 10k anchor guard; IVF is the documented scale path
+        "embedding_hard_negatives",
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
