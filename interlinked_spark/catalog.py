@@ -7407,6 +7407,7 @@ def q_part_name_edit_pairs(p: DataFrame) -> DataFrame:
     return edit_distance_join(
         l, r, "l_name", "r_name", "l_id", "r_id",
         max_distance=2, q=2, extra_on=["brand"], dedupe_self=True,
+        same_side=True,
     )
 
 
@@ -7536,6 +7537,212 @@ def q_embedding_hard_negatives(e: DataFrame) -> DataFrame:
     from .llm.similarity import hard_negative_mining
 
     return hard_negative_mining(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+# =====================================================================
+# Round 13 — rolling anomaly scores, Markov transitions, soft-TF-IDF
+# entity resolution, interval-overlap join, shingle containment
+# =====================================================================
+
+
+@defq(
+    "events_rolling_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+        AVG(value) OVER win AS m,
+        STDDEV_SAMP(value) OVER win AS s,
+        COUNT(value) OVER win AS c
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           ROUND(m, 6) AS roll_mean,
+           ROUND(s, 6) AS roll_std,
+           ROUND(CASE WHEN c >= 5 AND s > 0 THEN (value - m) / s END, 6) AS zscore,
+           CASE WHEN c >= 5 AND s > 0
+                THEN ABS((value - m) / s) > 3.0 END AS is_outlier
+    FROM w
+    """,
+    e="table.events",
+)
+def q_events_rolling_zscore(e: DataFrame) -> DataFrame:
+    """Rolling-window anomaly scores (§2b-E,
+    ``operators/timeseries.py::rolling_zscore``): each event's z-score
+    against its user's PRECEDING 20 observations (frame [-20, -1] — a
+    spike never inflates its own baseline; the streaming-friendly
+    complement of ``events_mad_outliers``'s global robust stats).  One
+    shuffle on user_id; NULL z below 5 predecessors or at zero spread.
+    Oracle = the identical SQL window."""
+    from .operators.timeseries import rolling_zscore
+
+    return rolling_zscore(
+        e.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], ["ts", "event_id"], "value",
+        window_rows=20, min_periods=5, n_sigmas=3.0,
+    )
+
+
+@defq(
+    "user_event_transitions",
+    oracle="""
+    WITH nx AS (
+      SELECT event_type AS from_state,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      FROM events
+    ), cnt AS (
+      SELECT from_state, to_state, COUNT(*) AS n
+      FROM nx WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 6) AS prob
+    FROM cnt
+    """,
+    e="table.events",
+)
+def q_user_event_transitions(e: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (§2b-E, ``operators/timeseries.py::transition_counts``): lead() per
+    user (ONE shuffle, session boundaries never leak across users),
+    bigram hash aggregate, row-normalized on the |states|^2-row result.
+    Oracle = the identical lead + count + normalizing window."""
+    from .operators.timeseries import transition_counts
+
+    return transition_counts(e, ["user_id"], ["ts", "event_id"], "event_type")
+
+
+@defq(
+    "part_name_softtfidf_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT p_partkey AS id, p_brand AS brand, t.tok
+      FROM part, UNNEST(string_split_regex(
+        regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g'), ' ')) AS t(tok)
+    ), dfq AS (
+      SELECT tok, COUNT(*) AS dfc FROM tok GROUP BY 1
+    ), w AS (
+      SELECT tok.id, tok.brand, tok.tok,
+             ln((SELECT COUNT(*) FROM part) * 1.0 / dfc) AS idf
+      FROM tok JOIN dfq USING (tok)
+    ), norms AS (
+      SELECT id, SQRT(SUM(idf * idf)) AS nrm FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.brand AS brand, a.id AS left_id, b.id AS right_id,
+             SUM(a.idf * b.idf) AS dp
+      FROM w a JOIN w b ON a.tok = b.tok AND a.brand = b.brand AND a.id < b.id
+      GROUP BY 1, 2, 3
+    )
+    SELECT brand, left_id, right_id,
+           ROUND(dp / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON left_id = na.id JOIN norms nb ON right_id = nb.id
+    WHERE dp / (na.nrm * nb.nrm) >= 0.7
+    """,
+    p="table.part",
+)
+def q_part_name_softtfidf_pairs(p: DataFrame) -> DataFrame:
+    """TF-IDF-weighted token-set cosine ER join within a brand (§2b-C,
+    ``operators/joins.py::soft_tfidf_self_join``): shared RARE tokens
+    drive the match score, shared boilerplate barely counts — the
+    idf-weighted complement of the unweighted-Jaccard
+    ``part_name_fuzzy_pairs``.  Token-posting self-join candidates
+    (exact: score > 0 needs a shared token), ONE dot-product aggregate,
+    corpus size as a broadcast ONE-ROW frame.  Oracle = the identical
+    CTE pipeline."""
+    from .operators.joins import soft_tfidf_self_join
+
+    return soft_tfidf_self_join(
+        p, "p_name", "p_partkey", threshold=0.7, extra_on=["p_brand"],
+    ).withColumnRenamed("p_brand", "brand")
+
+
+@defq(
+    "lineitem_shipping_overlaps",
+    oracle="""
+    WITH iv AS (
+      SELECT l_orderkey * 10 + l_linenumber AS line_id,
+             l_suppkey, l_partkey, l_shipdate AS s,
+             l_shipdate + INTERVAL 1 DAY * (CAST(l_quantity AS INT) % 7 + 1) AS e
+      FROM lineitem
+    )
+    SELECT a.l_suppkey AS supp, a.l_partkey AS part,
+           a.line_id AS l_id, b.line_id AS r_id,
+           ROUND(epoch(least(a.e, b.e) - greatest(a.s, b.s)), 6) AS overlap_seconds
+    FROM iv a JOIN iv b
+      ON a.l_suppkey = b.l_suppkey AND a.l_partkey = b.l_partkey
+     AND a.line_id < b.line_id AND a.s <= b.e AND b.s <= a.e
+    """,
+    li="table.lineitem",
+)
+def q_lineitem_shipping_overlaps(li: DataFrame) -> DataFrame:
+    """Interval-overlap join (§2b-C,
+    ``operators/joins.py::interval_overlap_join``): pairs of lineitems
+    for the SAME (supplier, part) whose shipping windows [shipdate,
+    shipdate + 1..7 days] intersect — concurrent-shipment detection.
+    Never a theta-only join: intervals explode to week buckets,
+    equi-join on (bucket, supp, part), exact overlap filter, distinct.
+    Oracle = the brute-force within-key overlap scan."""
+    from .operators.joins import interval_overlap_join
+
+    iv = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_partkey").alias("part"),
+        F.col("l_shipdate").alias("s"),
+        (
+            F.col("l_shipdate")
+            + F.make_dt_interval(days=F.col("l_quantity").cast("int") % 7 + 1)
+        ).alias("e"),
+    )
+    l = iv.select(F.col("line_id").alias("l_id"), "supp", "part", "s", "e")
+    r = iv.select(F.col("line_id").alias("r_id"), "supp", "part", "s", "e")
+    return interval_overlap_join(
+        l, r, "l_id", "r_id", "s", "e", "s", "e",
+        on=["supp", "part"], grain="week", dedupe_self=True,
+    )
+
+
+@defq(
+    "doc_shingle_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(toks, (t, i) ->
+                 CASE WHEN i + 2 <= len(toks)
+                      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+               x -> x IS NOT NULL)) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ), directed AS (
+      SELECT left_id AS src_id, right_id AS dst_id, common, la AS src_n FROM pairs
+      UNION ALL
+      SELECT right_id, left_id, common, lb FROM pairs
+    )
+    SELECT src_id, dst_id, ROUND(common * 1.0 / src_n, 6) AS containment
+    FROM directed WHERE common * 1.0 / src_n >= 0.6
+    """,
+    d="table.documents",
+)
+def q_doc_shingle_containment(d: DataFrame) -> DataFrame:
+    """Directed shingle-containment pairs (§2b-K,
+    ``llm/dedup.py::ngram_containment_pairs``): src mostly inside dst —
+    quote/excerpt/boilerplate detection where symmetric Jaccard stays
+    tiny because the container's size swamps the denominator.  Same
+    inverted-index posture as ``dedup_ngram_jaccard``; the two directed
+    scores per candidate pair come from a row-local 2-struct explode,
+    not a second join.  Oracle = brute-force shingle scan emitting both
+    directions."""
+    from .llm.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(d, n=3, threshold=0.6)
 
 
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)

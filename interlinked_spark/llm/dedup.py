@@ -425,6 +425,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = 1000,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT pairs (§2b-K): ``(src_id, dst_id,
+    containment)`` where ``containment = |S_src ∩ S_dst| / |S_src| >=
+    threshold`` — "src is mostly inside dst".  The asymmetric complement
+    of :func:`ngram_jaccard_pairs`: a short quote, boilerplate block or
+    excerpt embedded in a much longer document scores near 1.0 on
+    containment while its symmetric Jaccard stays tiny (the long doc's
+    shingle count swamps the denominator) — the signal quote/excerpt
+    dedup and license-text detection need.
+
+    Same inverted-index scale posture as the Jaccard twin: candidates
+    from the shingle posting self-join (exact — containment > 0 needs a
+    shared shingle), intersection size from ONE counting aggregate, and
+    each UNDIRECTED candidate pair emits its two directed scores via a
+    row-local 2-struct explode (no second join).  ``max_shingle_df``
+    caps viral-shingle postings with the documented recall trade
+    (shared-capped-shingle pairs undercount ``common``).  The threshold
+    compares the UNROUNDED ratio; ``containment`` rounds to 6dp."""
+    base = _with_shingles(df, text_col, id_col, n)  # -> (id, sh)
+    sizes = base.select(
+        "id", F.size("sh").alias("nsh"), F.explode("sh").alias("s")
+    )
+    if max_shingle_df is not None:
+        from ..operators.diagnostics import drop_hot_buckets
+
+        sizes = drop_hot_buckets(sizes, ["s"], max_shingle_df)
+    sizes = materialize(sizes, checkpoint_mode)
+    l = sizes.select("s", F.col("id").alias("left_id"), F.col("nsh").alias("lns"))
+    r = sizes.select("s", F.col("id").alias("right_id"), F.col("nsh").alias("rns"))
+    pair_common = (
+        l.join(r, "s")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id", "lns", "rns")
+        .agg(F.count("*").alias("common"))
+    )
+    directed = pair_common.select(
+        F.col("common"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("left_id").alias("src_id"),
+                    F.col("right_id").alias("dst_id"),
+                    F.col("lns").alias("src_n"),
+                ),
+                F.struct(
+                    F.col("right_id").alias("src_id"),
+                    F.col("left_id").alias("dst_id"),
+                    F.col("rns").alias("src_n"),
+                ),
+            )
+        ).alias("p"),
+    ).select("common", "p.*")
+    ratio = F.col("common") / F.col("src_n")
+    return (
+        directed.filter(ratio >= F.lit(float(threshold)))
+        .select("src_id", "dst_id", F.round(ratio, 6).alias("containment"))
+    )
+
+
 def ngram_jaccard_incremental(
     corpus: DataFrame,
     new: DataFrame,

@@ -381,50 +381,30 @@ def fuzzy_string_join(
     )
 
 
-def edit_distance_join(
+def _edit_frames(
     left: DataFrame,
     right: DataFrame,
     left_col: str,
     right_col: str,
     left_id: str,
     right_id: str,
-    max_distance: int = 2,
-    q: int = 2,
-    extra_on: Optional[Sequence[str]] = None,
-    dedupe_self: bool = False,
-    checkpoint_mode: str = "local",
-) -> DataFrame:
-    """Edit-distance (Levenshtein) similarity join: pairs of rows whose
-    NORMALIZED strings (:func:`norm_string`) are within ``max_distance``
-    edits — typo-tolerant record linkage, the complement of
-    :func:`fuzzy_string_join`'s token-overlap notion (Jaccard tolerates
-    word reordering, edit distance tolerates character noise).
-
-    Scale posture — never the cartesian: candidates come from a q-gram
-    COUNT filter (the classic Ed-Join/qgram-join bound): one edit
-    operation can destroy at most ``q`` distinct q-grams, so a pair
-    within ``d`` edits shares at least ``max(|Gx|,|Gy|) - q*d`` distinct
-    grams.  The posting equi-join (gram + ``extra_on`` blocking keys)
-    counts shared grams per pair in ONE aggregation, the count filter
-    prunes before any string comparison, and a normalized-length filter
-    (``| |x|-|y| | <= d`` — each edit changes length by at most 1)
-    stacks on top.  Strings too short for the bound to bite
-    (``|G| <= q*d``, i.e. at most ~``q*d + q - 1`` chars) can share ZERO
-    grams with a valid partner, so they go through a separate
-    short-string band: length-banded pairs within the blocking keys —
-    a bounded set (the short-string population of a corpus is finite
-    and the band is +-d characters), unioned in before verification.
-    Verification is exact ``levenshtein`` on the normalized strings —
-    JVM-side, only on surviving candidates.
-
-    Exact (100% recall) by construction: both filters are necessary
-    conditions for ``ed <= d``.  Returns ``extra_on + (left_id,
-    right_id, distance)``.  ``dedupe_self=True`` keeps ``left_id <
-    right_id`` (self-join case).  Gram frames are materialized
-    (``checkpoint_mode``) — they feed postings, the short band, and
-    verification."""
-    extra = list(extra_on or [])
-    d = int(max_distance)
+    d: int,
+    q: int,
+    extra: list,
+    max_qgram_df: Optional[int],
+    prefix_filter: bool,
+    prefix_count: int,
+    dedupe_self: bool,
+    same_side: bool,
+    checkpoint_mode: str,
+):
+    """Shared candidate-generation pipeline for :func:`edit_distance_join`
+    and :func:`edit_candidate_stats` — returns ``(lg, rg, lpost, rpost,
+    raw, cand, short)`` where ``raw`` is the posting-join output after
+    the length filter (pre-aggregate: its row count is the candidate
+    MASS the prefix filter exists to cut), ``cand`` the distinct id
+    pairs surviving the shared-prefix-count aggregate, and ``short`` the
+    short-string band's id pairs."""
 
     def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
         s = norm_string(col)
@@ -439,47 +419,426 @@ def edit_distance_join(
         )
 
     lg = gram_frame(left, left_col, left_id)
-    rg = gram_frame(right, right_col, right_id)
+    # same_side: the self-join declaration — right is the SAME relation
+    # as left (modulo id column name), so the right gram frame is a
+    # rename of the already-materialized left one: one scan + normalize
+    # + shingle + checkpoint instead of two.
+    rg = (
+        lg.withColumnRenamed(left_id, right_id)
+        if same_side
+        else gram_frame(right, right_col, right_id)
+    )
+
+    t = max(int(prefix_count), 1)
 
     def postings(gf: DataFrame, id_col: str) -> DataFrame:
+        if prefix_filter:
+            # Ed-Join count-filter prefix, generalized to the t-prefix
+            # scheme: a pair within d edits shares c = max(|Gx|,|Gy|) -
+            # q*d distinct grams, and the standard prefix-filter lemma
+            # says sets sharing >= c elements have their length
+            # (|G| - c + k) prefixes (in any GLOBAL total order — md5
+            # here) sharing >= k elements, for every k <= c.  With
+            # k = min(c, t) and c >= |G_side| - q*d, prefix length
+            # min(|G|, q*d + t) per side guarantees >= min(c, t) shared
+            # PREFIX grams for every valid pair — exact, and posting
+            # volume per row is O(q*d + t), not O(|G|).
+            ordered = F.transform(
+                F.array_sort(
+                    F.transform(
+                        "__gr", lambda g: F.struct(F.md5(g).alias("h"), g.alias("g"))
+                    )
+                ),
+                lambda s: s["g"],
+            )
+            grams = F.slice(
+                ordered, F.lit(1), F.least(F.col("__n"), F.lit(q * d + t))
+            )
+        else:
+            grams = F.col("__gr")
         return gf.select(
-            id_col, *extra, F.col("__n"), F.col("__len"),
-            F.explode("__gr").alias("__g"),
+            id_col, *extra, F.col("__len"), F.col("__n"),
+            F.explode(grams).alias("__g"),
         )
 
-    lpost = postings(lg, left_id).withColumnRenamed("__n", "__ln").withColumnRenamed("__len", "__llen")
-    rpost = postings(rg, right_id).withColumnRenamed("__n", "__rn").withColumnRenamed("__len", "__rlen")
-    counted = (
-        lpost.join(rpost, ["__g", *extra])
-        .filter(F.abs(F.col("__llen") - F.col("__rlen")) <= d)
-        .groupBy(left_id, right_id, *extra)
-        .agg(
-            F.count("*").alias("__shared"),
-            F.first("__ln").alias("__ln"),
-            F.first("__rn").alias("__rn"),
-        )
-        .filter(F.col("__shared") >= F.greatest("__ln", "__rn") - F.lit(q * d))
-        .select(left_id, right_id, *extra)
+    lpost = (
+        postings(lg, left_id)
+        .withColumnRenamed("__len", "__llen")
+        .withColumnRenamed("__n", "__ln")
     )
+    rpost = (
+        postings(rg, right_id)
+        .withColumnRenamed("__len", "__rlen")
+        .withColumnRenamed("__n", "__rn")
+    )
+    if max_qgram_df is not None:
+        hot = (
+            lpost.select("__g")
+            .unionByName(rpost.select("__g"))
+            .groupBy("__g")
+            .count()
+            .filter(F.col("count") > max_qgram_df)
+            .select("__g")
+        )
+        lpost = lpost.join(F.broadcast(hot), "__g", "left_anti")
+        rpost = rpost.join(F.broadcast(hot), "__g", "left_anti")
+    raw = lpost.join(rpost, ["__g", *extra]).filter(
+        F.abs(F.col("__llen") - F.col("__rlen")) <= d
+    )
+    if dedupe_self:
+        # halve the aggregate input for the self-join case BEFORE the
+        # shuffle, not after the distinct (same policy as _fuzzy_frames)
+        raw = raw.filter(F.col(left_id) < F.col(right_id))
+    if prefix_filter and t > 1:
+        # Shared-prefix-count aggregate: a valid pair shares >=
+        # min(c, t) prefix grams (lemma above), and c = max(|Gx|,|Gy|)
+        # - q*d is computable per pair from the carried sizes — the
+        # count filter prunes candidates BEFORE the verify join fetches
+        # any string.  least(c, t) >= 1 for every pair outside the
+        # short band (max > q*d there).  The sizes ride as GROUP KEYS
+        # (functionally dependent on the ids — no first() aggregates).
+        cand = (
+            raw.groupBy(left_id, right_id, *extra, "__ln", "__rn")
+            .agg(F.count("*").alias("__shared_pref"))
+            .filter(
+                F.col("__shared_pref")
+                >= F.least(
+                    F.greatest(F.col("__ln"), F.col("__rn")) - F.lit(q * d),
+                    F.lit(t),
+                )
+            )
+            .select(left_id, right_id, *extra)
+        )
+    else:
+        # t == 1: count >= 1 is implied by the join itself — distinct
+        # replaces the counting aggregate (same shuffle, no counters).
+        cand = raw.select(left_id, right_id, *extra).distinct()
     # Short-string band: |G| <= q*d strings can evade the posting join
     # entirely (a valid pair may share zero grams).  Any partner must
-    # ALSO be short — ed <= d bounds the length gap by d and gram count
-    # grows with length — so the band is short x short within the
-    # blocking keys, never short x corpus.
-    ls = lg.filter(F.col("__n") <= q * d).select(left_id, *extra, F.col("__len").alias("__llen"))
-    rs = rg.filter(F.col("__n") <= q * d).select(right_id, *extra, F.col("__len").alias("__rlen"))
+    # ALSO be short — c >= 1 whenever EITHER side has |G| > q*d, and the
+    # prefix argument then guarantees a posting collision — so the band
+    # is short x short within the blocking keys, never short x corpus.
+    # The pairing is a length-BUCKETED equi-join (width d+1: partners
+    # within d characters land in the same or an adjacent bucket, left
+    # explodes 3 buckets, right keeps one — each pair matches exactly
+    # once), so even a corpus heavy in short or gram-poor repetitive
+    # strings ("aaaa...", |G|=1 at any length) never cross-joins: the
+    # hazard population is same-bucket SAME-LENGTH-BAND rows within a
+    # block.  A corpus with millions of equal-length gram-poor strings
+    # in one block still floods this band — that residual contract is
+    # documented on edit_distance_join.
+    ls = lg.filter(F.col("__n") <= q * d).select(
+        left_id, *extra, F.col("__len").alias("__llen")
+    )
+    rs = rg.filter(F.col("__n") <= q * d).select(
+        right_id, *extra, F.col("__len").alias("__rlen")
+    )
+    lb = F.floor(F.col("__llen") / (d + 1))
     short = (
-        ls.join(rs, extra) if extra else ls.crossJoin(rs)
-    ).filter(F.abs(F.col("__llen") - F.col("__rlen")) <= d).select(left_id, right_id, *extra)
-
-    cand = counted.unionByName(short).distinct()
+        ls.withColumn("__b", F.explode(F.array(lb - 1, lb, lb + 1)))
+        .join(
+            rs.withColumn("__b", F.floor(F.col("__rlen") / (d + 1))),
+            ["__b", *extra],
+        )
+        .filter(F.abs(F.col("__llen") - F.col("__rlen")) <= d)
+        .select(left_id, right_id, *extra)
+    )
     if dedupe_self:
-        cand = cand.filter(F.col(left_id) < F.col(right_id))
+        short = short.filter(F.col(left_id) < F.col(right_id))
+    return lg, rg, lpost, rpost, raw, cand, short
+
+
+def edit_candidate_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 2,
+    q: int = 2,
+    extra_on: Optional[Sequence[str]] = None,
+    dedupe_self: bool = False,
+    max_qgram_df: Optional[int] = None,
+    prefix_filter: bool = True,
+    prefix_count: int = 1,
+    same_side: bool = False,
+    checkpoint_mode: str = "local",
+) -> dict:
+    """Diagnostic twin of :func:`edit_distance_join` (the
+    :func:`fuzzy_candidate_stats` analog, r12 verdict item 2): posting
+    rows per side, raw candidate mass (posting-join output after the
+    length filter, pre-aggregate), short-band pairs, and distinct
+    candidate pairs (= exact ``levenshtein`` verifications that would
+    run).  The A/B instrument for the Ed-Join prefix filter's cut."""
+    extra = list(extra_on or [])
+    _lg, _rg, lpost, rpost, raw, cand, short = _edit_frames(
+        left, right, left_col, right_col, left_id, right_id,
+        int(max_distance), q, extra, max_qgram_df, prefix_filter,
+        int(prefix_count), dedupe_self, same_side, checkpoint_mode,
+    )
+    return {
+        "postings_left": lpost.count(),
+        "postings_right": rpost.count(),
+        "candidate_mass": raw.count(),
+        "short_band_pairs": short.count(),
+        "candidate_pairs": cand.unionByName(short).distinct().count(),
+    }
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 2,
+    q: int = 2,
+    extra_on: Optional[Sequence[str]] = None,
+    dedupe_self: bool = False,
+    max_qgram_df: Optional[int] = None,
+    prefix_filter: bool = True,
+    prefix_count: int = 1,
+    same_side: bool = False,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Edit-distance (Levenshtein) similarity join: pairs of rows whose
+    NORMALIZED strings (:func:`norm_string`) are within ``max_distance``
+    edits — typo-tolerant record linkage, the complement of
+    :func:`fuzzy_string_join`'s token-overlap notion (Jaccard tolerates
+    word reordering, edit distance tolerates character noise).
+
+    Scale posture — never the cartesian, and (r13) not even the full
+    posting join: candidates come from PREFIX-FILTERED (id, gram)
+    postings in the global md5 gram order.  The Ed-Join/qgram-join
+    count bound says a pair within ``d`` edits shares at least
+    ``c = max(|Gx|,|Gy|) - q*d`` distinct grams (one edit destroys at
+    most ``q`` of them); the prefix-filter lemma then says the length
+    ``min(|G|, q*d + t)`` prefixes of both sides (``t`` =
+    ``prefix_count``) share at least ``min(c, t)`` grams — so each row
+    indexes only ``min(|G|, q*d + t)`` grams, EXACT, and posting volume
+    per row is O(q*d + t), not O(|G|): at q=2, d=2 that is 5-6 postings
+    per row regardless of string length, which removes the
+    ultra-common-2-gram ("er", "a ") blowup the r12 full-posting
+    variant had (A/B at sf0.1: postings 163k -> 100k, raw candidate
+    mass 22.1M -> 6.3M after the in-join self-dedupe, SCALING.md r13).
+    The posting equi-join (gram + ``extra_on`` blocking keys) carries a
+    normalized-length filter (``| |x|-|y| | <= d`` — each edit changes
+    length by at most 1).  At t=1 a ``distinct`` yields candidate
+    pairs (any prefix collision is the necessary condition); at t>=2
+    ONE counting aggregate keeps only pairs sharing ``>= min(c, t)``
+    prefix grams (``c`` recomputed per pair from carried gram-set
+    sizes) — measured at sf0.1, t=2 trims verify pairs 1.44x (3.09M ->
+    2.15M) but the extra posting volume and counters cost more than
+    the threshold-levenshtein verify saves, so t=1 is the default and
+    t is a knob for corpora with expensive verification (long strings).
+    ``max_qgram_df`` additionally drops prefix grams whose combined
+    document frequency exceeds the cap (one gram-level aggregate +
+    broadcast anti-joins), trading recall ONLY for pairs whose every
+    shared prefix gram is ultra-common — documented, like the fuzzy
+    join's lever; ``prefix_filter=False`` restores the index-every-gram
+    posture for A/B (:func:`edit_candidate_stats`).
+
+    Verification joins candidate ids back to the normalized STRINGS
+    only (no gram arrays cross the shuffle) and runs
+    ``levenshtein(x, y, threshold=d)`` — the early-exit O(d*len) form.
+    The r12 full-count ``array_intersect`` re-check was measured
+    slower than threshold-levenshtein itself on surviving candidates
+    and is gone — the count bound already did its work selecting the
+    prefix.
+
+    Strings too short for the bound to bite (``|G| <= q*d``) can share
+    ZERO grams with a valid partner, so they go through a separate
+    short-string band: length-BUCKETED pairs (width ``d+1`` equi-join,
+    never a cross join) within the blocking keys, unioned in before
+    verification.  Residual contract: a corpus with a huge population
+    of same-length-band gram-poor strings (e.g. millions of
+    ``"aaaa..."`` of equal length) in ONE block concentrates that
+    band's pairing; block finer or pre-dedupe such strings.
+
+    Exact (100% recall) by construction: prefix, length and count
+    filters are all necessary conditions for ``ed <= d``.  Returns
+    ``extra_on + (left_id, right_id, distance)``.  ``dedupe_self=True``
+    keeps ``left_id < right_id`` (self-join case).  Gram frames are
+    materialized (``checkpoint_mode``) — they feed postings, the short
+    band, and verification; ``same_side=True`` declares that ``right``
+    is the SAME relation as ``left`` (self-join), so one gram frame is
+    built and checkpointed and the other is a column rename of it —
+    one corpus scan + shingle pass instead of two."""
+    extra = list(extra_on or [])
+    d = int(max_distance)
+    lg, rg, _lpost, _rpost, _raw, cand, short = _edit_frames(
+        left, right, left_col, right_col, left_id, right_id,
+        d, q, extra, max_qgram_df, prefix_filter, int(prefix_count),
+        dedupe_self, same_side, checkpoint_mode,
+    )
+    cand = cand.unionByName(short).distinct()
     verified = cand.join(
         lg.select(left_id, F.col("__s").alias("__lstr")), left_id
     ).join(rg.select(right_id, F.col("__s").alias("__rstr")), right_id)
-    dist = F.levenshtein("__lstr", "__rstr")
+    dist = F.levenshtein("__lstr", "__rstr", d)
     return (
-        verified.filter(dist <= d)
+        verified.filter((dist >= 0) & (dist <= d))
         .select(*extra, left_id, right_id, dist.alias("distance"))
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: Optional[Sequence[str]] = None,
+    grain: str = "week",
+    dedupe_self: bool = False,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Interval-overlap join (§2b-C): pairs whose time intervals
+    ``[start, end]`` intersect (closed ends: ``s1 <= e2 AND s2 <= e1``),
+    optionally within exact ``on`` blocking keys — shift-collision
+    detection, concurrent-shipment analysis, meeting conflicts.
+
+    Scale posture — never the cartesian and never a theta-only join:
+    each interval explodes to the ``grain`` buckets it spans
+    (``sequence(date_trunc(grain, start), date_trunc(grain, end))`` —
+    row-local generation), the equi-join runs on (bucket, keys), and
+    the exact overlap predicate filters residually.  Completeness: two
+    overlapping intervals share a point p, and both sides' bucket lists
+    contain ``date_trunc(grain, p)`` — so every true pair collides in
+    at least one bucket.  A pair can collide in several buckets, hence
+    the final ``distinct``.  Posting volume is O(rows x span/grain):
+    pick ``grain`` near the TYPICAL interval span (a week-long interval
+    at day grain posts 8 rows; at week grain, 1-2) — the same
+    volume-vs-selectivity dial as the banded range join's band width.
+
+    Intervals must satisfy ``start <= end`` (rows violating it can
+    never match the overlap predicate against themselves but are kept
+    as-is — garbage in, no pairs out).  Returns ``on + (left_id,
+    right_id, overlap_seconds)`` where ``overlap_seconds =
+    least(e1,e2) - greatest(s1,s2)`` (>= 0, closed-interval seconds);
+    ``dedupe_self=True`` keeps ``left_id < right_id``."""
+    keys = list(on or [])
+    step = F.expr(f"INTERVAL 1 {grain.upper()}")
+
+    def bucketed(side, id_col, s_col, e_col, sa, ea):
+        return side.select(
+            F.col(id_col),
+            *keys,
+            F.col(s_col).alias(sa),
+            F.col(e_col).alias(ea),
+            F.explode(
+                F.sequence(
+                    F.date_trunc(grain, F.col(s_col)),
+                    F.date_trunc(grain, F.col(e_col)),
+                    step,
+                )
+            ).alias("__b"),
+        )
+
+    lb = bucketed(left, left_id, left_start, left_end, "__ls", "__le")
+    rb = bucketed(right, right_id, right_start, right_end, "__rs", "__re")
+    joined = lb.join(rb, ["__b", *keys]).filter(
+        (F.col("__ls") <= F.col("__re")) & (F.col("__rs") <= F.col("__le"))
+    )
+    if dedupe_self:
+        joined = joined.filter(F.col(left_id) < F.col(right_id))
+    overlap = F.least("__le", "__re").cast("double") - F.greatest(
+        "__ls", "__rs"
+    ).cast("double")
+    return (
+        joined.select(
+            *keys, left_id, right_id,
+            F.round(overlap, round_dp).alias("overlap_seconds"),
+        )
+        .distinct()
+    )
+
+
+def soft_tfidf_self_join(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    extra_on: Optional[Sequence[str]] = None,
+    max_token_df: Optional[int] = None,
+    round_dp: int = 6,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """TF-IDF-weighted token-set cosine self-join (§2b-C): entity
+    resolution where shared RARE tokens count and shared boilerplate
+    ("ltd", "the") barely does — the soft-TF-IDF family's set-cosine
+    core.  Each row's normalized distinct tokens get weight
+    ``idf = ln(N / df)`` (corpus-global document frequency); pair score
+    is the cosine of the two idf-weighted indicator vectors:
+    ``sum_{t in A∩B} idf_t^2 / (||A|| * ||B||)``.
+
+    Scale posture — never the cartesian: candidates come from the
+    (token + ``extra_on`` blocking key) posting self-join — exact,
+    because score > 0 requires a shared token — and the dot product is
+    ONE counting aggregate over posting collisions (same shape as the
+    q-gram joins; the idf join adds one token-level aggregate + an
+    equi-join, both token-cardinality-sized).  The weighted frame is
+    materialized once (``checkpoint_mode``) — it feeds both posting
+    sides and the norm frame.  ``max_token_df`` drops postings for
+    tokens above the df cap BEFORE the self-join (one broadcast
+    anti-join): the O(df^2) viral-token candidate blowup is traded for
+    documented recall loss on pairs whose every shared token is that
+    common — idf already makes such pairs low-scoring.  N rides as a
+    broadcast ONE-ROW frame (the engine's blessed scalar pattern), not
+    a driver collect.
+
+    Returns ``extra_on + (left_id, right_id, cosine)`` with
+    ``left_id < right_id`` (self-join canonical order); the threshold
+    compares the UNROUNDED ratio, cosine rounds to ``round_dp``."""
+    extra = list(extra_on or [])
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        *extra,
+        F.explode(
+            F.array_distinct(F.split(norm_string(col), " "))
+        ).alias("__t"),
+    )
+    total = df.agg(F.count("*").alias("__N"))
+    dfreq = toks.groupBy("__t").agg(F.count("*").alias("__df"))
+    w = materialize(
+        toks.join(dfreq, "__t")
+        .join(F.broadcast(total))
+        .withColumn("__idf", F.log(F.col("__N") / F.col("__df")))
+        .select("__id", *extra, "__t", "__idf"),
+        checkpoint_mode,
+    )
+    norms = w.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__idf") * F.col("__idf"))).alias("__nrm")
+    )
+    post = w
+    if max_token_df is not None:
+        hot = (
+            dfreq.filter(F.col("__df") > int(max_token_df)).select("__t")
+        )
+        post = post.join(F.broadcast(hot), "__t", "left_anti")
+    l = post.select(
+        F.col("__id").alias("left_id"), *extra, "__t", F.col("__idf").alias("__li")
+    )
+    r = post.select(
+        F.col("__id").alias("right_id"), *extra, "__t", F.col("__idf").alias("__ri")
+    )
+    dots = (
+        l.join(r, ["__t", *extra])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id", *extra)
+        .agg(F.sum(F.col("__li") * F.col("__ri")).alias("__dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("__id").alias("left_id"), F.col("__nrm").alias("__ln")), "left_id")
+        .join(norms.select(F.col("__id").alias("right_id"), F.col("__nrm").alias("__rn")), "right_id")
+    )
+    cos = F.col("__dot") / (F.col("__ln") * F.col("__rn"))
+    return (
+        scored.filter(cos >= F.lit(float(threshold)))
+        .select(*extra, "left_id", "right_id", F.round(cos, round_dp).alias("cosine"))
     )

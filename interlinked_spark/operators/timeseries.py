@@ -112,3 +112,94 @@ def time_decayed_agg(
         F.round(F.sum(w), round_dp).alias("decayed_count"),
         F.round(F.sum(w * F.col(value_col)) / F.sum(w), round_dp).alias("decayed_mean"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 20,
+    min_periods: int = 5,
+    n_sigmas: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rolling-window anomaly score per entity (§2b-E): each row's
+    z-score against the mean/stddev of its PRECEDING ``window_rows``
+    observations (frame ``[-window_rows, -1]`` — the current row never
+    scores against itself, so a spike cannot inflate its own baseline;
+    contrast :func:`mad_outlier_summary`'s global-median robustness).
+    Rows with fewer than ``min_periods`` predecessors or zero rolling
+    spread get a NULL z — no opinion, not a 0.
+
+    Scale: ONE shuffle on ``keys`` (the window partition); the frame is
+    row-bounded so state per row is O(window_rows) inside the sort-based
+    window exec — no per-group materialization, and a billion users is
+    a billion independent partitions.  ``order_cols`` must make the
+    per-key order total (pass a tiebreak id alongside the timestamp) or
+    cross-engine row order — hence the rolling frame — is undefined.
+
+    Returns the input columns + ``roll_mean``, ``roll_std``, ``zscore``
+    (all rounded), ``is_outlier`` (``|z| > n_sigmas``, NULL where z is
+    NULL)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-int(window_rows), -1)
+    )
+    m = F.avg(value_col).over(w)
+    s = F.stddev_samp(value_col).over(w)
+    c = F.count(value_col).over(w)
+    ok = (c >= int(min_periods)) & (s > 0)
+    z = F.when(ok, (F.col(value_col) - m) / s)
+    return df.select(
+        *df.columns,
+        F.round(m, round_dp).alias("roll_mean"),
+        F.round(s, round_dp).alias("roll_std"),
+        F.round(z, round_dp).alias("zscore"),
+        F.when(ok, F.abs(z) > F.lit(float(n_sigmas))).alias("is_outlier"),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    state_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences (§2b-E): for each entity (``keys``) ordered by
+    ``order_cols``, count consecutive ``state_col`` bigrams and
+    row-normalize into transition probabilities — the behavioral
+    fingerprint behind funnel diagnostics and next-action models.
+
+    Scale: ``lead`` needs ONE shuffle on ``keys``; the bigram count is
+    a hash aggregate with map-side partials, and the row-normalizing
+    window runs on the |states|^2-row RESULT, not the events — at 100
+    TB the output is still a handful of rows per state pair.  Entity
+    boundaries never leak: ``lead`` is per-partition-key, so the last
+    event of one user never pairs with the first of the next.
+
+    Returns ``(from_state, to_state, n, prob)``."""
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy(*keys).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(seq).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )
+    total = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), round_dp).alias("prob"),
+    )

@@ -124,6 +124,14 @@ EXTENDED = [
     "events_decayed_value",
     "events_mad_outliers",
     "embedding_hard_negatives",
+    # round-13 additions (same policy; tests/test_plan_snapshots.py's
+    # no-Spark tripwire fails the instant a name lands here without its
+    # PLANS/<name>.txt file).
+    "events_rolling_zscore",
+    "user_event_transitions",
+    "part_name_softtfidf_pairs",
+    "lineitem_shipping_overlaps",
+    "doc_shingle_containment",
 ]
 
 

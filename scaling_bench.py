@@ -192,6 +192,12 @@ HEAVY = [
     # pairs grow exactly k-fold: the posting-join design claim is
     # ~linear, NOT the quadratic a within-brand cartesian would show.
     ("part_name_fuzzy_pairs", None),
+    # round 13 (r12 verdict item 3): the edit-distance join, on the
+    # same case-stable alphabet-remapped part copies as the fuzzy join
+    # (within-copy edit distances preserved exactly, cross-copy gram
+    # sets disjoint, brands shared -> per-brand population grows
+    # k-fold while true pairs grow exactly k-fold).
+    ("part_name_edit_pairs", None),
 ]
 
 
@@ -252,12 +258,39 @@ def scaled_embeddings(spark: SparkSession, base: str, k: int):
     return out
 
 
+def _copy_alphabets(n_copies: int) -> list[str]:
+    """Per-copy 26-letter private alphabets, CASE-STABLE under the
+    queries' ``lower()`` normalization (r12 ADVICE): scan Unicode from
+    U+03B1 keeping only category-Ll letters with ``c == c.lower()``,
+    then chunk 26 per copy.  The r12 layout (``0x3B1 + 0x80*j``) put
+    copy 2 on U+04B1..U+04CA, which ALTERNATES lower/UPPER Cyrillic —
+    ``lower()`` collapsed 13 letter pairs, so copy 2's map was no
+    longer bijective after normalization and its within-copy fuzzy
+    pairs inflated ~22% (SCALING.json k=10 showed 9*207593 + 254260).
+    Lowercase-stable letters are fixed points of both Python's and the
+    JVM's simple lowercase map, so distinct stays distinct."""
+    import unicodedata
+
+    letters: list[str] = []
+    cp = 0x3B1
+    while len(letters) < 26 * n_copies:
+        c = chr(cp)
+        if unicodedata.category(c) == "Ll" and c == c.lower():
+            letters.append(c)
+        cp += 1
+    out = ["".join(letters[26 * j : 26 * (j + 1)]) for j in range(n_copies)]
+    for a in out:
+        assert len(set(a.lower())) == 26, f"copy alphabet not case-stable: {a}"
+    return out
+
+
 def scaled_part(spark: SparkSession, base: str, k: int):
     """k-fold part copies: shifted p_partkey, p_name mapped through a
-    PER-COPY DISJOINT alphabet (a-z -> a private Unicode block per
-    copy), brands SHARED across copies (the blocking key's per-brand
-    population grows k-fold, which is the honest stress:
-    brand-disjoint copies would hand the join k independent problems).
+    PER-COPY DISJOINT alphabet (a-z -> 26 case-stable private letters
+    per copy, :func:`_copy_alphabets`), brands SHARED across copies
+    (the blocking key's per-brand population grows k-fold, which is
+    the honest stress: brand-disjoint copies would hand the join k
+    independent problems).
 
     Why alphabet remapping and not the documents-style ``_cj`` token
     suffix: the fuzzy/edit joins shingle CHARACTERS, and a suffixed
@@ -271,9 +304,10 @@ def scaled_part(spark: SparkSession, base: str, k: int):
     true pairs grow exactly k-fold."""
     part = spark.read.parquet(f"{base}/part.parquet")
     src = "abcdefghijklmnopqrstuvwxyz"
+    alphabets = _copy_alphabets(max(k - 1, 0))
     parts = [part]
     for j in range(1, k):
-        dst = "".join(chr(0x3B1 + 0x80 * j + i) for i in range(26))
+        dst = alphabets[j - 1]
         parts.append(
             part.select(
                 *[
@@ -338,7 +372,7 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
         out = os.path.join(cache, f"x{k}")
         # versioned marker: bumping it invalidates cache dirs built
         # under an older SHIFTED/perturbation layout
-        if os.path.exists(os.path.join(out, "_DONE_v4")):
+        if os.path.exists(os.path.join(out, "_DONE_v5")):
             return out
         if os.path.exists(out):  # stale (old-layout or partial) build
             shutil.rmtree(out)
@@ -363,7 +397,7 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
             continue
         os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     if cache:
-        Path(out, "_DONE_v4").touch()
+        Path(out, "_DONE_v5").touch()
     return out
 
 
@@ -446,6 +480,36 @@ def fuzzy_prefix_ab(spark: SparkSession, sf_dir: str) -> dict:
             l, r, "l_name", "r_name", "l_id", "r_id",
             threshold=0.5, q=3, extra_on=["brand"], dedupe_self=True,
             prefix_filter=flag,
+        )
+    on, off = out["prefix_on"], out["prefix_off"]
+    out["posting_ratio"] = round(
+        (on["postings_left"] + on["postings_right"])
+        / max(off["postings_left"] + off["postings_right"], 1), 3)
+    out["candidate_mass_ratio"] = round(
+        on["candidate_mass"] / max(off["candidate_mass"], 1), 3)
+    return out
+
+
+def edit_prefix_ab(spark: SparkSession, sf_dir: str) -> dict:
+    """Prefix-filter A/B on the part_name_edit_pairs shape (r12 verdict
+    item 2): the Ed-Join t-prefix scheme indexes min(|G|, q*d + t)
+    grams per row instead of every gram.  Both arms use the catalog
+    query's exact parameters (d=2, q=2, t=1, brand blocking,
+    self-dedupe, same_side); recall is identical by the prefix-filter
+    lemma (exact), so only the volume counters differ."""
+    from interlinked_spark.operators.joins import edit_candidate_stats
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    l = p.select(F.col("p_partkey").alias("l_id"), F.col("p_name").alias("l_name"),
+                 F.col("p_brand").alias("brand"))
+    r = p.select(F.col("p_partkey").alias("r_id"), F.col("p_name").alias("r_name"),
+                 F.col("p_brand").alias("brand"))
+    out = {}
+    for arm, flag in (("prefix_on", True), ("prefix_off", False)):
+        out[arm] = edit_candidate_stats(
+            l, r, "l_name", "r_name", "l_id", "r_id",
+            max_distance=2, q=2, extra_on=["brand"], dedupe_self=True,
+            prefix_filter=flag, same_side=True,
         )
     on, off = out["prefix_on"], out["prefix_off"]
     out["posting_ratio"] = round(
@@ -554,6 +618,13 @@ def main() -> None:
             json.dumps({"fuzzy_prefix_filter_ab": fuzzy_ab}, separators=(",", ":")),
             flush=True,
         )
+    edit_ab = None
+    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_EDIT_AB"):
+        edit_ab = edit_prefix_ab(spark, base)
+        print(
+            json.dumps({"edit_prefix_filter_ab": edit_ab}, separators=(",", ":")),
+            flush=True,
+        )
 
     out_file = Path(__file__).resolve().parent / "SCALING.json"
     if only and out_file.exists():
@@ -573,6 +644,8 @@ def main() -> None:
                 payload["decorrelated_candidate_mass"] = mass
             if fuzzy_ab is not None:
                 payload["fuzzy_prefix_filter_ab"] = fuzzy_ab
+            if edit_ab is not None:
+                payload["edit_prefix_filter_ab"] = edit_ab
         except (json.JSONDecodeError, OSError, KeyError):
             payload = {
                 "metric": "scaling_exponents",
@@ -593,6 +666,8 @@ def main() -> None:
             payload["decorrelated_candidate_mass"] = mass
         if fuzzy_ab is not None:
             payload["fuzzy_prefix_filter_ab"] = fuzzy_ab
+        if edit_ab is not None:
+            payload["edit_prefix_filter_ab"] = edit_ab
     out_file.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
