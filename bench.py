@@ -337,6 +337,13 @@ def main() -> None:
         "events_decayed_value",
         "events_mad_outliers",
         "embedding_hard_negatives",
+        # round 13: rolling/transition window family, soft-TF-IDF ER,
+        # interval overlap, directed containment
+        "events_rolling_zscore",
+        "user_event_transitions",
+        "part_name_softtfidf_pairs",
+        "lineitem_shipping_overlaps",
+        "doc_shingle_containment",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -7204,6 +7204,7 @@ def q_part_name_fuzzy_pairs(p: DataFrame) -> DataFrame:
     return fuzzy_string_join(
         l, r, "l_name", "r_name", "l_id", "r_id",
         threshold=0.5, q=3, extra_on=["brand"], dedupe_self=True,
+        same_side=True,
     )
 
 

@@ -201,6 +201,7 @@ def _fuzzy_frames(
     max_qgram_df: Optional[int],
     prefix_filter: bool,
     checkpoint_mode: str,
+    same_side: bool = False,
 ):
     """Shared candidate-generation pipeline for :func:`fuzzy_string_join`
     and :func:`fuzzy_candidate_stats` — returns ``(lg, rg, lpost, rpost,
@@ -244,7 +245,14 @@ def _fuzzy_frames(
     # (llm/dedup.py): localCheckpoint by default, "reliable" on a real
     # cluster (see operators/checkpointing.py for the trade).
     lg = materialize(gram_frame(left, left_col, left_id), checkpoint_mode)
-    rg = materialize(gram_frame(right, right_col, right_id), checkpoint_mode)
+    # same_side: right is the SAME relation as left (self-join) — its
+    # gram frame is a rename of the materialized left one, so the
+    # corpus is scanned + shingled + checkpointed ONCE, not twice.
+    rg = (
+        lg.withColumnRenamed(left_id, right_id)
+        if same_side
+        else materialize(gram_frame(right, right_col, right_id), checkpoint_mode)
+    )
     lpost, rpost = postings(lg, left_id), postings(rg, right_id)
     if max_qgram_df is not None:
         hot = (
@@ -276,6 +284,7 @@ def fuzzy_candidate_stats(
     dedupe_self: bool = False,
     max_qgram_df: Optional[int] = None,
     prefix_filter: bool = True,
+    same_side: bool = False,
     checkpoint_mode: str = "local",
 ) -> dict:
     """Diagnostic twin of :func:`fuzzy_string_join`: instead of the
@@ -290,7 +299,7 @@ def fuzzy_candidate_stats(
     _lg, _rg, lpost, rpost, cand = _fuzzy_frames(
         left, right, left_col, right_col, left_id, right_id,
         threshold, q, extra, dedupe_self, max_qgram_df, prefix_filter,
-        checkpoint_mode,
+        checkpoint_mode, same_side,
     )
     return {
         "postings_left": lpost.count(),
@@ -315,6 +324,7 @@ def fuzzy_string_join(
     dedupe_self: bool = False,
     max_qgram_df: Optional[int] = None,
     prefix_filter: bool = True,
+    same_side: bool = False,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Entity-resolution fuzzy join: pairs of rows whose strings match
@@ -358,11 +368,14 @@ def fuzzy_string_join(
     Each side's gram frame is materialized (``checkpoint_mode``, same
     knob as the dedup family) because it feeds both the posting explode
     and the verification join — one base scan + shingle pass per side
-    instead of two."""
+    instead of two.  ``same_side=True`` declares that ``right`` is the
+    SAME relation as ``left`` (the self-join/dedupe shape): one gram
+    frame is built and checkpointed, the other is a column rename of it
+    — one corpus scan + shingle pass TOTAL instead of two."""
     lg, rg, _lpost, _rpost, cand = _fuzzy_frames(
         left, right, left_col, right_col, left_id, right_id,
         threshold, q, list(extra_on or []), dedupe_self,
-        max_qgram_df, prefix_filter, checkpoint_mode,
+        max_qgram_df, prefix_filter, checkpoint_mode, same_side,
     )
     extra = list(extra_on or [])
     cand = cand.select(left_id, right_id, *extra).distinct()
