@@ -344,6 +344,8 @@ def main() -> None:
         "part_name_softtfidf_pairs",
         "lineitem_shipping_overlaps",
         "doc_shingle_containment",
+        "part_name_sorted_neighbors",
+        "doc_winnow_matches",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

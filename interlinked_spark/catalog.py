@@ -7746,6 +7746,91 @@ def q_doc_shingle_containment(d: DataFrame) -> DataFrame:
     return ngram_containment_pairs(d, n=3, threshold=0.6)
 
 
+@defq(
+    "part_name_sorted_neighbors",
+    oracle="""
+    WITH n AS (
+      SELECT p_partkey AS id,
+             regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g') AS s,
+             ROW_NUMBER() OVER (
+               ORDER BY regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g'),
+                        p_partkey) AS rk
+      FROM part
+    ), g AS (
+      SELECT id, rk,
+             list_distinct(list_transform(
+               range(1, greatest(len(s) - 2, 1) + 1),
+               i -> substr(s, i, 3))) AS gr
+      FROM n
+    )
+    SELECT a.id AS left_id, b.id AS right_id,
+           CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+           ROUND(len(list_intersect(a.gr, b.gr)) * 1.0 /
+                 (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 6) AS jaccard
+    FROM g a JOIN g b ON b.rk - a.rk BETWEEN 1 AND 5
+    WHERE len(list_intersect(a.gr, b.gr)) * 1.0 /
+          (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.5
+    """,
+    p="table.part",
+)
+def q_part_name_sorted_neighbors(p: DataFrame) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) ER self-join (§2b-C,
+    ``operators/joins.py::sorted_neighborhood_join``): global sort by
+    the normalized name, pair each row with its next 5 neighbors,
+    verify 3-gram Jaccard >= 0.5 — the O(n*w)-candidate blocking
+    strategy that is immune to gram commonality, complementary to the
+    posting-join families.  The global rank is a two-phase distributed
+    prefix sum over key-prefix buckets (never a single-partition
+    window); oracle = the plain ROW_NUMBER + rank-band scan."""
+    from .operators.joins import sorted_neighborhood_join
+
+    return sorted_neighborhood_join(
+        p, "p_name", "p_partkey", window=5, q=3, threshold=0.5,
+        bucket_chars=2,
+    )
+
+
+@defq(
+    "doc_winnow_matches",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                            i -> md5(array_to_string(list_slice(tk, i, i + 2), ' '))) AS hs
+      FROM toks
+    ), fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                          j -> list_min(list_slice(hs, j, j + 3)))) AS fp
+      FROM grams
+    ), posting AS (
+      SELECT doc_id, unnest(fp) AS f FROM fps
+    )
+    SELECT left_id, right_id, CAST(c AS BIGINT) AS shared_fps FROM (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS c
+      FROM posting a JOIN posting b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ) WHERE c >= 3
+    """,
+    d="table.documents",
+)
+def q_doc_winnow_matches(d: DataFrame) -> DataFrame:
+    """Winnowing (MOSS) fingerprint match pairs (§2b-K,
+    ``llm/dedup.py::winnow_match_pairs``): position-local window-minima
+    over word-3-gram md5 hashes guarantee any shared >= 6-word run
+    leaves a common fingerprint, storing ~1/4 of the hashes; pairs
+    sharing >= 3 fingerprints are plagiarism/template candidates.
+    Posting self-join + ONE counting aggregate; oracle = the identical
+    row-local pipeline in DuckDB list functions."""
+    from .llm.dedup import winnow_match_pairs
+
+    return winnow_match_pairs(d, k=3, window=4, min_shared=3)
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

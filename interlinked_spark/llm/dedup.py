@@ -752,3 +752,85 @@ def near_dup_keep_greedy(
         pairs, df.select(id_col), v_col=id_col,
         checkpoint_mode=checkpoint_mode,
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (§2b-K — the MOSS local
+    fingerprinting algorithm, Schleimer/Wilkerson/Aiken 2003): hash
+    every POSITIONAL word k-gram (md5 — its lowercase-hex string is the
+    total order, identical in both engines), slide a ``window`` over
+    the hash sequence, keep each window's MINIMUM — guaranteeing that
+    any shared run of at least ``window + k - 1`` words between two
+    documents shares at least one selected fingerprint, while storing
+    only ~1/window of the hashes.  Unlike MinHash (global random
+    sample) the selection is POSITION-LOCAL, so matches localize to
+    the shared span.
+
+    Pure-Column row-local pipeline: split -> positional k-gram md5
+    array -> window-minima array -> distinct explode.  No shuffle at
+    all until a consumer aggregates.  Returns distinct ``(id_col,
+    fingerprint)`` rows."""
+    from ..operators.joins import norm_string
+
+    tk = F.split(norm_string(text_col), " ")
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, F.lit(k)))),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(hs) - (window - 1), F.lit(1)),
+            ),
+            lambda j: F.array_min(F.slice(hs, j, F.lit(window))),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    ).distinct()
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 3,
+    max_fingerprint_df: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (§2b-K): the MOSS candidate-detection join — plagiarism / template
+    / shared-span discovery where a handful of position-local
+    fingerprint collisions pins a common passage.
+
+    Scale posture: the fingerprint posting self-join (inverted index —
+    never all-pairs) with ONE counting aggregate; fingerprints are
+    ~1/window of the k-gram hashes, so posting volume is a fraction of
+    the shingle index the Jaccard family builds.  ``max_fingerprint_df``
+    caps viral fingerprints (boilerplate selected by every document)
+    before the self-join — same documented recall trade as the shingle
+    df cap.  Returns ``(left_id, right_id, shared_fps)``,
+    ``left_id < right_id``."""
+    fp = winnow_fingerprints(df, text_col, id_col, k, window)
+    posting = fp.select(F.col(id_col).alias("id"), F.col("fingerprint").alias("f"))
+    if max_fingerprint_df is not None:
+        from ..operators.diagnostics import drop_hot_buckets
+
+        posting = drop_hot_buckets(posting, ["f"], max_fingerprint_df)
+    l = posting.select(F.col("id").alias("left_id"), "f")
+    r = posting.select(F.col("id").alias("right_id"), "f")
+    return (
+        l.join(r, "f")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= int(min_shared))
+    )

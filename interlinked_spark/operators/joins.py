@@ -855,3 +855,94 @@ def soft_tfidf_self_join(
         scored.filter(cos >= F.lit(float(threshold)))
         .select(*extra, "left_id", "right_id", F.round(cos, round_dp).alias("cosine"))
     )
+
+
+def sorted_neighborhood_join(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    window: int = 5,
+    q: int = 3,
+    threshold: float = 0.5,
+    bucket_chars: int = 2,
+    round_dp: int = 6,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) entity-resolution self-join (§2b-C):
+    sort the corpus by the normalized string, pair every row with its
+    next ``window`` neighbors in that order, verify with exact q-gram
+    Jaccard — the classic merge/purge blocking strategy, complementary
+    to posting-join blocking (:func:`fuzzy_string_join`): SNM finds
+    near-SORTED-PREFIX duplicates in O(n*w) candidates regardless of
+    how common their grams are.
+
+    Scale posture — the global rank NEVER uses a single-partition
+    window: rows bucket by the sort key's first ``bucket_chars``
+    characters (a lexicographic prefix, so (bucket, key) order == key
+    order), each bucket ranks locally in parallel, bucket counts form a
+    tiny table whose own running sum is cheap, and a broadcast join
+    adds each bucket's starting offset — the same two-phase distributed
+    prefix-sum as ``llm/packing.py::global_running_sum``, keyed on
+    strings.  Candidate pairing is an equi-join on rank blocks of width
+    ``window`` (left explodes 2 blocks, right keeps one) + the exact
+    ``1 <= rank_gap <= window`` filter — O(n*w) candidates, one narrow
+    shuffle.  Skew contract: bucket population follows the key-prefix
+    distribution; corpora concentrated on one prefix need more
+    ``bucket_chars`` (the per-bucket rank window is the only
+    serialization point).
+
+    Ties in the normalized key break by id — the rank is total, so both
+    engines see the same neighbor sets.  Returns ``(left_id, right_id,
+    rank_gap, jaccard)`` with ``jaccard >= threshold`` (unrounded
+    compare, ``round_dp`` output)."""
+    w = int(window)
+    ranked = materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            norm_string(col).alias("__s"),
+            qgram_array(col, q).alias("__gr"),
+        )
+        .withColumn("__n", F.size("__gr"))
+        .withColumn("__bkt", F.substring("__s", 1, int(bucket_chars))),
+        checkpoint_mode,
+    )
+    intra = Window.partitionBy("__bkt").orderBy("__s", "__id")
+    local = ranked.withColumn("__intra", F.row_number().over(intra))
+    counts = ranked.groupBy("__bkt").agg(F.count("*").alias("__cnt"))
+    off_w = Window.partitionBy().orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bkt", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
+    )
+    ranked = materialize(
+        local.join(F.broadcast(offsets), "__bkt").withColumn(
+            "__rk", F.col("__intra") + F.col("__off")
+        ),
+        checkpoint_mode,
+    )
+    blk = F.floor((F.col("__rk") - 1) / w)
+    l = ranked.select(
+        F.col("__id").alias("left_id"), F.col("__rk").alias("__lrk"),
+        F.col("__gr").alias("__lgr"), F.col("__n").alias("__ln"),
+        F.explode(F.array(blk, blk + 1)).alias("__blk"),
+    )
+    r = ranked.select(
+        F.col("__id").alias("right_id"), F.col("__rk").alias("__rrk"),
+        F.col("__gr").alias("__rgr"), F.col("__n").alias("__rn"),
+        blk.alias("__blk"),
+    )
+    cand = l.join(r, "__blk").filter(
+        (F.col("__rrk") - F.col("__lrk") >= 1)
+        & (F.col("__rrk") - F.col("__lrk") <= w)
+    )
+    inter = F.size(F.array_intersect("__lgr", "__rgr"))
+    jac = inter / (F.col("__ln") + F.col("__rn") - inter)
+    return (
+        cand.filter(jac >= F.lit(float(threshold)))
+        .select(
+            "left_id", "right_id",
+            (F.col("__rrk") - F.col("__lrk")).alias("rank_gap"),
+            F.round(jac, round_dp).alias("jaccard"),
+        )
+    )

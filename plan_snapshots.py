@@ -132,6 +132,8 @@ EXTENDED = [
     "part_name_softtfidf_pairs",
     "lineitem_shipping_overlaps",
     "doc_shingle_containment",
+    "part_name_sorted_neighbors",
+    "doc_winnow_matches",
 ]
 
 

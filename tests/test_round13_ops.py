@@ -193,6 +193,8 @@ def test_round13_catalog_plan_shapes(spark):
         "part_name_softtfidf_pairs",
         "lineitem_shipping_overlaps",
         "doc_shingle_containment",
+        "part_name_sorted_neighbors",
+        "doc_winnow_matches",
     ):
         df = catalog.run_query(name, spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -201,3 +203,73 @@ def test_round13_catalog_plan_shapes(spark):
             "BroadcastNestedLoopJoin" in plan and _unproven_bnlj(plan) is not None
         ), name
         assert df.count() > 0, name
+
+
+def test_sorted_neighborhood_rank_and_pairs(spark):
+    """The two-phase bucketed rank equals the global (norm, id) order —
+    including across bucket boundaries — and the block join finds
+    exactly the rank-band pairs the brute force finds."""
+    from interlinked_spark.operators.joins import sorted_neighborhood_join
+
+    names = [
+        (1, "apple pie"), (2, "Apple  Pie"), (3, "apple tart"),
+        (4, "banana split"), (5, "banana bread"), (6, "cherry cake"),
+        (7, "cherry  cake"), (8, "zebra cake"),
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r.left_id, r.right_id): (r.rank_gap, r.jaccard)
+        for r in sorted_neighborhood_join(
+            df, "name", "id", window=3, q=3, threshold=0.3, bucket_chars=1
+        ).collect()
+    }
+
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    def grams(s):
+        s = norm(s)
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    order = sorted(names, key=lambda x: (norm(x[1]), x[0]))
+    want = {}
+    for a in range(len(order)):
+        for b in range(a + 1, min(a + 4, len(order))):
+            ga, gb = grams(order[a][1]), grams(order[b][1])
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.3:
+                want[(order[a][0], order[b][0])] = (b - a, round(j, 6))
+    assert got == want
+    assert got[(1, 2)] == (1, 1.0)     # normalization collapses to equal
+    assert got[(6, 7)][1] == 1.0
+
+
+def test_winnow_guarantee_and_matches(spark):
+    """Winnowing's core guarantee: any shared run of >= window + k - 1
+    words leaves at least one COMMON fingerprint; documents with no
+    shared 3-gram share none."""
+    from interlinked_spark.llm.dedup import winnow_fingerprints, winnow_match_pairs
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1 words
+    rows = [
+        (1, "intro one two three " + shared_run + " outro red blue"),
+        (2, "different prefix words here " + shared_run + " other tail"),
+        (3, "totally unrelated text with no common trigrams at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=3, window=4)
+    by_doc = {
+        i: {r.fingerprint for r in fp.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]          # the guarantee
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    pairs = {
+        (r.left_id, r.right_id): r.shared_fps
+        for r in winnow_match_pairs(df, k=3, window=4, min_shared=1).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == len(by_doc[1] & by_doc[2])
