@@ -346,6 +346,9 @@ def main() -> None:
         "doc_shingle_containment",
         "part_name_sorted_neighbors",
         "doc_winnow_matches",
+        "doc_bigram_logprob",
+        # streaming gate restages its source per run (harness artifact)
+        "stream_event_transitions",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

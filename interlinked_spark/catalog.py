@@ -7791,6 +7791,97 @@ def q_part_name_sorted_neighbors(p: DataFrame) -> DataFrame:
 
 
 @defq(
+    "stream_event_transitions",
+    oracle="""
+    WITH nx AS (
+      SELECT event_type AS from_state,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      FROM events
+    ), cnt AS (
+      SELECT from_state, to_state, COUNT(*) AS n
+      FROM nx WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 6) AS prob
+    FROM cnt
+    """,
+)
+def q_stream_event_transitions(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming Markov transition counts (§2b-J x §2b-E): events
+    replay as 4 time-ordered micro-batches through
+    ``streaming/ops.run_transitions_into_state`` — the EIGHTH
+    streaming-state gate, and the first non-additive one: pairs that
+    straddle a batch boundary are stitched from the carried per-user
+    last-event state, so every consecutive pair is counted exactly
+    once and the summed state EQUALS the one-shot batch
+    ``transition_counts`` for any batch boundaries.  Oracle = the
+    batch twin's SQL — the equality IS the gate."""
+    from pyspark.sql import Window
+
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import run_transitions_into_state, stream_from_parquet
+
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    staged = _stage_id_ordered_files(
+        ev.select("event_id", "ts", "user_id", "event_type"), "event_id", 4
+    )
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        state = run_transitions_into_state(
+            stream, ["user_id"], ["ts", "event_id"], "event_type"
+        )
+    counts = (
+        spark.read.parquet(f"{state}/counts")
+        .groupBy("from_state", "to_state")
+        .agg(F.sum("n").alias("n"))
+    )
+    total = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state", "to_state", "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("prob"),
+    )
+
+
+@defq(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) AS tk
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i AS INTEGER) + 1] AS w2
+      FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT w1 AS tok FROM c2 UNION ALL SELECT w2 FROM c2)
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS mean_neg_logprob
+    FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY b.doc_id
+    """,
+    d="table.documents",
+)
+def q_doc_bigram_logprob(d: DataFrame) -> DataFrame:
+    """Bigram perplexity-proxy quality score (§2b-K,
+    ``llm/text.py::bigram_logprob``): per-doc mean -ln p(w2|w1) under
+    the corpus's own add-0.5-smoothed bigram LM — flags improbable WORD
+    ORDER (shuffled/stuffed/concatenated text) the unigram score is
+    blind to.  Bigrams built row-locally (no self-join, no window);
+    vocab-sized count aggregates join back with AQE-chosen strategy.
+    Oracle = the identical CTE pipeline."""
+    from .llm.text import bigram_logprob
+
+    return bigram_logprob(d, alpha=0.5)
+
+
+@defq(
     "doc_winnow_matches",
     oracle="""
     WITH toks AS (

@@ -153,6 +153,71 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram negative log-probability under the
+    corpus's OWN add-k-smoothed bigram LM — the next rung above
+    :func:`unigram_logprob` on the perplexity-proxy ladder: it also
+    flags documents whose WORD ORDER is improbable (shuffled text,
+    keyword-stuffed spam, concatenated fragments) that a bag-of-words
+    unigram score cannot see.
+
+    ``p(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha*V)`` where
+    ``c(w1)`` counts w1 as a bigram prefix and ``V`` is the distinct
+    vocabulary participating in bigrams (derived from the bigram LM
+    itself — no extra corpus pass).  Documents with fewer than 2 tokens
+    have no bigrams and drop out.
+
+    Plan shape: bigrams are built ROW-LOCALLY (one transform over the
+    token array — no self-join, no per-doc window), then one explode ->
+    two vocab-sized count aggregates -> joins back -> one per-doc
+    aggregate.  The LM joins carry NO broadcast hint for the same
+    reason as the unigram LM: |bigram vocab| is unbounded at 100 TB;
+    AQE broadcasts when the counts are actually small."""
+    toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    posted = df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("bg")
+    ).select("id", "bg.w1", "bg.w2")
+    c2 = posted.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    c1 = posted.groupBy("w1").agg(F.count("*").alias("__c1"))
+    vocab = (
+        c2.select("w1")
+        .unionByName(c2.select(F.col("w2").alias("w1")))
+        .agg(F.countDistinct("w1").cast("double").alias("__v"))
+    )
+    p = (F.col("__c2") + F.lit(float(alpha))) / (
+        F.col("__c1") + F.lit(float(alpha)) * F.col("__v")
+    )
+    scored = (
+        posted.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("mean_neg_logprob"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col), "n_bigrams", "mean_neg_logprob"
+    )
+
+
 def quality_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -926,3 +926,101 @@ def run_budget_gate_into_parquet(
 
     foreach_batch_into(stream, gate_batch, timeout_s=timeout_s, output_mode="append")
     return path
+
+
+def run_transitions_into_state(
+    event_stream: DataFrame,
+    key_cols,
+    order_cols,
+    state_col: str,
+    state_path: Optional[str] = None,
+    timeout_s: int = 300,
+) -> str:
+    """Streaming Markov transition-count maintainer (§2b-J x §2b-E):
+    the EIGHTH streaming-state gate, and the first whose per-batch
+    contribution is NOT additive by itself — a consecutive-event pair
+    that straddles a micro-batch boundary belongs to no single batch's
+    rows.  The gate carries each entity's LAST event as state and
+    stitches the boundary: batch N counts its within-batch transitions
+    PLUS one (prior-last -> first-of-batch) transition per entity seen
+    before.  Every consecutive per-entity pair is therefore counted
+    EXACTLY once — within-batch pairs by their batch, boundary pairs by
+    the later batch — so for time-ordered batches the summed state
+    equals the one-shot ``transition_counts`` of the full input for ANY
+    micro-batch boundaries.  That batching-invariance is what makes the
+    stream value-oracle-able against the batch twin.
+
+    Exactly-once under foreachBatch's at-least-once contract, same
+    shape as the qhist/HLL gates: batch N reads the PRIOR state dir
+    (``last/batch=N-1`` — still present on replay) and overwrites its
+    own ``counts/batch=N`` and ``last/batch=N`` dirs, so a replay
+    rewrites identical rows.  The carried last-state is
+    forward-propagated for entities absent from a batch (an entity may
+    skip micro-batches).  Answer by summing ``counts/batch=*``."""
+    from ..sources.writers import write_table
+
+    state_path = state_path or tempfile.mkdtemp(prefix="transitions_state_")
+    spark = event_stream.sparkSession
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import Window
+
+        seq = Window.partitionBy(*keys).orderBy(*order)
+        batch = batch_df.select(*keys, *order, F.col(state_col).alias("__st"))
+        within = (
+            batch.select(
+                F.col("__st").alias("from_state"),
+                F.lead("__st").over(seq).alias("to_state"),
+            )
+            .filter(F.col("to_state").isNotNull())
+        )
+        firsts = (
+            batch.withColumn("__rn", F.row_number().over(seq))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, F.col("__st").alias("to_state"))
+        )
+        lasts = (
+            batch.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(*keys, "__st")
+        )
+        try:
+            prior = spark.read.parquet(f"{state_path}/last/batch={batch_id - 1}")
+        except AnalysisException:
+            prior = None
+        if prior is not None:
+            boundary = prior.select(
+                *keys, F.col("__st").alias("from_state")
+            ).join(firsts, keys).select("from_state", "to_state")
+            pairs = within.unionByName(boundary)
+            # carry forward entities absent from this batch
+            new_last = lasts.unionByName(
+                prior.join(lasts.select(*keys), keys, "left_anti")
+            )
+        else:
+            pairs = within
+            new_last = lasts
+        counts = pairs.groupBy("from_state", "to_state").agg(
+            F.count("*").alias("n")
+        )
+        write_table(
+            counts.coalesce(1),
+            f"{state_path}/counts/batch={batch_id}",
+            mode="overwrite",
+        )
+        write_table(
+            new_last.coalesce(1),
+            f"{state_path}/last/batch={batch_id}",
+            mode="overwrite",
+        )
+
+    foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
+    return state_path

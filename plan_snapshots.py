@@ -134,6 +134,8 @@ EXTENDED = [
     "doc_shingle_containment",
     "part_name_sorted_neighbors",
     "doc_winnow_matches",
+    "doc_bigram_logprob",
+    "stream_event_transitions",
 ]
 
 

@@ -195,6 +195,7 @@ def test_round13_catalog_plan_shapes(spark):
         "doc_shingle_containment",
         "part_name_sorted_neighbors",
         "doc_winnow_matches",
+        "doc_bigram_logprob",
     ):
         df = catalog.run_query(name, spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -273,3 +274,72 @@ def test_winnow_guarantee_and_matches(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == len(by_doc[1] & by_doc[2])
+
+
+def test_stream_transitions_boundary_stitch_and_replay(spark):
+    """The 8th streaming-state gate's two claims: (1) batching
+    invariance — cross-boundary pairs are stitched from carried state,
+    including an entity ABSENT from intermediate batches (carry-forward
+    path), so streamed counts == one-shot batch counts; (2) replay
+    idempotency — re-running the whole stream into the same state path
+    rewrites identical state."""
+    from datetime import datetime
+
+    from interlinked_spark.catalog import _stage_id_ordered_files
+    from interlinked_spark.operators.timeseries import transition_counts
+    from interlinked_spark.streaming.ops import (
+        run_transitions_into_state,
+        stream_from_parquet,
+    )
+
+    rows = [
+        # (event_id, user, type) — 4 staged batches split at ids 3/6/9:
+        (0, "u1", "view"),   # u1 then silent until batch 3 (id 10)
+        (1, "u2", "view"),
+        (2, "u2", "view"),
+        (4, "u2", "buy"),    # boundary pair view->buy (batch 0 -> 1)
+        (6, "u3", "a"),
+        (7, "u3", "b"),
+        (8, "u3", "a"),      # within-batch pairs a->b, b->a
+        (10, "u1", "click"), # stitched view->click across TWO skipped batches
+    ]
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 0, 0, i), u, t) for i, u, t in rows],
+        "event_id long, ts timestamp, user_id string, event_type string",
+    )
+    staged = _stage_id_ordered_files(df, "event_id", 4)
+
+    def run(state_path=None):
+        return run_transitions_into_state(
+            stream_from_parquet(spark, staged),
+            ["user_id"], ["ts", "event_id"], "event_type",
+            state_path=state_path,
+        )
+
+    state = run()
+    got = {
+        (r.from_state, r.to_state): r.n
+        for r in spark.read.parquet(f"{state}/counts")
+        .groupBy("from_state", "to_state")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    batch_n = {
+        (r.from_state, r.to_state): r.n
+        for r in transition_counts(
+            df, ["user_id"], ["ts", "event_id"], "event_type"
+        ).select("from_state", "to_state", "n").collect()
+    }
+    assert got == batch_n
+    assert got[("view", "click")] == 1   # u1's doubly-skipped stitch
+    assert got[("view", "buy")] == 1     # single-boundary stitch
+    # replay: rerun the identical stream into the SAME state path
+    run(state_path=state)
+    again = {
+        (r.from_state, r.to_state): r.n
+        for r in spark.read.parquet(f"{state}/counts")
+        .groupBy("from_state", "to_state")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert again == got
