@@ -349,6 +349,8 @@ def main() -> None:
         "doc_bigram_logprob",
         # streaming gate restages its source per run (harness artifact)
         "stream_event_transitions",
+        "user_event_paths",
+        "orders_benford_digits",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -7843,6 +7843,86 @@ def q_stream_event_transitions(spark: SparkSession, base_dir: str) -> DataFrame:
 
 
 @defq(
+    "user_event_paths",
+    oracle="""
+    WITH runs AS (
+      SELECT event_type AS step_1,
+             LEAD(event_type, 1) OVER w AS step_2,
+             LEAD(event_type, 2) OVER w AS step_3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM runs WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step_1, step_2, step_3
+    LIMIT 10
+    """,
+    e="table.events",
+)
+def q_user_event_paths(e: DataFrame) -> DataFrame:
+    """Top user-journey paths (§2b-E,
+    ``operators/timeseries.py::event_path_counts``): the 10 most common
+    3-step event sequences — funnel/path mining, the n-gram
+    generalization of the transition matrix.  All leads evaluate in ONE
+    window pass (same partition+order), the count is a hash aggregate
+    over |states|^3 keys, the top-10 a TakeOrderedAndProject with a
+    deterministic (n desc, path asc) tie order.  Oracle = the identical
+    windowed SQL."""
+    from .operators.timeseries import event_path_counts
+
+    return event_path_counts(
+        e, ["user_id"], ["ts", "event_id"], "event_type", depth=3, top_k=10
+    )
+
+
+@defq(
+    "orders_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM d), 6) AS share,
+           ROUND(log10(1.0 + 1.0 / CAST(digit AS INTEGER)), 6) AS benford_expected,
+           ROUND(ABS(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM d)
+                     - log10(1.0 + 1.0 / CAST(digit AS INTEGER))), 6) AS abs_dev
+    FROM d GROUP BY digit
+    """,
+    o="table.orders",
+)
+def q_orders_benford_digits(o: DataFrame) -> DataFrame:
+    """Benford first-digit audit (§2b-D data-quality family): observed
+    first-significant-digit shares of order totals vs Benford's
+    log10(1 + 1/d) expectation — the classic fabricated-data screen.
+    The digit comes from the INTEGER cents string (prices are 2-dp by
+    construction; x100 preserves the leading digit), never from
+    floor(log10(x)) whose 1-ulp fp wobble at exact powers of ten can
+    flip the digit across engines.  One aggregate + a broadcast
+    ONE-ROW total.  Oracle = the identical digit extraction."""
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+    )
+    d = o.filter(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    total = d.agg(F.count("*").alias("__tot"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit").cast("int"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+            F.round(expected, 6).alias("benford_expected"),
+            F.round(F.abs(F.col("n") / F.col("__tot") - expected), 6).alias("abs_dev"),
+        )
+    )
+
+
+@defq(
     "doc_bigram_logprob",
     oracle="""
     WITH toks AS (

@@ -203,3 +203,45 @@ def transition_counts(
         "n",
         F.round(F.col("n") / F.sum("n").over(total), round_dp).alias("prob"),
     )
+
+
+def event_path_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    state_col: str,
+    depth: int = 3,
+    top_k: int | None = None,
+) -> DataFrame:
+    """User-journey path mining (§2b-E): count every length-``depth``
+    run of consecutive ``state_col`` values per entity — the n-gram
+    generalization of :func:`transition_counts` ("view > click > buy"
+    funnels, top navigation paths).  Optional ``top_k`` keeps the most
+    frequent paths with a fully deterministic tie order (count desc,
+    then the path lexicographically), so both engines cut the same
+    boundary.
+
+    Scale: ONE shuffle on ``keys`` computes all ``depth - 1`` leads in
+    a single window pass (same partition+order ⇒ Catalyst evaluates
+    them in one WindowExec); the count is a hash aggregate over
+    |states|^depth keys, and the top-k is a TakeOrderedAndProject on
+    the aggregated result — never a global sort of events.
+
+    Returns ``step_1..step_<depth>, n``."""
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy(*keys).orderBy(*order_cols)
+    steps = [F.col(state_col).alias("step_1")] + [
+        F.lead(state_col, i).over(seq).alias(f"step_{i + 1}")
+        for i in range(1, int(depth))
+    ]
+    names = [f"step_{i + 1}" for i in range(int(depth))]
+    paths = df.select(*steps)
+    for c in names[1:]:
+        paths = paths.filter(F.col(c).isNotNull())
+    out = paths.groupBy(*names).agg(F.count("*").alias("n"))
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("n").desc(), *[F.col(c).asc() for c in names]
+        ).limit(int(top_k))
+    return out

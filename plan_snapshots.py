@@ -136,6 +136,8 @@ EXTENDED = [
     "doc_winnow_matches",
     "doc_bigram_logprob",
     "stream_event_transitions",
+    "user_event_paths",
+    "orders_benford_digits",
 ]
 
 

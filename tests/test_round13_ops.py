@@ -196,6 +196,8 @@ def test_round13_catalog_plan_shapes(spark):
         "part_name_sorted_neighbors",
         "doc_winnow_matches",
         "doc_bigram_logprob",
+        "user_event_paths",
+        "orders_benford_digits",
     ):
         df = catalog.run_query(name, spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -343,3 +345,26 @@ def test_stream_transitions_boundary_stitch_and_replay(spark):
         .collect()
     }
     assert again == got
+
+
+def test_event_path_counts_ties_and_isolation(spark):
+    """Paths never cross entity boundaries; the top-k tie order is
+    (count desc, path asc) — deterministic across engines."""
+    from interlinked_spark.operators.timeseries import event_path_counts
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"), ("u1", 4, "a"),
+        ("u2", 1, "b"), ("u2", 2, "c"), ("u2", 3, "a"),
+        ("u3", 1, "z"),  # too short for any 3-path
+    ]
+    df = spark.createDataFrame(rows, "u string, i long, t string")
+    got = [
+        (r.step_1, r.step_2, r.step_3, r.n)
+        for r in event_path_counts(
+            df, ["u"], ["i"], "t", depth=3, top_k=10
+        ).collect()
+    ]
+    # u1: (a,b,c), (b,c,a); u2: (b,c,a) -> counts {abc:1, bca:2}
+    assert got == [("b", "c", "a", 2), ("a", "b", "c", 1)]
+    # no path stitches u1's tail onto u2's head
+    assert ("a", "b", "c", 1) in got and len(got) == 2

@@ -167,6 +167,14 @@ def test_zorder_fanout_probe_input_shapes(spark):
     assert _should_fan_out(shuffled, par) is False
     scan = spark.read.parquet(f"{SF}/events.parquet")  # few files < cores
     assert _should_fan_out(scan, par) is (len(scan.inputFiles()) < par)
+    # ADVICE r12 regression: the probe walks analyzed-plan nodeNames,
+    # so a capitalized keyword inside an ALIAS or string LITERAL can no
+    # longer false-positive (the old toString() regex matched "Join"
+    # here and wrongly suppressed the fan-out)
+    aliased = local.select(
+        F.col("a").alias("Join"), F.lit("Sort Aggregate Window").alias("Except")
+    )
+    assert _should_fan_out(aliased, par) is True
 
 
 def test_budget_select_prefix_semantics(spark):
