@@ -351,6 +351,19 @@ def main() -> None:
         "stream_event_transitions",
         "user_event_paths",
         "orders_benford_digits",
+        # round 13b: SPC + inference family (one-window-stack / one-
+        # aggregate shapes)
+        "events_cusum_alarms",
+        "user_welch_ab",
+        "events_type_hour_chisq",
+        "customer_repeat_survival",
+        "orders_price_bootstrap",
+        "part_name_jw_pairs",
+        # streaming gate restages its source per run (harness artifact)
+        "stream_cusum_alarms",
+        "doc_feature_hash",
+        "doc_rrf_fusion",
+        "orders_priority_target_encode",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -8002,6 +8002,544 @@ def q_doc_winnow_matches(d: DataFrame) -> DataFrame:
     return winnow_match_pairs(d, k=3, window=4, min_shared=3)
 
 
+# =====================================================================
+# Round 13b — statistical process control + inference family
+# =====================================================================
+
+
+@defq(
+    "events_cusum_alarms",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts, value,
+             SUM(value - 50.0 - 5.0) OVER win AS ch,
+             SUM(-(value - 50.0) - 5.0) OVER win AS cl
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_id, user_id, ts, value,
+             ch - LEAST(0.0, MIN(ch) OVER win) AS sh,
+             cl - LEAST(0.0, MIN(cl) OVER win) AS sl
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           ROUND(sh, 6) AS cusum_high,
+           ROUND(sl, 6) AS cusum_low,
+           (sh > 47.503 OR sl > 47.503) AS alarm
+    FROM s
+    """,
+    e="table.events",
+)
+def q_events_cusum_alarms(e: DataFrame) -> DataFrame:
+    """Two-sided CUSUM change-point detection per user (§2b-E,
+    ``operators/timeseries.py::cusum_alarms``): Page's sequential
+    drift detector — accumulates (value - target - slack) evidence
+    and resets on contrary evidence, catching the sustained small mean
+    shift a per-row z-score never flags.  The "inherently sequential"
+    max(0, ...) recurrence runs as its closed form (running sum minus
+    running min), so the whole detector is ONE shuffle with every
+    cumulative frame sharing a single sort.
+
+    The gate pins an EXPLICIT target (50.0 — the center of the U(0,100)
+    value column): the 2-dp inputs keep every cusum value on the 0.01
+    lattice, 0.005 away from any 6-dp rounding boundary, so last-ulp
+    engine divergence can never flip the round.  The per-key-mean
+    baseline (``target=None``) is library-surface, unit-tested — its
+    mean-window accumulation order DOES differ across engines, and at
+    sf0.01 the cumsum amplified that onto exact x.xxxxx5 boundaries
+    (lattice alignment: the observed flips all ended in ...0625/...1875).
+    The threshold 47.503 is off-lattice for the same reason.  Oracle =
+    the identical two-stage window CTE."""
+    from .operators.timeseries import cusum_alarms
+
+    return cusum_alarms(
+        e.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], ["ts", "event_id"], "value",
+        slack=5.0, threshold=47.503, target=50.0,
+    )
+
+
+@defq(
+    "user_welch_ab",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS n_a,
+             COUNT(CASE WHEN event_type = 'click' THEN value END) AS n_b,
+             AVG(CASE WHEN event_type = 'purchase' THEN value END) AS ma,
+             AVG(CASE WHEN event_type = 'click' THEN value END) AS mb,
+             VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS va,
+             VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS vb
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(ma, 6) AS mean_a,
+           ROUND(mb, 6) AS mean_b,
+           ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND va/n_a + vb/n_b > 0
+                 THEN (ma - mb) / sqrt(va/n_a + vb/n_b) END, 6) AS t_stat,
+           ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND va/n_a + vb/n_b > 0
+                 THEN pow(va/n_a + vb/n_b, 2)
+                      / (pow(va/n_a, 2)/(n_a - 1) + pow(vb/n_b, 2)/(n_b - 1))
+                 END, 6) AS df_welch,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND va/n_a + vb/n_b > 0
+                THEN ABS((ma - mb) / sqrt(va/n_a + vb/n_b)) > 2.0
+                END AS abs_t_above_2
+    FROM a
+    """,
+    e="table.events",
+)
+def q_user_welch_ab(e: DataFrame) -> DataFrame:
+    """Per-user Welch two-sample t-test (§2b-D inference family,
+    ``operators/aggregates.py::welch_ttest``): purchase vs click value
+    per user — the A/B-experiment readout (unequal variances/n) as ONE
+    conditional hash aggregate, no join, no window.  The
+    Welch–Satterthwaite df ships instead of a p-value (incomplete beta
+    is in neither SQL engine).  Oracle = the identical conditional
+    aggregate."""
+    from .operators.aggregates import welch_ttest
+
+    return welch_ttest(
+        e, ["user_id"], "event_type", "purchase", "click", "value"
+    )
+
+
+@defq(
+    "events_type_hour_chisq",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a,
+             CAST(floor(hour(ts) / 6.0) AS INTEGER) AS b,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY a) AS row_t,
+             SUM(o) OVER (PARTITION BY b) AS col_t,
+             SUM(o) OVER () AS n,
+             a, b
+      FROM cells
+    ), agg AS (
+      SELECT SUM(pow(o - CAST(row_t * col_t AS DOUBLE) / n, 2)
+                 / (CAST(row_t * col_t AS DOUBLE) / n)) AS chi2,
+             ANY_VALUE(n) AS n,
+             COUNT(DISTINCT a) AS ra,
+             COUNT(DISTINCT b) AS cb
+      FROM m
+    )
+    SELECT ROUND(CASE WHEN ra >= 2 AND cb >= 2 THEN chi2 END, 6) AS chi2,
+           CAST(CASE WHEN ra >= 2 AND cb >= 2 THEN (ra-1)*(cb-1) END AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n,
+           CAST(ra AS BIGINT) AS n_rows_a,
+           CAST(cb AS BIGINT) AS n_cols_b,
+           ROUND(CASE WHEN ra >= 2 AND cb >= 2
+                 THEN sqrt(chi2 / (n * least(ra-1, cb-1))) END, 6) AS cramers_v
+    FROM agg
+    """,
+    e="table.events",
+)
+def q_events_type_hour_chisq(e: DataFrame) -> DataFrame:
+    """Chi-squared independence of event type × 6-hour band (§2b-D
+    inference family,
+    ``operators/aggregates.py::chi_squared_independence``): is activity
+    mix time-of-day dependent?  ONE hash aggregate builds the R×C
+    cells; marginals are window sums over the CELLS frame (the
+    categorical-sized exception to the no-global-window rule), Cramér's
+    V normalizes the effect size.  Expected counts divide exact BIGINT
+    marginal products.  Oracle = the identical CTE."""
+    from .operators.aggregates import chi_squared_independence
+
+    band = F.floor(F.hour("ts") / 6.0).cast("int")
+    return chi_squared_independence(
+        e.select(F.col("event_type"), band.alias("hour_band")),
+        "event_type",
+        "hour_band",
+    )
+
+
+@defq(
+    "customer_repeat_survival",
+    oracle="""
+    WITH rn AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), subj AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS f,
+             MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS s
+      FROM rn WHERE rn <= 2 GROUP BY 1
+    ), dur AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN s IS NOT NULL THEN date_diff('day', f, s)
+                  ELSE date_diff('day', f, TIMESTAMP '2001-08-02') END AS t,
+             CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM subj JOIN customer ON o_custkey = c_custkey
+    ), cells AS (
+      SELECT segment, t,
+             SUM(ev) AS n_events, SUM(1 - ev) AS n_censored
+      FROM dur GROUP BY 1, 2
+    ), risk AS (
+      SELECT segment, t, n_events, n_censored,
+             SUM(n_events + n_censored) OVER (PARTITION BY segment)
+               - COALESCE(SUM(n_events + n_censored)
+                   OVER (PARTITION BY segment ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS n_at_risk
+      FROM cells
+    ), st AS (
+      SELECT segment, t, n_at_risk, n_events, n_censored,
+             SUM(CASE WHEN 1.0 - n_events * 1.0 / n_at_risk > 0
+                      THEN ln(1.0 - n_events * 1.0 / n_at_risk) END)
+               OVER win AS lnsum,
+             SUM(CASE WHEN 1.0 - n_events * 1.0 / n_at_risk <= 0
+                      THEN 1 ELSE 0 END) OVER win AS zeros
+      FROM risk
+      WINDOW win AS (PARTITION BY segment ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT segment, CAST(t AS BIGINT) AS t,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           ROUND(CASE WHEN zeros > 0 THEN 0.0
+                 ELSE exp(COALESCE(lnsum, 0.0)) END, 6) AS survival
+    FROM st
+    """,
+    o="table.orders",
+    c="table.customer",
+)
+def q_customer_repeat_survival(o: DataFrame, c: DataFrame) -> DataFrame:
+    """Kaplan-Meier repeat-purchase survival per market segment
+    (§2b-E survival family, ``operators/timeseries.py::kaplan_meier``):
+    time from a customer's FIRST order to their SECOND, with one-order
+    customers right-CENSORED at the dataset horizon (2001-08-02) —
+    "mean days to repeat over repeaters" alone is survivorship bias;
+    KM uses every customer up to where observation stops.  Subjects
+    collapse to distinct-duration cells in one aggregate; the at-risk
+    and product-limit curve are windows over the CELLS frame, and the
+    "inherently sequential" running product runs as exp(cumsum(ln)).
+    Oracle = the identical CTE."""
+    from pyspark.sql import Window
+
+    from .operators.timeseries import kaplan_meier
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    subj = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("f"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("s"),
+    )
+    dur = subj.join(c, subj["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("s").isNotNull(), F.datediff(F.col("s"), F.col("f"))
+        )
+        .otherwise(F.datediff(F.lit("2001-08-02"), F.col("f")))
+        .alias("t"),
+        F.when(F.col("s").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    km = kaplan_meier(dur, "t", "ev", keys=["segment"])
+    return km.withColumn("t", F.col("t").cast("bigint"))
+
+
+from .operators.sampling import bootstrap_weight_sql as _boot_w_sql  # noqa: E402
+
+
+@defq(
+    "orders_price_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o_orderpriority AS prio, o_orderkey AS k, o_totalprice AS v, r
+      FROM orders, UNNEST(range(100)) AS t(r)
+    ), wm AS (
+      SELECT prio, r,
+             SUM({_boot_w_sql("k", "r")} * v) AS ws,
+             SUM({_boot_w_sql("k", "r")}) AS w
+      FROM reps GROUP BY 1, 2
+    ), m AS (
+      SELECT prio, ROUND(ws / w, 6) AS m FROM wm WHERE w > 0
+    ), ci AS (
+      SELECT prio,
+             ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+             ROUND(quantile_cont(m, 0.975), 6) AS ci_hi,
+             COUNT(*) AS n_boot_effective
+      FROM m GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n, mean, ci_lo, ci_hi,
+           CAST(n_boot_effective AS BIGINT) AS n_boot_effective
+    FROM (SELECT o_orderpriority, COUNT(o_totalprice) AS n,
+                 ROUND(AVG(o_totalprice), 6) AS mean
+          FROM orders GROUP BY 1) p
+    JOIN ci ON o_orderpriority = prio
+    """,
+    o="table.orders",
+)
+def q_orders_price_bootstrap(o: DataFrame) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value per priority
+    (§2b-D inference family,
+    ``operators/sampling.py::bootstrap_mean_ci``): each row weighs
+    Poisson(1) per replicate (inverse-CDF over the md5-uniform of
+    (orderkey, replicate) — deterministic, so a RESAMPLING operator is
+    value-hash-gateable), 100 replicate means per group, exact
+    interpolated percentiles over the bounded replicate frame.  The
+    explode fan-out is row-local (narrow); the only shuffles are the
+    two hash aggregates.  Oracle = the identical arithmetic via
+    ``bootstrap_weight_sql``."""
+    from .operators.sampling import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        o, ["o_orderpriority"], "o_orderkey", "o_totalprice", n_boot=100
+    )
+
+
+@defq(
+    "part_name_jw_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT p_partkey AS id,
+             regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g') AS s,
+             ROW_NUMBER() OVER (
+               ORDER BY regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g'),
+                        p_partkey) AS rk
+      FROM part
+    )
+    SELECT a.id AS left_id, b.id AS right_id,
+           CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+           ROUND(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+    FROM n a JOIN n b ON b.rk - a.rk BETWEEN 1 AND 5
+    WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
+    """,
+    p="table.part",
+)
+def q_part_name_jw_pairs(p: DataFrame) -> DataFrame:
+    """Sorted-neighborhood Jaro-Winkler ER join (§2b-C/I,
+    ``operators/joins.py::jaro_winkler_join``): the name-matching edit
+    model (positional matching window + transpositions + Winkler
+    prefix boost) over the same O(n·w) SNM blocking as
+    ``part_name_sorted_neighbors`` — the documented Arrow-UDF-tier
+    verifier: JW has no relational decomposition, so a vectorized
+    Pandas UDF scores the already-blocked pairs while rank/join/filter
+    stay JVM-side.  The byte-level Python implementation reproduces
+    DuckDB's builtin ``jaro_winkler_similarity`` bit-for-bit, so this
+    is the rare UDF whose oracle is the OTHER engine's native
+    function."""
+    from .operators.joins import jaro_winkler_join
+
+    return jaro_winkler_join(
+        p, "p_name", "p_partkey", window=5, threshold=0.9, bucket_chars=2
+    )
+
+
+@defq(
+    "stream_cusum_alarms",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts, value,
+             SUM(value - 50.0 - 5.0) OVER win AS ch,
+             SUM(-(value - 50.0) - 5.0) OVER win AS cl
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_id, user_id, ts, value,
+             ch - LEAST(0.0, MIN(ch) OVER win) AS sh,
+             cl - LEAST(0.0, MIN(cl) OVER win) AS sl
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           ROUND(sh, 6) AS cusum_high,
+           ROUND(sl, 6) AS cusum_low,
+           (sh > 47.503 OR sl > 47.503) AS alarm
+    FROM s
+    """,
+)
+def q_stream_cusum_alarms(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming CUSUM drift detector (§2b-J x §2b-E,
+    ``streaming/ops.py::run_cusum_into_state``): events replay as 4
+    time-ordered micro-batches — the NINTH streaming-state gate, whose
+    carried state is each user's LIVE accumulator pair and whose
+    within-batch recurrence runs as the stitched closed form
+    ``max(s0 + C, C - running_min(C))``.  The concatenated per-batch
+    outputs EQUAL the one-shot batch ``events_cusum_alarms`` for any
+    batch boundaries; oracle = the batch twin's SQL — the equality IS
+    the gate."""
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import run_cusum_into_state, stream_from_parquet
+
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    staged = _stage_id_ordered_files(
+        ev.select("event_id", "ts", "user_id", "value"), "event_id", 4
+    )
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        state = run_cusum_into_state(
+            stream, ["user_id"], ["ts", "event_id"], "value",
+            target=50.0, slack=5.0, threshold=47.503,
+        )
+    return spark.read.parquet(f"{state}/out").select(
+        "event_id", "user_id", "ts", "value",
+        "cusum_high", "cusum_low", "alarm",
+    )
+
+
+@defq(
+    "doc_feature_hash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS BIGINT) AS bucket,
+           CAST(SUM(CASE WHEN substr(md5(term), 9, 1) < '8' THEN 1 ELSE -1 END) AS BIGINT) AS value
+    FROM toks GROUP BY 1, 2
+    HAVING SUM(CASE WHEN substr(md5(term), 9, 1) < '8' THEN 1 ELSE -1 END) != 0
+    """,
+    d="table.documents",
+)
+def q_doc_feature_hash(d: DataFrame) -> DataFrame:
+    """Hashing-trick vectorizer (§2b-K feature family,
+    ``llm/ranking.py::feature_hash_counts``): token counts folded into
+    1024 fixed buckets via md5 (bucket = first 8 hex chars mod dim,
+    sign = 9th hex char's top bit — Weinberger's sign trick, so
+    collisions cancel in expectation).  Vocabulary-free: no fit pass,
+    no vocab table, no OOV — one explode + one hash aggregate turns
+    100 TB of text into bounded-width sparse features.  Oracle = the
+    identical md5 arithmetic."""
+    from .llm.ranking import feature_hash_counts
+
+    return feature_hash_counts(d, "text", "doc_id", dim=1024)
+
+
+@defq(
+    "doc_rrf_fusion",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term,
+             len(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ('table', 'stream', 'filter') GROUP BY 1, 2
+    ), stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             AVG(len(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS avgdl
+      FROM documents
+    ), dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT doc_id AS id,
+             ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+                       (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY 1
+    ), bmr AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rk FROM bm
+    ), cosr AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rk FROM (
+        SELECT c.vec_id AS id,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS s
+        FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id != 0)
+    ), contrib AS (
+      SELECT id, 1.0 / (60 + rk) AS c FROM bmr WHERE rk <= 50
+      UNION ALL
+      SELECT id, 1.0 / (60 + rk) AS c FROM cosr WHERE rk <= 50
+    ), fused AS (
+      SELECT id, ROUND(SUM(c), 6) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM contrib GROUP BY 1
+    )
+    SELECT id AS doc_id, rrf_score, n_lists
+    FROM fused ORDER BY rrf_score DESC, id LIMIT 20
+    """,
+    d="table.documents",
+    e="table.embeddings",
+)
+def q_doc_rrf_fusion(d: DataFrame, e: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of lexical + semantic retrieval (§2b-K,
+    ``llm/ranking.py::rrf_fuse``): BM25 for a fixed query fused with
+    embedding-cosine against the vec_id=0 query vector — the
+    calibration-free hybrid-retrieval combiner (only RANKS enter, so
+    incomparable score scales don't matter).  RRF is defined over the
+    rankers' top-N LISTS: each ranker cuts to its top 50 via
+    TakeOrderedAndProject, ranks run on those bounded frames, and the
+    fused top 20 ships with rounded-score + id tie order both engines
+    reproduce.  The query vector enters as the blessed ONE-ROW
+    broadcast.  Oracle = the identical two-ranker CTE."""
+    from .llm.ranking import bm25_scores, rrf_fuse
+    from .llm.similarity import cosine_similarity
+
+    bm = bm25_scores(d, ["table", "stream", "filter"]).select("id", "score")
+    # ungrouped first() over the single vec_id=0 row: deterministic,
+    # and the aggregate is what PROVES the broadcast side one-row to
+    # the plan auditor (no allowlist entry needed)
+    q = e.filter(F.col("vec_id") == 0).agg(
+        F.first("embedding").alias("__qv")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine_similarity(F.col("embedding"), F.col("__qv")).alias("score"),
+        )
+    )
+    fused = rrf_fuse([bm, cos], top_n=50, k=60)
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+        .limit(20)
+        .select(F.col("id").alias("doc_id"), "rrf_score", "n_lists")
+    )
+
+
+@defq(
+    "orders_priority_target_encode",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey AS key, o_orderpriority AS cat, o_totalprice AS y,
+             ('0x' || substr(md5('folds' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
+      FROM orders
+    ), cells AS (
+      SELECT cat, fold, SUM(y) AS s, COUNT(*) AS c FROM r GROUP BY 1, 2
+    ), enc AS (
+      SELECT cat, fold,
+             ROUND(((SUM(s) OVER (PARTITION BY cat) - s)
+                    + 20.0 * (SUM(s) OVER () / SUM(c) OVER ()))
+                   / ((SUM(c) OVER (PARTITION BY cat) - c) + 20.0), 6) AS te
+      FROM cells
+    )
+    SELECT r.key, r.cat, CAST(r.fold AS BIGINT) AS fold, enc.te
+    FROM r JOIN enc ON r.cat = enc.cat AND r.fold = enc.fold
+    """,
+    o="table.orders",
+)
+def q_orders_priority_target_encode(o: DataFrame) -> DataFrame:
+    """K-fold leakage-safe target encoding of order priority against
+    order value (§2b-D feature family,
+    ``operators/aggregates.py::target_encode_kfold``): each order's
+    priority encodes as the smoothed mean total price of OTHER folds'
+    orders — the label never leaks into its own feature.  Folds are
+    md5-deterministic (never a random split), cells aggregate once,
+    totals/prior are windows over the categorical-sized cell frame,
+    and the join-back broadcasts.  Oracle = the identical CTE."""
+    from .operators.aggregates import target_encode_kfold
+
+    return target_encode_kfold(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", k=5, smoothing=20.0
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -105,3 +105,97 @@ def bm25_scores(
         .groupBy("id")
         .agg(F.sum(idf * tf_part).alias("score"))
     )
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    signed: bool = True,
+) -> DataFrame:
+    """Hashing-trick vectorizer (§2b-K feature family): token counts
+    folded into a FIXED ``dim``-bucket space via the md5 of the token —
+    the vocabulary-free featurizer (no fit pass, no vocab table, no
+    OOV) that turns 100 TB of text into bounded-width model input in
+    one explode + one hash aggregate.
+
+    ``signed=True`` applies the standard sign trick (Weinberger et al.
+    2009): a second hash bit flips each token's contribution to ±1, so
+    colliding tokens cancel in expectation instead of biasing the
+    bucket upward.  Both hashes come from ONE md5: bucket = first 8 hex
+    chars mod ``dim``, sign = the 9th hex char's top bit — engine-
+    portable (the DuckDB twin is the identical arithmetic), so the
+    vectorizer is value-oracle-able.
+
+    Returns the sparse representation ``(id, bucket, value)`` with
+    exact zero-sum buckets dropped (they carry no information and
+    sparsity IS the point).  ``value`` is the signed occurrence sum."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("term")
+    )
+    h = F.md5(F.col("term"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % int(dim)
+    if signed:
+        sign = F.when(F.substring(h, 9, 1) < "8", 1).otherwise(-1)
+    else:
+        sign = F.lit(1)
+    return (
+        exploded.select("id", bucket.alias("bucket"), sign.alias("__sg"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("__sg").alias("value"))
+        .filter(F.col("value") != 0)
+    )
+
+
+def rrf_fuse(
+    rankers: Sequence[DataFrame],
+    id_col: str = "id",
+    score_col: str = "score",
+    top_n: int = 100,
+    k: int = 60,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankers:
+    ``rrf(d) = sum_i 1 / (k + rank_i(d))`` over each ranker's top-N
+    list — the classic hybrid-retrieval combiner (BM25 + embedding
+    cosine) that needs no score calibration because only RANKS enter.
+
+    Scale shape: RRF is defined over the rankers' top-N LISTS, not the
+    corpus — so each ranker first cuts to ``top_n`` via
+    TakeOrderedAndProject (never a global sort), and the rank window
+    runs on that bounded frame (<= top_n rows — the documented
+    single-partition-window exception).  Scores round to ``round_dp``
+    BEFORE ranking with an id tiebreak, so both engines cut and rank
+    identical lists.
+
+    Returns ``(id, rrf_score, n_lists)`` for every doc in >= 1 list."""
+    from pyspark.sql import Window
+
+    parts = []
+    for r in rankers:
+        cut = (
+            r.select(
+                F.col(id_col).alias("id"),
+                F.round(F.col(score_col), round_dp).alias("__s"),
+            )
+            .orderBy(F.col("__s").desc(), F.col("id").asc())
+            .limit(int(top_n))
+        )
+        rank_w = Window.orderBy(F.col("__s").desc(), F.col("id").asc())
+        parts.append(
+            cut.select(
+                "id",
+                (1.0 / (int(k) + F.row_number().over(rank_w))).alias("__c"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return allc.groupBy("id").agg(
+        F.round(F.sum("__c"), round_dp).alias("rrf_score"),
+        F.count("*").cast("bigint").alias("n_lists"),
+    )

@@ -127,6 +127,220 @@ def regression_agg(
     )
 
 
+def welch_ttest(
+    df: DataFrame,
+    keys: Sequence[str],
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key Welch two-sample t-test (§2b-D inference family): for
+    each ``keys`` group, compare ``value_col`` between the ``group_a``
+    and ``group_b`` populations of ``group_col`` — the A/B-experiment
+    readout (unequal variances, unequal n; Student's pooled test is the
+    special case nobody's data satisfies).
+
+    Everything is conditional aggregation inside ONE hash aggregate
+    (partial + final): per-arm n/mean/sample-variance via ``when``
+    filters, then the t statistic ``(m_a - m_b) / sqrt(v_a/n_a +
+    v_b/n_b)`` and the Welch–Satterthwaite degrees of freedom as
+    post-aggregate scalar arithmetic.  No join, no window, no second
+    pass — the 100-TB shape for "t-test every experiment cell".
+
+    The p-value needs the incomplete beta function (not in either SQL
+    engine); downstream compares |t| against the fixed critical value
+    for its df — ``abs_t_above_2`` ships as the conventional quick
+    read.  NULL t/df when either arm has n < 2 or both spreads are 0
+    (no evidence, not a 0).  Outputs round to ``round_dp``: the two
+    engines accumulate variance partials in different orders, so
+    last-ulp float divergence is expected and rounded away."""
+    v = F.col(value_col)
+    in_a = F.when(F.col(group_col) == group_a, v)
+    in_b = F.when(F.col(group_col) == group_b, v)
+    agg = df.groupBy(*keys).agg(
+        F.count(in_a).alias("n_a"),
+        F.count(in_b).alias("n_b"),
+        F.avg(in_a).alias("__ma"),
+        F.avg(in_b).alias("__mb"),
+        F.var_samp(in_a).alias("__va"),
+        F.var_samp(in_b).alias("__vb"),
+    )
+    se_a = F.col("__va") / F.col("n_a")
+    se_b = F.col("__vb") / F.col("n_b")
+    ok = (
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & ((se_a + se_b) > 0)
+    )
+    t = F.when(ok, (F.col("__ma") - F.col("__mb")) / F.sqrt(se_a + se_b))
+    dof = F.when(
+        ok,
+        F.pow(se_a + se_b, 2)
+        / (
+            F.pow(se_a, 2) / (F.col("n_a") - 1)
+            + F.pow(se_b, 2) / (F.col("n_b") - 1)
+        ),
+    )
+    return agg.select(
+        *[F.col(c) for c in keys],
+        "n_a",
+        "n_b",
+        F.round("__ma", round_dp).alias("mean_a"),
+        F.round("__mb", round_dp).alias("mean_b"),
+        F.round(t, round_dp).alias("t_stat"),
+        F.round(dof, round_dp).alias("df_welch"),
+        F.when(ok, F.abs(t) > 2.0).alias("abs_t_above_2"),
+    )
+
+
+def chi_squared_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns (§2b-D inference family) plus Cramér's V effect size — the
+    "is this feature actually associated with that label" screen run
+    before any stratification/mix decision.
+
+    Plan: ONE hash aggregate builds the R×C contingency cells; the
+    marginals and grand total are window sums over the CELLS frame
+    (R×C rows — like the Zipf rank window, the documented exception to
+    the no-global-window rule: the window input is categorical-sized,
+    never the fact table), and the statistic is one final single-row
+    aggregate.  Expected counts ``row_total * col_total / n`` use
+    exact BIGINT products cast late, so both engines divide the same
+    integers.
+
+    Returns ONE row: ``chi2``, ``dof``, ``n``, ``n_rows_a`` (R),
+    ``n_cols_b`` (C), ``cramers_v``.  NULL chi2/V when any marginal is
+    degenerate (R < 2 or C < 2)."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("o"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    with_m = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(wa).alias("row_t"),
+        F.sum("o").over(wb).alias("col_t"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = (F.col("row_t") * F.col("col_t")).cast("double") / F.col("n")
+    contrib = F.pow(F.col("o") - e, 2) / e
+    # size(collect_set) instead of countDistinct: two countDistincts in
+    # one aggregate trigger Catalyst's distinct-rewrite Expand, whose
+    # branch order follows per-session expression IDs — a semantically
+    # identical but permuted plan every JVM (the orders_profile lesson,
+    # plan_snapshots.py) — and the input here is the R×C cells frame,
+    # so the sets are categorical-bounded.
+    out = with_m.agg(
+        F.sum(contrib).alias("__chi2"),
+        F.first("n").alias("n"),
+        F.size(F.collect_set("a")).alias("n_rows_a"),
+        F.size(F.collect_set("b")).alias("n_cols_b"),
+    )
+    r1 = F.col("n_rows_a") - 1
+    c1 = F.col("n_cols_b") - 1
+    ok = (r1 >= 1) & (c1 >= 1)
+    return out.select(
+        F.round(F.when(ok, F.col("__chi2")), round_dp).alias("chi2"),
+        F.when(ok, r1 * c1).cast("bigint").alias("dof"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_rows_a").cast("bigint").alias("n_rows_a"),
+        F.col("n_cols_b").cast("bigint").alias("n_cols_b"),
+        F.round(
+            F.when(
+                ok & (F.least(r1, c1) > 0),
+                F.sqrt(F.col("__chi2") / (F.col("n") * F.least(r1, c1))),
+            ),
+            round_dp,
+        ).alias("cramers_v"),
+    )
+
+
+def target_encode_kfold(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    key_col: str,
+    k: int = 5,
+    smoothing: float = 20.0,
+    salt: str = "folds",
+    round_dp: int = 6,
+) -> DataFrame:
+    """K-fold leakage-safe target (mean) encoding (§2b-D feature
+    family): each row's category encodes as the smoothed target mean
+    computed WITHOUT the row's own fold — ``((tot_s - fold_s) + m *
+    prior) / ((tot_c - fold_c) + m)`` — the standard guard against the
+    label leaking into its own feature (naive mean encoding memorizes
+    the training labels; K-fold exclusion is what competition pipelines
+    and category_encoders ship).
+
+    Deterministic end-to-end: the fold is the md5-uniform of the key
+    mod ``k`` (portable to the SQL twin), never a random split.  The
+    smoothing prior pulls thin categories toward the GLOBAL mean; a
+    category entirely inside one fold encodes exactly to the prior
+    (``smoothing`` must be > 0 — at 0 such a cell would divide by
+    zero).
+
+    Scale shape: ONE hash aggregate builds the |cats| x k cells;
+    totals and the global prior are window sums over that CELLS frame
+    (categorical-sized — the documented exception); the encoding joins
+    back on (cat, fold) — AQE broadcasts the tiny cell frame.  The
+    fact table is touched twice (cells + join-back), shuffled on the
+    join only when the cell frame outgrows broadcast.
+
+    Returns ``(key, cat, fold, te)``."""
+    if smoothing <= 0:
+        raise ValueError("target_encode_kfold: smoothing must be > 0")
+    from pyspark.sql import Window
+
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(k)
+    )
+    rows = df.select(
+        F.col(key_col).alias("key"),
+        F.col(cat_col).alias("cat"),
+        F.col(target_col).alias("__y"),
+        fold.alias("fold"),
+    )
+    cells = rows.groupBy("cat", "fold").agg(
+        F.sum("__y").alias("__s"), F.count("*").alias("__c")
+    )
+    per_cat = Window.partitionBy("cat")
+    whole = Window.partitionBy()
+    m = float(smoothing)
+    enc = cells.select(
+        "cat",
+        "fold",
+        F.round(
+            (
+                (F.sum("__s").over(per_cat) - F.col("__s"))
+                + m * (F.sum("__s").over(whole) / F.sum("__c").over(whole))
+            )
+            / ((F.sum("__c").over(per_cat) - F.col("__c")) + m),
+            round_dp,
+        ).alias("te"),
+    )
+    return rows.select("key", "cat", "fold").join(enc, ["cat", "fold"]).select(
+        "key", "cat", "fold", "te"
+    )
+
+
 def mad_outlier_summary(
     df: DataFrame,
     keys: Sequence[str],

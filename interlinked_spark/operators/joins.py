@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -857,6 +858,159 @@ def soft_tfidf_self_join(
     )
 
 
+def _snm_global_rank(ranked: DataFrame, checkpoint_mode: str) -> DataFrame:
+    """Global total-order rank over ``(__s, __id)`` WITHOUT a
+    single-partition window — the two-phase distributed prefix sum
+    (``llm/packing.py::global_running_sum`` keyed on strings): rows
+    rank locally inside their ``__bkt`` key-prefix bucket, bucket
+    counts form a tiny broadcast offset table, ``__rk = local +
+    offset``.  Shared by every sorted-neighborhood family member so
+    the blocking semantics can't drift between verifiers."""
+    intra = Window.partitionBy("__bkt").orderBy("__s", "__id")
+    local = ranked.withColumn("__intra", F.row_number().over(intra))
+    counts = ranked.groupBy("__bkt").agg(F.count("*").alias("__cnt"))
+    off_w = Window.partitionBy().orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bkt", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
+    )
+    return materialize(
+        local.join(F.broadcast(offsets), "__bkt").withColumn(
+            "__rk", F.col("__intra") + F.col("__off")
+        ),
+        checkpoint_mode,
+    )
+
+
+def jaro_winkler_bytes(a: bytes, b: bytes) -> float:
+    """Jaro-Winkler similarity over UTF-8 BYTES — bit-for-bit the
+    algorithm DuckDB's ``jaro_winkler_similarity`` implements (verified
+    empirically: byte-level matching window, transpositions halved by
+    integer division, Winkler prefix boost up to 4 with p=0.1 applied
+    only above the 0.7 jaro threshold; on ASCII, byte == codepoint).
+    Pure integer counting + a fixed expression tree of IEEE divisions,
+    so the two engines produce the IDENTICAL double and an unrounded
+    threshold compare can never disagree."""
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0  # DuckDB: any empty side scores 0, even '' vs ''
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == a[i]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if not m:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1 - jaro)
+
+
+def jaro_winkler_join(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    window: int = 5,
+    threshold: float = 0.9,
+    bucket_chars: int = 2,
+    round_dp: int = 6,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Sorted-neighborhood Jaro-Winkler ER self-join (§2b-C/I): the
+    same O(n·w) SNM blocking as :func:`sorted_neighborhood_join`, but
+    verified with Jaro-Winkler — the edit-model tuned for NAMES (short
+    strings, typos concentrated mid-string, shared prefixes meaningful)
+    where q-gram Jaccard is too coarse and Levenshtein over-penalizes
+    transpositions.
+
+    This is the documented Arrow-UDF-tier verifier: Jaro-Winkler has
+    no relational decomposition (the matching window is positional and
+    stateful), so the score runs as a vectorized Pandas UDF over the
+    ALREADY-BLOCKED candidate pairs — Python touches O(n·w) rows, never
+    O(n²), and everything around it (rank, block join, threshold
+    filter) stays JVM-side.  Same SNM recall contract as the Jaccard
+    variant: a true pair further than ``window`` ranks apart in the
+    sort order is missed — run with a second pass on the REVERSED
+    string (or compose with :func:`fuzzy_string_join`) for the classic
+    multi-pass SNM recall fix.
+
+    Returns ``(left_id, right_id, rank_gap, jw)`` with ``jw >=
+    threshold`` (unrounded compare — see :func:`jaro_winkler_bytes` for
+    why that is engine-exact; ``round_dp`` output)."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = int(window)
+    ranked = materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            norm_string(col).alias("__s"),
+        ).withColumn("__bkt", F.substring("__s", 1, int(bucket_chars))),
+        checkpoint_mode,
+    )
+    ranked = _snm_global_rank(ranked, checkpoint_mode)
+    blk = F.floor((F.col("__rk") - 1) / w)
+    l = ranked.select(
+        F.col("__id").alias("left_id"), F.col("__rk").alias("__lrk"),
+        F.col("__s").alias("__ls"),
+        F.explode(F.array(blk, blk + 1)).alias("__blk"),
+    )
+    r = ranked.select(
+        F.col("__id").alias("right_id"), F.col("__rk").alias("__rrk"),
+        F.col("__s").alias("__rs"),
+        blk.alias("__blk"),
+    )
+    cand = l.join(r, "__blk").filter(
+        (F.col("__rrk") - F.col("__lrk") >= 1)
+        & (F.col("__rrk") - F.col("__lrk") <= w)
+    )
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler_bytes(x.encode("utf-8"), y.encode("utf-8"))
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    score = _jw(F.col("__ls"), F.col("__rs"))
+    return (
+        cand.withColumn("__jw", score)
+        .filter(F.col("__jw") >= F.lit(float(threshold)))
+        .select(
+            "left_id", "right_id",
+            (F.col("__rrk") - F.col("__lrk")).alias("rank_gap"),
+            F.round("__jw", round_dp).alias("jw"),
+        )
+    )
+
+
 def sorted_neighborhood_join(
     df: DataFrame,
     col: str,
@@ -906,21 +1060,7 @@ def sorted_neighborhood_join(
         .withColumn("__bkt", F.substring("__s", 1, int(bucket_chars))),
         checkpoint_mode,
     )
-    intra = Window.partitionBy("__bkt").orderBy("__s", "__id")
-    local = ranked.withColumn("__intra", F.row_number().over(intra))
-    counts = ranked.groupBy("__bkt").agg(F.count("*").alias("__cnt"))
-    off_w = Window.partitionBy().orderBy("__bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "__bkt", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
-    )
-    ranked = materialize(
-        local.join(F.broadcast(offsets), "__bkt").withColumn(
-            "__rk", F.col("__intra") + F.col("__off")
-        ),
-        checkpoint_mode,
-    )
+    ranked = _snm_global_rank(ranked, checkpoint_mode)
     blk = F.floor((F.col("__rk") - 1) / w)
     l = ranked.select(
         F.col("__id").alias("left_id"), F.col("__rk").alias("__lrk"),

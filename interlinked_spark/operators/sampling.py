@@ -10,6 +10,8 @@ taken on different tables stay join-consistent on the key.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -595,3 +597,136 @@ def budget_select_sql(
       FROM {table})
     WHERE __cum <= {int(budget)}
     """
+
+
+# ---------------------------------------------------------------------
+# Poisson bootstrap (deterministic, engine-portable)
+# ---------------------------------------------------------------------
+
+# Cumulative P(X <= k) for Poisson(lambda=1), k = 0..7; replicate
+# weights cap at 8 (P(X > 7) ~ 1e-5).  Module-level so the Column
+# builder and the SQL twin are generated from the SAME doubles — a
+# constant drifting between them would silently break oracle parity.
+_POISSON1_CUM: list[float] = []
+_acc, _fact = 0.0, 1.0
+for _k in range(8):
+    if _k:
+        _fact *= _k
+    _acc += math.exp(-1.0) / _fact
+    _POISSON1_CUM.append(_acc)
+del _acc, _fact, _k
+
+
+def _bootstrap_u(key_col: str, rep_col: str, salt: str) -> F.Column:
+    """Per-(row, replicate) uniform in (0, 1): the md5-uniform of
+    ``salt || key || ':' || replicate`` — same construction as
+    :func:`_aes_key`'s, with the replicate index in the hash input so
+    the B draws per row are independent."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col(key_col).cast("string"),
+                    F.lit(":"),
+                    F.col(rep_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (h + 0.5) / float(_HEX_SPACE)
+
+
+def _poisson1(u: F.Column) -> F.Column:
+    """Inverse-CDF Poisson(1) from a uniform — the bootstrap replicate
+    weight.  A CASE chain over 8 fixed double thresholds: both engines
+    compare the SAME binary64 literals against the SAME derived u, so
+    the branch (and therefore the weight) can never differ."""
+    expr = F.when(u < F.lit(_POISSON1_CUM[0]), 0)
+    for k in range(1, len(_POISSON1_CUM)):
+        expr = expr.when(u < F.lit(_POISSON1_CUM[k]), k)
+    return expr.otherwise(len(_POISSON1_CUM))
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    keys: list[str],
+    key_col: str,
+    value_col: str,
+    n_boot: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "boot",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    POISSON bootstrap (§2b-D inference family) — the resampling scheme
+    that actually distributes: classic with-replacement resampling
+    needs the group materialized; weighting each row by an independent
+    Poisson(1) count per replicate is its standard large-n equivalent
+    (each row appears 0,1,2,... times) and stays one pass + aggregates.
+
+    Deterministic end-to-end: the Poisson draw is inverse-CDF over the
+    md5-uniform of (key, replicate), so the same input produces the
+    same CI on every run/partitioning/engine — which is what lets a
+    RESAMPLING operator be value-hash-gated at all.
+
+    Plan: a row-local ``explode(sequence(0, B-1))`` fans each row to B
+    replicates (narrow — no shuffle), ONE hash aggregate computes the
+    per-(group, replicate) weighted mean, a second per-group aggregate
+    takes exact interpolated percentiles over the B replicate means
+    (bounded: B values per group), and the plain mean/count joins from
+    a third aggregate on the unexploded input.  Replicate means round
+    to ``round_dp`` BEFORE the percentile so both engines interpolate
+    identical inputs.  Replicates whose total weight is 0 (possible
+    only for tiny groups) are dropped, not averaged as NULL.
+
+    Returns keys + ``n``, ``mean``, ``ci_lo``, ``ci_hi``,
+    ``n_boot_effective``."""
+    reps = df.select(*keys, key_col, value_col).withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
+    )
+    w = _poisson1(_bootstrap_u(key_col, "__r", salt)).cast("double")
+    per_rep = (
+        reps.groupBy(*keys, "__r")
+        .agg(
+            F.sum(w * F.col(value_col)).alias("__ws"),
+            F.sum(w).alias("__w"),
+        )
+        .filter(F.col("__w") > 0)
+        .select(
+            *keys,
+            F.round(F.col("__ws") / F.col("__w"), round_dp).alias("__m"),
+        )
+    )
+    ci = per_rep.groupBy(*keys).agg(
+        F.round(F.percentile("__m", float(lo)), round_dp).alias("ci_lo"),
+        F.round(F.percentile("__m", float(hi)), round_dp).alias("ci_hi"),
+        F.count("*").alias("n_boot_effective"),
+    )
+    point = df.groupBy(*keys).agg(
+        F.count(value_col).alias("n"),
+        F.round(F.avg(value_col), round_dp).alias("mean"),
+    )
+    return point.join(ci, keys).select(
+        *keys, "n", "mean", "ci_lo", "ci_hi", "n_boot_effective"
+    )
+
+
+def bootstrap_weight_sql(key_col: str, rep_col: str, salt: str = "boot") -> str:
+    """DuckDB twin of the Poisson(1) replicate weight (oracle parity
+    helper): the identical md5-uniform + the identical CASE thresholds,
+    formatted from the SAME module constants."""
+    salt = _sql_str(salt)
+    u = (
+        f"((('0x' || substr(md5('{salt}' || CAST({key_col} AS VARCHAR) || ':' || "
+        f"CAST({rep_col} AS VARCHAR)), 1, 8))::BIGINT + 0.5) / {float(_HEX_SPACE)!r})"
+    )
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CUM)
+    )
+    return f"(CASE {branches} ELSE {len(_POISSON1_CUM)} END)"

@@ -205,6 +205,148 @@ def transition_counts(
     )
 
 
+def cusum_alarms(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    slack: float,
+    threshold: float,
+    target: float | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per entity (§2b-E,
+    Page 1954): the classic SPC recurrence ``S⁺_i = max(0, S⁺_{i-1} +
+    (x_i - target - slack))`` (and the mirrored ``S⁻``) accumulates
+    evidence of a sustained mean SHIFT and resets on contrary evidence
+    — the drift detector a per-row z-score is blind to (ten
+    consecutive +1σ readings never flag a 3σ rule; CUSUM climbs).
+
+    The recurrence looks inherently sequential, but it has the exact
+    closed form ``S_i = C_i - min(0, min_{j<=i} C_j)`` where ``C`` is
+    the running sum of ``(x - target - slack)`` — a running-sum plus a
+    running-min, both plain cumulative window aggregates.  So the whole
+    detector is ONE shuffle on ``keys`` with all four cumulative frames
+    (and the per-key mean when ``target=None``) sharing a single
+    WindowExec sort — no recursion, no UDF, no driver loop, and a
+    billion entities are a billion independent partitions.
+
+    ``target=None`` baselines each entity at its own full-series mean
+    (retrospective audit mode); pass an explicit target for the
+    online/spec-limit mode.  ``order_cols`` must be a total order per
+    key (include a tiebreak id) — cumulative sums under a nondeterministic
+    order are undefined.  ``slack`` (the reference value k, typically
+    0.5σ of the in-control noise) sets drift tolerance; ``threshold``
+    (h, typically 4-5σ) sets the alarm line.
+
+    Returns the input columns + ``cusum_high``, ``cusum_low`` (rounded)
+    and ``alarm`` (either side above ``threshold``)."""
+    from pyspark.sql import Window
+
+    cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Window functions can't nest, so each level lands as a column
+    # before the next reads it (baseline mean -> running sums ->
+    # running mins); every Window operator shares the same partitioning
+    # (+ ordering where framed), so Catalyst plans ONE exchange and ONE
+    # sort for the whole stack.
+    cols = list(df.columns)
+    if target is None:
+        full = Window.partitionBy(*keys)
+        based = df.select(*cols, F.avg(value_col).over(full).alias("__mu"))
+        center = F.col(value_col) - F.col("__mu")
+    else:
+        based = df
+        center = F.col(value_col) - F.lit(float(target))
+    k = F.lit(float(slack))
+    staged = based.select(
+        *cols,
+        F.sum(center - k).over(cum).alias("__c_hi"),
+        F.sum(-center - k).over(cum).alias("__c_lo"),
+    )
+    s_hi = F.col("__c_hi") - F.least(F.lit(0.0), F.min("__c_hi").over(cum))
+    s_lo = F.col("__c_lo") - F.least(F.lit(0.0), F.min("__c_lo").over(cum))
+    return staged.select(
+        *cols,
+        F.round(s_hi, round_dp).alias("cusum_high"),
+        F.round(s_lo, round_dp).alias("cusum_low"),
+        ((s_hi > float(threshold)) | (s_lo > float(threshold))).alias("alarm"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    keys: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator (§2b-E survival family): from
+    one row per subject — ``duration_col`` (time observed) and
+    ``event_col`` (1 = event occurred, 0 = right-censored) — the
+    product-limit curve ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)``
+    per ``keys`` stratum.  Censoring is the whole point: "average time
+    to churn" over observed churners alone is survivorship bias; KM
+    uses every subject up to the moment it stops being watched.
+
+    Scale shape: subjects collapse to DISTINCT-duration cells in ONE
+    hash aggregate first; the at-risk counts and the cumulative
+    product (as ``exp(cumsum(ln(1 - d/n)))``) are windows over the
+    CELLS frame — bounded by distinct event times per stratum, never
+    the subject table.  All windows share one partitioning on
+    ``keys``.  A zero factor (everyone at risk dies at t) pins S to
+    exactly 0.0 from t on — tracked by a cumulative zero-count, not by
+    ``ln(0)`` (whose -inf would poison the sum in either engine).
+
+    Returns keys + ``t``, ``n_at_risk``, ``n_events``, ``n_censored``,
+    ``survival`` (rounded) ordered cells."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    ev = F.col(event_col).cast("int")
+    cells = df.groupBy(
+        *keys, F.col(duration_col).alias("t")
+    ).agg(
+        F.sum(ev).alias("n_events"),
+        F.sum(1 - ev).alias("n_censored"),
+    )
+    part = Window.partitionBy(*keys)
+    order = part.orderBy("t")
+    before = order.rowsBetween(Window.unboundedPreceding, -1)
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    leaving = F.col("n_events") + F.col("n_censored")
+    at_risk = cells.select(
+        *keys,
+        "t",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(leaving).over(part)
+            - F.coalesce(F.sum(leaving).over(before), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    factor = 1.0 - F.col("n_events") / F.col("n_at_risk")
+    staged = at_risk.select(
+        *at_risk.columns,
+        F.sum(F.when(factor > 0, F.log(factor))).over(cum).alias("__lnsum"),
+        F.sum(F.when(factor <= 0, 1).otherwise(0)).over(cum).alias("__zeros"),
+    )
+    surv = F.when(F.col("__zeros") > 0, 0.0).otherwise(
+        F.exp(F.coalesce(F.col("__lnsum"), F.lit(0.0)))
+    )
+    return staged.select(
+        *keys,
+        "t",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.round(surv, round_dp).alias("survival"),
+    )
+
+
 def event_path_counts(
     df: DataFrame,
     keys: Sequence[str],

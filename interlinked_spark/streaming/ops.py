@@ -1024,3 +1024,130 @@ def run_transitions_into_state(
 
     foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
     return state_path
+
+
+def run_cusum_into_state(
+    event_stream: DataFrame,
+    key_cols,
+    order_cols,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    state_path: Optional[str] = None,
+    timeout_s: int = 300,
+    round_dp: int = 6,
+) -> str:
+    """Streaming CUSUM drift detector (§2b-J x §2b-E): the NINTH
+    streaming-state gate — the carried state is each entity's live
+    accumulator pair ``(s_hi, s_lo)``, and the within-batch recurrence
+    runs as a STITCHED closed form: with the carried initial value
+    ``s0``, ``s_i = max(s0 + C_i, C_i - min_{1<=j<=i} C_j)`` (``C`` =
+    batch-local running sum of centered-slacked deltas) — the ``s0``
+    term is the "never reset since the batch started" branch, the
+    running-min term is the best in-batch restart.  Exact by the same
+    suffix-maximum argument as the batch operator's closed form, so
+    the concatenation of per-batch outputs EQUALS the one-shot batch
+    ``cusum_alarms`` (explicit target) for ANY time-ordered batch
+    boundaries — that batching-invariance is what lets a STATEFUL
+    sequential detector be value-oracle-able against the batch twin's
+    SQL.
+
+    Exactly-once under foreachBatch's at-least-once contract (qhist/
+    HLL/transitions shape): batch N reads ``state/batch=N-1`` (still
+    present on replay) and overwrites its own ``out/batch=N`` +
+    ``state/batch=N`` dirs; absent entities' state carries forward.
+    Answer by reading ``out/batch=*``."""
+    from ..sources.writers import write_table
+
+    state_path = state_path or tempfile.mkdtemp(prefix="cusum_state_")
+    spark = event_stream.sparkSession
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import Window
+
+        cum = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        last_w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order]
+        )
+        try:
+            prior = spark.read.parquet(f"{state_path}/state/batch={batch_id - 1}")
+        except AnalysisException:
+            prior = None
+
+        batch = batch_df.select(*keys, *order, value_col)
+        if prior is not None:
+            batch = batch.join(prior, keys, "left").fillna(
+                {"s_hi": 0.0, "s_lo": 0.0}
+            )
+        else:
+            batch = batch.withColumn("s_hi", F.lit(0.0)).withColumn(
+                "s_lo", F.lit(0.0)
+            )
+        d = F.col(value_col) - F.lit(float(target))
+        k = F.lit(float(slack))
+        staged = batch.select(
+            *batch.columns,
+            F.sum(d - k).over(cum).alias("__c_hi"),
+            F.sum(-d - k).over(cum).alias("__c_lo"),
+        )
+        staged = staged.select(
+            *staged.columns,
+            F.min("__c_hi").over(cum).alias("__m_hi"),
+            F.min("__c_lo").over(cum).alias("__m_lo"),
+        )
+        s_hi = F.greatest(
+            F.col("s_hi") + F.col("__c_hi"), F.col("__c_hi") - F.col("__m_hi")
+        )
+        s_lo = F.greatest(
+            F.col("s_lo") + F.col("__c_lo"), F.col("__c_lo") - F.col("__m_lo")
+        )
+        scored = staged.select(
+            *keys,
+            *order,
+            value_col,
+            s_hi.alias("__s_hi"),
+            s_lo.alias("__s_lo"),
+        )
+        out = scored.select(
+            *keys,
+            *order,
+            value_col,
+            F.round("__s_hi", round_dp).alias("cusum_high"),
+            F.round("__s_lo", round_dp).alias("cusum_low"),
+            (
+                (F.col("__s_hi") > float(threshold))
+                | (F.col("__s_lo") > float(threshold))
+            ).alias("alarm"),
+        )
+        lasts = (
+            scored.withColumn("__rn", F.row_number().over(last_w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *keys,
+                F.col("__s_hi").alias("s_hi"),
+                F.col("__s_lo").alias("s_lo"),
+            )
+        )
+        if prior is not None:
+            lasts = lasts.unionByName(
+                prior.join(lasts.select(*keys), keys, "left_anti")
+            )
+        write_table(
+            out.coalesce(1), f"{state_path}/out/batch={batch_id}", mode="overwrite"
+        )
+        write_table(
+            lasts.coalesce(1),
+            f"{state_path}/state/batch={batch_id}",
+            mode="overwrite",
+        )
+
+    foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
+    return state_path

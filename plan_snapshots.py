@@ -138,6 +138,16 @@ EXTENDED = [
     "stream_event_transitions",
     "user_event_paths",
     "orders_benford_digits",
+    "events_cusum_alarms",
+    "user_welch_ab",
+    "events_type_hour_chisq",
+    "customer_repeat_survival",
+    "orders_price_bootstrap",
+    "part_name_jw_pairs",
+    "stream_cusum_alarms",
+    "doc_feature_hash",
+    "doc_rrf_fusion",
+    "orders_priority_target_encode",
 ]
 
 

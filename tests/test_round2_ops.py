@@ -427,6 +427,9 @@ def test_whole_catalog_plan_audit(spark):
         # deliberate broadcast brute-force (anchors x corpus on !=),
         # 10k anchor guard; IVF is the documented scale path
         "embedding_hard_negatives",
+        # composes bm25_scores -> inherits its blessed ONE-ROW
+        # corpus-stats cross join (same frame as doc_bm25_query's)
+        "doc_rrf_fusion",
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
