@@ -364,6 +364,10 @@ def main() -> None:
         "doc_feature_hash",
         "doc_rrf_fusion",
         "orders_priority_target_encode",
+        # iterative-LPA demo (3 join+window rounds are the demo cost)
+        "trade_communities",
+        "orders_snapshot_diff",
+        "orders_price_psi",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -8540,6 +8540,175 @@ def q_orders_priority_target_encode(o: DataFrame) -> DataFrame:
     )
 
 
+@defq(
+    "trade_communities",
+    oracle=None,  # assigned below: unrolled CTE chain from label_propagation_sql
+    li="table.lineitem",
+    o="table.orders",
+)
+def q_trade_communities(li: DataFrame, o: DataFrame) -> DataFrame:
+    """Fixed-iteration label-propagation communities (§2b iterative
+    family, ``operators/graph.py::label_propagation``): the same
+    supplier→customer trade edges as ``trade_pagerank``, 3 synchronous
+    rounds of majority-vote relabeling with smallest-label ties — the
+    determinism knob that makes a notoriously order-sensitive
+    algorithm reproducible and lets its oracle be the SAME recurrence
+    unrolled into a SQL CTE chain.  Per round: one equi-join, one
+    counting aggregate, one row_number window, all sharing the vertex
+    shuffle key."""
+    from .operators.graph import label_propagation
+
+    edges = equi_join(
+        li.select("l_orderkey", "l_suppkey"),
+        o.select("o_orderkey", "o_custkey"),
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return label_propagation(edges, iterations=3, checkpoint_every=0)
+
+
+from .operators.graph import label_propagation_sql as _lpa_sql  # noqa: E402
+
+ORACLES["trade_communities"] = _lpa_sql(_trade_edges_sql(), iterations=3)
+
+
+@defq(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp,
+             o_orderpriority AS pr
+      FROM orders
+    ), nw AS (
+      SELECT k, st, CASE WHEN k % 89 = 0 THEN tp * 1.1 ELSE tp END AS tp, pr
+      FROM base WHERE k % 97 != 0
+      UNION ALL
+      SELECT k + 100000000, st, tp, pr FROM base WHERE k % 101 = 0
+    ), j AS (
+      SELECT COALESCE(b.k, n.k) AS o_orderkey,
+             b.k IS NOT NULL AS in_o, n.k IS NOT NULL AS in_n,
+             b.st AS ost, b.tp AS otp, b.pr AS opr,
+             n.st AS nst, n.tp AS ntp, n.pr AS npr
+      FROM base b FULL OUTER JOIN nw n ON b.k = n.k
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_o THEN 'added'
+                WHEN NOT in_n THEN 'removed'
+                WHEN (ost IS DISTINCT FROM nst) OR (otp IS DISTINCT FROM ntp)
+                     OR (opr IS DISTINCT FROM npr) THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN in_o AND in_n AND
+                     ((ost IS DISTINCT FROM nst) OR (otp IS DISTINCT FROM ntp)
+                      OR (opr IS DISTINCT FROM npr))
+                THEN array_to_string(list_filter([
+                       CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END,
+                       CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
+                       CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END],
+                       x -> x IS NOT NULL), ',')
+                ELSE '' END AS changed_cols
+    FROM j
+    """,
+    o="table.orders",
+)
+def q_orders_snapshot_diff(o: DataFrame) -> DataFrame:
+    """Table-version diff (§2b-A/G CDC family,
+    ``operators/merge.py::snapshot_diff``): classify every order key as
+    added / removed / changed / unchanged between two snapshots and
+    name the changed columns — the load-reconciliation audit.  The
+    "new" snapshot is a deterministic transform of the old (drop keys
+    % 97, reprice keys % 89, re-key % 101 as inserts), so both engines
+    diff identical inputs.  ONE full-outer equi-join; per-column
+    null-safe compare; sorted comma-joined change list."""
+    from .operators.merge import snapshot_diff
+
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        base.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 89 == 0, F.col("o_totalprice") * 1.1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            base.filter(k % 101 == 0).withColumn(
+                "o_orderkey", k + 100000000
+            )
+        )
+    )
+    return snapshot_diff(base, new, ["o_orderkey"])
+
+
+@defq(
+    "orders_price_psi",
+    oracle="""
+    WITH old AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), nw AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ), b AS (
+      SELECT list_transform(
+               quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               x -> round(x, 6)) AS bounds
+      FROM old
+    ), oc AS (
+      SELECT len(list_filter(bounds, bd -> v > bd)) AS bucket,
+             COUNT(*) AS n_old
+      FROM old CROSS JOIN b GROUP BY 1
+    ), os AS (
+      SELECT bucket, n_old, n_old * 1.0 / SUM(n_old) OVER () AS share_old
+      FROM oc
+    ), nc AS (
+      SELECT len(list_filter(bounds, bd -> v > bd)) AS bucket,
+             COUNT(*) AS n_new
+      FROM nw CROSS JOIN b GROUP BY 1
+    ), ns AS (
+      SELECT bucket, n_new, n_new * 1.0 / SUM(n_new) OVER () AS share_new
+      FROM nc
+    ), j AS (
+      SELECT COALESCE(os.bucket, ns.bucket) AS bucket,
+             n_old, n_new, share_old, share_new,
+             (GREATEST(COALESCE(share_new, 0), 1e-06)
+              - GREATEST(COALESCE(share_old, 0), 1e-06))
+             * ln(GREATEST(COALESCE(share_new, 0), 1e-06)
+                  / GREATEST(COALESCE(share_old, 0), 1e-06)) AS contrib
+      FROM os FULL OUTER JOIN ns ON os.bucket = ns.bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           ROUND(COALESCE(share_old, 0), 6) AS share_old,
+           ROUND(COALESCE(share_new, 0), 6) AS share_new,
+           ROUND(contrib, 6) AS contribution,
+           ROUND(SUM(contrib) OVER (), 6) AS psi_total
+    FROM j
+    """,
+    o="table.orders",
+)
+def q_orders_price_psi(o: DataFrame) -> DataFrame:
+    """Population stability index of order value, pre-1998 vs 1998+
+    (§2b-D drift family,
+    ``operators/diagnostics.py::population_stability``): bucket by the
+    OLD era's deciles (one PROVEN one-row percentile broadcast, bounds
+    rounded before comparison so the bucket boundary can't flip on
+    last-ulp quantile divergence), compare bucket shares, PSI =
+    sum (p_new - p_old) * ln(p_new / p_old) with the standard eps
+    floor — the "did this feature drift enough to retrain" monitor.
+    Oracle = the identical CTE."""
+    from .operators.diagnostics import population_stability
+
+    old = o.filter(F.col("o_orderdate") < "1998-01-01")
+    new = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    return population_stability(old, new, "o_totalprice", n_buckets=10)
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

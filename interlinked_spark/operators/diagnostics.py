@@ -208,3 +208,76 @@ def join_size_stats(
         right.agg(F.count("*").alias("right_rows"))
     )
     return totals.crossJoin(counts)
+
+
+def population_stability(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population stability index (§2b-D drift family): bucket a
+    numeric column by the OLD snapshot's quantiles, compare the two
+    snapshots' bucket shares, ``PSI = sum (p_new - p_old) *
+    ln(p_new / p_old)`` — the model-monitoring staple ("did this
+    feature's distribution move enough to retrain").  Rule of thumb:
+    < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    The bucket bounds come from ONE ungrouped percentile aggregate on
+    the old side (a PROVEN one-row broadcast); bucket assignment is a
+    row-local array fold (no join per bound).  Bounds round to
+    ``round_dp`` BEFORE comparison: interpolated quantiles of 2-dp
+    data live on a coarse decimal lattice, so rounding pins the
+    bucket boundary decision against last-ulp cross-engine quantile
+    divergence.  Empty buckets floor at ``eps`` (the standard PSI
+    guard — ln(0) is the alternative).
+
+    Returns one row per bucket: ``bucket``, ``n_old``, ``n_new``,
+    ``share_old``, ``share_new``, ``contribution``, plus the
+    constant-per-result ``psi_total`` (a window sum over the
+    <= n_buckets result rows)."""
+    from pyspark.sql import Window
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = old.agg(
+        F.transform(
+            F.percentile(value_col, F.array(*[F.lit(p) for p in probs])),
+            lambda b: F.round(b, round_dp),
+        ).alias("__bounds")
+    )
+    x = F.col(value_col)
+    bucket = F.aggregate(
+        F.col("__bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+    )
+
+    def shares(df: DataFrame, side: str) -> DataFrame:
+        counted = (
+            df.join(F.broadcast(bounds))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(f"n_{side}"))
+        )
+        total = Window.partitionBy()
+        return counted.withColumn(
+            f"share_{side}",
+            F.col(f"n_{side}") / F.sum(f"n_{side}").over(total),
+        )
+
+    both = shares(old, "old").join(shares(new, "new"), "bucket", "full_outer")
+    p_old = F.greatest(F.coalesce("share_old", F.lit(0.0)), F.lit(float(eps)))
+    p_new = F.greatest(F.coalesce("share_new", F.lit(0.0)), F.lit(float(eps)))
+    contrib = (p_new - p_old) * F.log(p_new / p_old)
+    w = Window.partitionBy()
+    return both.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        F.round(F.coalesce("share_old", F.lit(0.0)), round_dp).alias("share_old"),
+        F.round(F.coalesce("share_new", F.lit(0.0)), round_dp).alias("share_new"),
+        F.round(contrib, round_dp).alias("contribution"),
+        F.round(F.sum(contrib).over(w), round_dp).alias("psi_total"),
+    )

@@ -626,3 +626,92 @@ def triangle_counts(
             ).alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    checkpoint_mode: str = "local",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) — community detection one rung above connected components:
+    where CC merges everything reachable, LPA splits a connected graph
+    into densely-linked groups by majority vote.  Each vertex starts
+    labeled with itself; every round it adopts its neighbors' most
+    frequent label (ties break to the SMALLEST label — the
+    determinism knob that makes a notoriously order-sensitive
+    algorithm reproducible and SQL-twinnable by unrolling).
+
+    Fixed iterations, synchronous updates: the classic caveat is
+    two-coloring oscillation on bipartite structures — with a fixed
+    round count the result is still deterministic, and community
+    QUALITY questions stay the caller's (pick iterations ~ graph
+    diameter for stabilization).
+
+    Scale shape per round: one equi-join (labels onto the symmetrized
+    edge list), one counting hash aggregate, one row_number window —
+    all partitioned on the vertex, so the three stages share the
+    shuffle key; the edge list materializes ONCE.  Same per-round cost
+    profile as :func:`pagerank`, and the same ``checkpoint_every``
+    lineage-depth valve.
+
+    Returns ``(vertex, community)``."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    und = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct(),
+        checkpoint_mode,
+    )
+    labels = und.select(F.col("s").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    pick = Window.partitionBy("v").orderBy(
+        F.col("__cnt").desc(), F.col("lbl").asc()
+    )
+    for i in range(int(iterations)):
+        counts = (
+            und.join(labels.withColumnRenamed("v", "d"), "d")
+            .groupBy(F.col("s").alias("v"), "lbl")
+            .agg(F.count("*").alias("__cnt"))
+        )
+        labels = (
+            counts.withColumn("__rk", F.row_number().over(pick))
+            .filter(F.col("__rk") == 1)
+            .select("v", "lbl")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = materialize(labels, checkpoint_mode)
+    return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("community"))
+
+
+def label_propagation_sql(edges_cte: str, iterations: int = 4) -> str:
+    """ANSI-SQL twin of :func:`label_propagation` (oracle parity
+    helper): the fixed iteration count unrolls into a CTE chain —
+    ``edges_cte`` must yield columns ``(s, d)``.  Emits ``(vertex,
+    community)``."""
+    parts = [
+        f"WITH edges0 AS ({edges_cte})",
+        "und AS (SELECT s, d FROM edges0 UNION SELECT d AS s, s AS d FROM edges0)",
+        "l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM und)",
+    ]
+    for i in range(1, int(iterations) + 1):
+        parts.append(
+            f"c{i} AS (SELECT und.s AS v, l.lbl, COUNT(*) AS cnt "
+            f"FROM und JOIN l{i - 1} l ON und.d = l.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT v, lbl FROM ("
+            f"SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v "
+            f"ORDER BY cnt DESC, lbl) AS rk FROM c{i}) WHERE rk = 1)"
+        )
+    chain = ",\n    ".join(parts)
+    return (
+        f"{chain}\n    SELECT v AS vertex, lbl AS community FROM l{iterations}"
+    )

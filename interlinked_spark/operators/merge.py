@@ -244,3 +244,62 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Table-version diff (§2b-A/G CDC family): classify every key as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between two
+    snapshots and name the columns that changed — the audit/CDC
+    primitive behind "what did yesterday's load actually do" and
+    backfill reconciliation (the read-side complement of
+    :func:`merge_upsert`).
+
+    ONE full-outer equi-join on the keys; per-column comparison is the
+    null-safe ``<=>`` (a NULL -> value transition IS a change, never a
+    silent match).  ``changed_cols`` ships as a comma-joined SORTED
+    name list — deterministic across partitionings and hashable by the
+    value gate.  ``compare_cols`` defaults to every shared non-key
+    column.
+
+    Returns keys + ``status`` + ``changed_cols`` ('' except for
+    ``changed`` rows)."""
+    keys = list(keys)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    compare_cols = list(compare_cols)
+    o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    # presence flags survive the outer join even when every payload
+    # column is NULL on a present side
+    o = o.withColumn("__in_o", F.lit(True))
+    n = n.withColumn("__in_n", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in sorted(compare_cols)
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *keys,
+        status.alias("status"),
+        F.when(status == "changed", F.array_join(diffs, ","))
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )

@@ -148,6 +148,9 @@ EXTENDED = [
     "doc_feature_hash",
     "doc_rrf_fusion",
     "orders_priority_target_encode",
+    "trade_communities",
+    "orders_snapshot_diff",
+    "orders_price_psi",
 ]
 
 

@@ -536,3 +536,116 @@ def test_round13d_catalog_plan_shapes(spark):
             ), name
         assert "BatchEvalPython" not in plan, name
         assert df.count() > 0, name
+
+
+def _lpa_reference(edges, iterations):
+    """Synchronous majority-vote relabeling, smallest-label ties — the
+    recurrence the distributed operator and its SQL twin both unroll."""
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    labels = {v: v for v, _ in und}
+    for _ in range(iterations):
+        from collections import Counter, defaultdict
+
+        nbr = defaultdict(Counter)
+        for s, d in und:
+            nbr[s][labels[d]] += 1
+        labels = {
+            v: min(c) if not c else sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            for v, c in nbr.items()
+        }
+    return labels
+
+
+def test_label_propagation_communities_and_ties(spark):
+    """Two triangles joined by one bridge edge resolve into two
+    communities matching the Python reference; smallest-label
+    tie-breaking is exact."""
+    from interlinked_spark.operators.graph import label_propagation
+
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),   # triangle A
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),   # triangle B
+        ("a3", "b1"),                                # bridge
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (1, 3):
+        got = {
+            r.vertex: r.community
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _lpa_reference(edges, iters), iters
+    final = {
+        r.vertex: r.community
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    # the two triangles end in different communities
+    assert len({final["a1"], final["a2"]}) == 1
+    assert final["a1"] != final["b2"]
+
+
+def test_snapshot_diff_statuses_and_null_transitions(spark):
+    """added / removed / changed / unchanged classification; NULL ->
+    value counts as a change (null-safe compare); changed_cols is the
+    sorted comma-joined list."""
+    from interlinked_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", None), (3, "z", 30.0), (4, "w", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "q", 31.0), (5, "n", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r.k: (r.status, r.changed_cols)
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got[1] == ("unchanged", "")
+    assert got[2] == ("changed", "v")        # NULL -> 20.0 IS a change
+    assert got[3] == ("changed", "s,v")      # sorted col list
+    assert got[4] == ("removed", "")
+    assert got[5] == ("added", "")
+
+
+def test_population_stability_zero_and_shifted(spark):
+    """Identical snapshots give PSI exactly 0; a hard location shift
+    pushes PSI far past the 0.25 'shifted' rule of thumb; empty
+    buckets take the eps floor instead of ln(0)."""
+    from interlinked_spark.operators.diagnostics import population_stability
+
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(1, 1001)], "v double"
+    )
+    same = population_stability(base, base, "v").collect()
+    assert all(r.contribution == 0.0 for r in same)
+    assert same[0].psi_total == 0.0
+    shifted = spark.createDataFrame(
+        [(float(i) + 900.0,) for i in range(1, 1001)], "v double"
+    )
+    drift = population_stability(base, shifted, "v").collect()
+    assert drift[0].psi_total > 0.25
+    # the shift empties every old low bucket on the new side: those
+    # rows exist (full outer) with share_new floored at eps
+    empty_new = [r for r in drift if r.n_new == 0]
+    assert empty_new and all(r.contribution != 0.0 for r in empty_new)
+
+
+def test_round13e_catalog_plan_shapes(spark):
+    """Plan hygiene: PSI's bounds frame is a PROVEN one-row broadcast;
+    the diff is one full-outer equi-join; LPA plans no cartesian."""
+    from interlinked_spark import catalog
+    from interlinked_spark.plans.advisor import _unproven_bnlj
+
+    for name in ("trade_communities", "orders_snapshot_diff", "orders_price_psi"):
+        df = catalog.run_query(name, spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert not (
+            "BroadcastNestedLoopJoin" in plan and _unproven_bnlj(plan) is not None
+        ), name
+        assert "BatchEvalPython" not in plan, name
+        assert df.count() > 0, name
