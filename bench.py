@@ -368,6 +368,12 @@ def main() -> None:
         "trade_communities",
         "orders_snapshot_diff",
         "orders_price_psi",
+        "doc_readability",
+        "doc_bigram_pmi",
+        "events_type_overlap_hll",
+        "user_running_distinct_types",
+        # iterative k-core demo (4 peel rounds are the demo cost)
+        "trade_kcore",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -8709,6 +8709,185 @@ def q_orders_price_psi(o: DataFrame) -> DataFrame:
     return population_stability(old, new, "o_totalprice", n_buckets=10)
 
 
+@defq(
+    "doc_readability",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             list_sum(list_transform(toks,
+               w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS syl,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent
+      FROM t
+    )
+    SELECT doc_id AS id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(sent AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN 206.835 - 1.015 * (len(toks) * 1.0 / sent)
+                      - 84.6 * (syl * 1.0 / len(toks)) END, 6) AS flesch
+    FROM s
+    """,
+    d="table.documents",
+)
+def q_doc_readability(d: DataFrame) -> DataFrame:
+    """Flesch reading-ease per document (§2b-K quality family,
+    ``llm/text.py::readability_scores``): the editorial difficulty
+    signal over the vowel-GROUP syllable proxy and [.!?]-run sentence
+    count — a curriculum/mix dial orthogonal to the length/punctuation
+    gates.  Entirely row-local Column arithmetic (no explode, no join,
+    no UDF: a map job at 100 TB).  Oracle = the identical list
+    pipeline."""
+    from .llm.text import readability_scores
+
+    return readability_scores(d)
+
+
+@defq(
+    "doc_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) AS tk
+      FROM documents
+    ), bg AS (
+      SELECT tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i AS INTEGER) + 1] AS w2
+      FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+    ), uni AS (
+      SELECT unnest(tk) AS w FROM toks
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ), c1 AS (
+      SELECT w, COUNT(*) AS cw FROM uni GROUP BY 1
+    ), nb AS (SELECT COUNT(*) * 1.0 AS nb FROM bg),
+    nu AS (SELECT COUNT(*) * 1.0 AS nu FROM uni)
+    SELECT w1, w2, CAST(n AS BIGINT) AS n,
+           ROUND(ln((n / nb.nb) / ((a.cw / nu.nu) * (b2.cw / nu.nu))), 6) AS pmi
+    FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b2 ON c2.w2 = b2.w, nb, nu
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    d="table.documents",
+)
+def q_doc_bigram_pmi(d: DataFrame) -> DataFrame:
+    """PMI collocations (§2b-K, ``llm/text.py::bigram_pmi``): the top
+    50 word pairs co-occurring beyond chance — the phrase extractor
+    behind phrase-aware tokenization and template detection.  Bigrams
+    build row-locally (the bigram_logprob construction), min_count=5
+    prunes the wild-PMI noise floor BEFORE the unigram joins, totals
+    ride as PROVEN one-row broadcasts, and the top-k cuts on ROUNDED
+    pmi with a text tiebreak so both engines pick the same list.
+    Oracle = the identical CTE."""
+    from .llm.text import bigram_pmi
+
+    return bigram_pmi(d, min_count=5, top_k=50)
+
+
+@defq(
+    "events_type_overlap_hll",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT event_type AS s, user_id AS k FROM events
+    ), n AS (
+      SELECT s, COUNT(*) AS n FROM base GROUP BY 1
+    ), inter AS (
+      SELECT a.s AS set_a, b.s AS set_b, COUNT(*) AS n_intersection
+      FROM base a JOIN base b ON a.k = b.k AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT na.s AS set_a, nb.s AS set_b,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           CAST(na.n + nb.n - COALESCE(i.n_intersection, 0) AS BIGINT) AS n_union,
+           CAST(COALESCE(i.n_intersection, 0) AS BIGINT) AS n_intersection,
+           TRUE AS within_bound
+    FROM n na JOIN n nb ON na.s < nb.s
+    LEFT JOIN inter i ON i.set_a = na.s AND i.set_b = nb.s
+    """,
+    e="table.events",
+)
+def q_events_type_overlap_hll(e: DataFrame) -> DataFrame:
+    """Pairwise audience overlap via HLL inclusion-exclusion (§2b-D
+    sketch family, ``operators/sketches.py::hll_set_overlap``): how
+    many users do each two event types share — |sets| KB-sized
+    mergeable sketches replace the distinct self-join at 100 TB.  The
+    gate follows the approx-family convention: exact pairwise counts
+    (SQL-matchable) + ``within_bound`` — |est∩ − exact∩| inside the
+    documented inclusion-exclusion tolerance, deterministic for fixed
+    data (a wrong sketch flips the boolean and fails the hash)."""
+    from .operators.sketches import hll_set_overlap
+
+    return hll_set_overlap(e, "event_type", "user_id", lg_k=12)
+
+
+@defq(
+    "user_running_distinct_types",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS f
+      FROM events
+    )
+    SELECT event_id, user_id, ts, event_type,
+           CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_distinct
+    FROM flagged
+    """,
+    e="table.events",
+)
+def q_user_running_distinct_types(e: DataFrame) -> DataFrame:
+    """Running distinct event types per user (§2b-E,
+    ``operators/windows.py::running_distinct``): the
+    exploration-breadth curve a plain running count can't express
+    (count(distinct) is not a window function in either engine) —
+    first-occurrence flag over (user, type) + cumulative flag sum over
+    user, two exact streaming-friendly window passes.  Oracle = the
+    identical two-window SQL."""
+    from .operators.windows import running_distinct
+
+    return running_distinct(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        ["user_id"], ["ts", "event_id"], "event_type",
+    )
+
+
+@defq(
+    "trade_kcore",
+    oracle=None,  # assigned below: unrolled peel chain from k_core_sql
+    li="table.lineitem",
+    o="table.orders",
+)
+def q_trade_kcore(li: DataFrame, o: DataFrame) -> DataFrame:
+    """Fixed-iteration k-core peel of the trade graph (§2b iterative
+    family, ``operators/graph.py::k_core``): vertices with >= 10
+    surviving connections after 4 peel rounds — the dense-subgraph
+    robustness filter between raw degree cuts and community detection
+    (a hub whose spokes all get peeled is peeled too).  Per round one
+    degree aggregate + two semi-joins; oracle = the same peel unrolled
+    into a SQL CTE chain."""
+    from .operators.graph import k_core
+
+    edges = equi_join(
+        li.select("l_orderkey", "l_suppkey"),
+        o.select("o_orderkey", "o_custkey"),
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return k_core(edges, k=10, iterations=4)
+
+
+from .operators.graph import k_core_sql as _kcore_sql  # noqa: E402
+
+ORACLES["trade_kcore"] = _kcore_sql(_trade_edges_sql(), k=10, iterations=4)
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -410,3 +410,114 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") 
         F.size(F.split(scrubbed, "<EMAIL>|<NUM>", -1)) - 1
     ).cast("int")
     return df.withColumn(out_col, scrubbed).withColumn("n_redacted", n_redacted)
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Flesch reading-ease per document (§2b-K quality family): the
+    classic editorial-difficulty signal ``206.835 - 1.015 * words/
+    sentences - 84.6 * syllables/words`` — a corpus-mix dial ("keep
+    harder text for the curriculum tail") orthogonal to length/
+    punctuation quality gates.
+
+    Syllables use the standard vowel-GROUP proxy (runs of ``aeiouy``,
+    min 1 per word — no dictionary, language-naive by design, exactly
+    portable); sentences count ``[.!?]`` runs (min 1).  Everything is
+    row-local Column arithmetic: one scan, no explode, no join, no
+    UDF — 100 TB is a map job.
+
+    Returns ``(id, n_words, n_sentences, n_syllables, flesch)``."""
+    toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
+    words = F.size(toks)
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syl = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+        ),
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (words.cast("double") / sentences)
+        - 84.6 * (syl.cast("double") / words)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syl.cast("bigint").alias("n_syllables"),
+        F.round(F.when(words > 0, flesch), round_dp).alias("flesch"),
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information collocations (§2b-K): which word
+    PAIRS co-occur far beyond chance — the classic phrase/collocation
+    extractor ("new york", "machine learning") behind phrase-aware
+    tokenization and template detection.  ``pmi = ln(p(w1,w2) /
+    (p(w1) * p(w2)))`` with bigram probability over the bigram total
+    and unigram probabilities over the unigram total.
+
+    Same row-local bigram construction as :func:`bigram_logprob` (no
+    self-join, no window); unigram/bigram totals ride as PROVEN
+    one-row broadcasts; ``min_count`` prunes the noise floor BEFORE
+    the unigram joins (rare pairs have wild PMI — the standard guard).
+    With ``top_k``, orders by ROUNDED pmi with a (w1, w2) text
+    tiebreak so both engines cut the same list.
+
+    Returns ``(w1, w2, n, pmi)``."""
+    toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    posted = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    uni = df.select(F.explode(toks).alias("w"))
+    c2 = posted.groupBy("w1", "w2").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= int(min_count)
+    )
+    c1 = uni.groupBy("w").agg(F.count("*").alias("__cw"))
+    nb = posted.agg(F.count("*").cast("double").alias("__nb"))
+    nu = uni.agg(F.count("*").cast("double").alias("__nu"))
+    joined = (
+        c2.join(c1.withColumnRenamed("w", "w1").withColumnRenamed("__cw", "__c1"), "w1")
+        .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("__cw", "__c2"), "w2")
+        .join(F.broadcast(nb))
+        .join(F.broadcast(nu))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n") / F.col("__nb"))
+            / ((F.col("__c1") / F.col("__nu")) * (F.col("__c2") / F.col("__nu")))
+        ),
+        round_dp,
+    )
+    out = joined.select("w1", "w2", "n", pmi.alias("pmi"))
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(int(top_k))
+    return out

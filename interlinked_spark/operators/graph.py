@@ -715,3 +715,83 @@ def label_propagation_sql(edges_cte: str, iterations: int = 4) -> str:
     return (
         f"{chain}\n    SELECT v AS vertex, lbl AS community FROM l{iterations}"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Fixed-iteration k-core peel (§2b iterative family): repeatedly
+    drop vertices of degree < ``k`` (and their edges) — the standard
+    dense-subgraph/robustness filter ("members with at least k STABLE
+    connections", spam-ring cores) sitting between raw degree cuts and
+    community detection: a high-degree vertex whose neighbors all get
+    peeled is peeled too.
+
+    A FIXED ``iterations`` count rather than convergence detection —
+    deterministic, SQL-twinnable by unrolling, and in practice the
+    peel stabilizes in a few rounds (each round removes a full
+    "layer"; pick iterations ~ the peel depth you care about; the
+    result after round i is always a SUPERSET of the true k-core).
+    Per round: one degree aggregate + two semi-joins to drop edges —
+    all partitioned on vertex columns.
+
+    Returns ``(vertex, degree)`` for vertices surviving all rounds,
+    with their degree in the FINAL surviving subgraph."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = materialize(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct(),
+        checkpoint_mode,
+    )
+    cur = und
+    for i in range(int(iterations)):
+        keep = (
+            cur.groupBy("s")
+            .agg(F.count("*").alias("__deg"))
+            .filter(F.col("__deg") >= int(k))
+            .select("s")
+        )
+        cur = (
+            cur.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .select("s", "d")
+        )
+        if (i + 1) % 2 == 0 and i + 1 < iterations:
+            cur = materialize(cur, checkpoint_mode)
+    return (
+        cur.groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+        .filter(F.col("degree") >= int(k))
+        .select(F.col("s").alias("vertex"), "degree")
+    )
+
+
+def k_core_sql(edges_cte: str, k: int, iterations: int = 4) -> str:
+    """ANSI-SQL twin of :func:`k_core` (oracle parity helper):
+    ``edges_cte`` must yield ``(s, d)``; the fixed peel count unrolls
+    into a CTE chain.  Emits ``(vertex, degree)``."""
+    parts = [
+        f"WITH edges0 AS ({edges_cte})",
+        "e0 AS (SELECT s, d FROM edges0 UNION SELECT d AS s, s AS d FROM edges0)",
+    ]
+    for i in range(1, int(iterations) + 1):
+        parts.append(
+            f"keep{i} AS (SELECT s AS v FROM e{i - 1} "
+            f"GROUP BY 1 HAVING COUNT(*) >= {int(k)})"
+        )
+        parts.append(
+            f"e{i} AS (SELECT e.s, e.d FROM e{i - 1} e "
+            f"JOIN keep{i} a ON e.s = a.v JOIN keep{i} b ON e.d = b.v)"
+        )
+    chain = ",\n    ".join(parts)
+    return (
+        f"{chain}\n    SELECT s AS vertex, CAST(COUNT(*) AS BIGINT) AS degree "
+        f"FROM e{iterations} GROUP BY 1 HAVING COUNT(*) >= {int(k)}"
+    )

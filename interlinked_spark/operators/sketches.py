@@ -419,3 +419,73 @@ def qhist_quantiles(
             F.lit(round(width, 6)).alias("bin_width"),
         )
     )
+
+
+def hll_set_overlap(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    lg_k: int = 12,
+    tol_frac: float = 0.15,
+    tol_abs: float = 5.0,
+) -> DataFrame:
+    """Pairwise audience overlap via HLL inclusion-exclusion (§2b-D
+    sketch family): for every pair of sets (``set_col`` values),
+    estimate ``|A ∩ B| = est(A) + est(B) - est(A ∪ B)`` from per-set
+    sketches — the mergeable-state answer to "how many users do these
+    two segments share" that at 100 TB replaces a distinct self-join
+    with |sets| KB-sized sketches (union is register-wise max — exact
+    w.r.t. the one-shot sketch of the union).
+
+    The returned frame carries BOTH the exact pairwise counts (one
+    distinct self-join — the GATE's reference, affordable at test SF)
+    and ``within_bound`` = |est∩ - exact∩| <= max(``tol_abs``,
+    ``tol_frac`` * exact_union).  Inclusion-exclusion compounds three
+    sketch errors, so the tolerance is deliberately generous vs the
+    single-sketch rse (~1.04/sqrt(2^lg_k)); production callers read
+    the estimates and skip the exact path entirely.
+
+    Returns ``(set_a, set_b, n_a, n_b, n_union, n_intersection,
+    within_bound)`` — counts exact (SQL-matchable), the boolean is the
+    sketch assertion."""
+    base = df.select(
+        F.col(set_col).alias("s"), F.col(key_col).alias("k")
+    ).distinct()
+    sk = base.groupBy("s").agg(
+        F.hll_sketch_agg("k", F.lit(int(lg_k))).alias("sk"),
+        F.count("*").alias("n"),
+    )
+    a = sk.select(
+        F.col("s").alias("set_a"), F.col("sk").alias("__ska"),
+        F.col("n").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("s").alias("set_b"), F.col("sk").alias("__skb"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("set_a") < F.col("set_b"))
+    est_a = F.hll_sketch_estimate("__ska")
+    est_b = F.hll_sketch_estimate("__skb")
+    est_u = F.hll_sketch_estimate(F.hll_union("__ska", "__skb"))
+    est_int = est_a + est_b - est_u
+    inter = (
+        base.select(F.col("s").alias("set_a"), "k")
+        .join(base.select(F.col("s").alias("set_b"), "k"), "k")
+        .filter(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("n_intersection"))
+    )
+    out = pairs.join(inter, ["set_a", "set_b"], "left").withColumn(
+        "n_intersection", F.coalesce("n_intersection", F.lit(0))
+    )
+    exact_union = F.col("n_a") + F.col("n_b") - F.col("n_intersection")
+    tol = F.greatest(F.lit(float(tol_abs)), F.lit(float(tol_frac)) * exact_union)
+    return out.select(
+        "set_a",
+        "set_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        exact_union.cast("bigint").alias("n_union"),
+        F.col("n_intersection").cast("bigint").alias("n_intersection"),
+        (F.abs(est_int - F.col("n_intersection")) <= tol).alias("within_bound"),
+    )

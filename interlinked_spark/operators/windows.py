@@ -142,3 +142,40 @@ def change_intervals(
         )
         .drop("__island")
     )
+
+
+def running_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running_distinct",
+) -> DataFrame:
+    """Running distinct count per entity (§2b-E): after each row, how
+    many DISTINCT ``value_col`` values has this entity produced so far
+    — the vocabulary-growth / exploration-breadth curve ("has this
+    user tried a new event type?") that a plain running count can't
+    express (``count(distinct)`` is not a window function in either
+    engine).
+
+    Decomposition: a first-occurrence flag (``row_number() == 1`` over
+    ``(keys, value)`` in event order) followed by a running sum of the
+    flag over ``keys`` — two window passes with DIFFERENT partition
+    keys, so two exchanges; both are exact and streaming-friendly
+    (each frame is cumulative).  ``order_cols`` must totally order each
+    entity (include a tiebreak id) — otherwise "first" occurrence is
+    undefined and the flag nondeterministic.
+
+    Returns the input columns + ``out_col``."""
+    first_w = Window.partitionBy(*keys, value_col).orderBy(*order_cols)
+    cum_w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = df.withColumn(
+        "__first", F.when(F.row_number().over(first_w) == 1, 1).otherwise(0)
+    )
+    return flagged.withColumn(
+        out_col, F.sum("__first").over(cum_w).cast("bigint")
+    ).drop("__first")

@@ -151,6 +151,11 @@ EXTENDED = [
     "trade_communities",
     "orders_snapshot_diff",
     "orders_price_psi",
+    "doc_readability",
+    "doc_bigram_pmi",
+    "events_type_overlap_hll",
+    "user_running_distinct_types",
+    "trade_kcore",
 ]
 
 

@@ -649,3 +649,191 @@ def test_round13e_catalog_plan_shapes(spark):
         ), name
         assert "BatchEvalPython" not in plan, name
         assert df.count() > 0, name
+
+
+def test_readability_scores_reference(spark):
+    """Words / sentences / vowel-group syllables / Flesch against a
+    hand computation, including the min-1 floors."""
+    import re
+
+    from interlinked_spark.llm.text import readability_scores
+
+    texts = {
+        1: "Hello world. This is a test!",
+        2: "xyz",  # no vowels, no sentence marks: both floors engage
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.id: r for r in readability_scores(df).collect()}
+    for i, txt in texts.items():
+        toks = [t.lower() for t in txt.strip().split()]
+        words = len(toks)
+        sents = max(len(re.findall(r"[.!?]+", txt)), 1)
+        syl = sum(max(len(re.findall(r"[aeiouy]+", w)), 1) for w in toks)
+        flesch = 206.835 - 1.015 * words / sents - 84.6 * syl / words
+        r = got[i]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (words, sents, syl), i
+        assert abs(r.flesch - round(flesch, 6)) < 1e-9, i
+    assert got[2].n_syllables == 1  # vowelless word floors at 1
+
+
+def test_bigram_pmi_reference_and_floor(spark):
+    """PMI matches the closed form on a hand corpus; min_count prunes
+    the noise floor; the association ordering is right (the pair that
+    always co-occurs beats the pair that sometimes does)."""
+    import math
+
+    from interlinked_spark.llm.text import bigram_pmi
+
+    # "a b" always adjacent (3/3 docs); "c d" adjacent in only 2 of the
+    # 3 docs where both appear -> PMI(a,b) > PMI(c,d)
+    docs = [(1, "a b c d"), (2, "a b d c"), (3, "a b c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): (r.n, r.pmi)
+        for r in bigram_pmi(df, min_count=2).collect()
+    }
+    nb, nu = 9.0, 12.0  # 3 bigrams/doc, 4 tokens/doc
+    def ref(cab, ca, cb):
+        return round(math.log((cab / nb) / ((ca / nu) * (cb / nu))), 6)
+    assert got[("a", "b")] == (3, ref(3, 3, 3))
+    assert got[("c", "d")] == (2, ref(2, 3, 3))
+    assert got[("a", "b")][1] > got[("c", "d")][1]
+    assert ("b", "d") not in got  # n=1 < min_count
+    # top_k cut is deterministic: the always-adjacent pair wins
+    top1 = bigram_pmi(df, min_count=2, top_k=1).collect()
+    assert len(top1) == 1 and (top1[0].w1, top1[0].w2) == ("a", "b")
+
+
+def test_round13f_catalog_plan_shapes(spark):
+    """Readability is a pure map (no exchange at all before the scan
+    collapse); PMI's totals are proven one-row broadcasts."""
+    from interlinked_spark import catalog
+    from interlinked_spark.plans.advisor import _unproven_bnlj
+
+    for name in ("doc_readability", "doc_bigram_pmi"):
+        df = catalog.run_query(name, spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert not (
+            "BroadcastNestedLoopJoin" in plan and _unproven_bnlj(plan) is not None
+        ), name
+        assert "BatchEvalPython" not in plan, name
+        assert df.count() > 0, name
+    read_plan = (
+        catalog.run_query("doc_readability", spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in read_plan  # row-local: a map job
+
+
+def test_hll_set_overlap_exact_counts_and_bounds(spark):
+    """Exact pairwise counts (incl. a fully disjoint pair via the
+    left-join zero path) and the sketch assertion on hand sets."""
+    from interlinked_spark.operators.sketches import hll_set_overlap
+
+    rows = (
+        [("A", i) for i in range(10)]
+        + [("B", i) for i in range(5, 15)]     # |A ∩ B| = 5
+        + [("C", i) for i in range(100, 104)]  # disjoint from both
+        + [("A", 3), ("A", 3)]                 # dupes collapse
+    )
+    df = spark.createDataFrame(rows, "s string, k long")
+    got = {
+        (r.set_a, r.set_b): r
+        for r in hll_set_overlap(df, "s", "k").collect()
+    }
+    ab = got[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_intersection, ab.n_union) == (10, 10, 5, 15)
+    ac = got[("A", "C")]
+    assert (ac.n_intersection, ac.n_union) == (0, 14)
+    assert all(r.within_bound for r in got.values())
+
+
+def test_running_distinct_repeats_and_isolation(spark):
+    """Repeats don't advance the curve; new values do; entities are
+    isolated."""
+    from interlinked_spark.operators.windows import running_distinct
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "a"),
+        ("u1", 4, "c"), ("u1", 5, "b"),
+        ("u2", 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u string, i long, v string")
+    got = {
+        (r.u, r.i): r.running_distinct
+        for r in running_distinct(df, ["u"], ["i"], "v").collect()
+    }
+    assert [got[("u1", i)] for i in range(1, 6)] == [1, 2, 2, 3, 3]
+    assert got[("u2", 1)] == 1
+
+
+def _kcore_reference(edges, k, iterations):
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    for _ in range(iterations):
+        from collections import Counter
+
+        deg = Counter(s for s, _ in und)
+        keep = {v for v, c in deg.items() if c >= k}
+        und = {(s, d) for s, d in und if s in keep and d in keep}
+    from collections import Counter
+
+    deg = Counter(s for s, _ in und)
+    return {v: c for v, c in deg.items() if c >= k}
+
+
+def test_k_core_peel_cascade(spark):
+    """The peel CASCADES: a chain hung off a triangle has interior
+    vertices of degree 2 that survive round 1 but fall once their
+    chain tail peels — matching the fixed-iteration Python reference
+    at every iteration count."""
+    from interlinked_spark.operators.graph import k_core
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),  # triangle: the 2-core
+        ("c", "d"), ("d", "e"), ("e", "f"),  # chain: peels tail-first
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (1, 2, 3):
+        got = {
+            r.vertex: r.degree
+            for r in k_core(df, k=2, iterations=iters).collect()
+        }
+        assert got == _kcore_reference(edges, 2, iters), iters
+    # after 3 rounds the chain is fully gone; the triangle remains
+    final = {
+        r.vertex: r.degree
+        for r in k_core(df, k=2, iterations=3).collect()
+    }
+    assert final == {"a": 2, "b": 2, "c": 2}
+    # d survives round 1 (degree 2: c and e) — the cascade is real
+    round1 = {r.vertex for r in k_core(df, k=2, iterations=1).collect()}
+    assert "d" in round1 and "f" not in round1
+
+
+def test_round13g_catalog_plan_shapes(spark):
+    """Plan hygiene for the sketch/window/graph additions."""
+    from interlinked_spark import catalog
+    from interlinked_spark.plans.advisor import _unproven_bnlj
+
+    for name in (
+        "events_type_overlap_hll",
+        "user_running_distinct_types",
+        "trade_kcore",
+    ):
+        df = catalog.run_query(name, spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name != "events_type_overlap_hll":
+            # the overlap query's set_a < set_b pairing is a deliberate
+            # theta join over the |sets|-row sketch frame (categorical-
+            # sized — allowlisted in the whole-catalog audit)
+            assert not (
+                "BroadcastNestedLoopJoin" in plan
+                and _unproven_bnlj(plan) is not None
+            ), name
+        assert "BatchEvalPython" not in plan, name
+        assert df.count() > 0, name

@@ -430,6 +430,9 @@ def test_whole_catalog_plan_audit(spark):
         # composes bm25_scores -> inherits its blessed ONE-ROW
         # corpus-stats cross join (same frame as doc_bm25_query's)
         "doc_rrf_fusion",
+        # deliberate theta self-join over the |sets|-row SKETCH frame
+        # (categorical-sized, KBs — the whole point of the sketches)
+        "events_type_overlap_hll",
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
