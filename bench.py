@@ -374,6 +374,10 @@ def main() -> None:
         "user_running_distinct_types",
         # iterative k-core demo (4 peel rounds are the demo cost)
         "trade_kcore",
+        "user_funnel_conversion",
+        "nation_customer_gini",
+        # greedy k-round selection demo (5 in-plan argmax rounds)
+        "embedding_mmr_select",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -8888,6 +8888,125 @@ from .operators.graph import k_core_sql as _kcore_sql  # noqa: E402
 ORACLES["trade_kcore"] = _kcore_sql(_trade_edges_sql(), k=10, iterations=4)
 
 
+@defq(
+    "user_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT s1.user_id, t_1,
+             MIN(CASE WHEN e.ts > t_1
+                       AND epoch(e.ts) <= epoch(t_1) + 21600.0
+                      THEN e.ts END) AS t_2
+      FROM s1 LEFT JOIN events e
+        ON s1.user_id = e.user_id AND e.event_type = 'click'
+      GROUP BY 1, 2
+    ), s3 AS (
+      SELECT s2.user_id, t_1, t_2,
+             MIN(CASE WHEN e.ts > t_2
+                       AND epoch(e.ts) <= epoch(t_2) + 21600.0
+                      THEN e.ts END) AS t_3
+      FROM s2 LEFT JOIN events e
+        ON s2.user_id = e.user_id AND e.event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id, t_1, t_2, t_3,
+           CAST((t_1 IS NOT NULL)::INT + (t_2 IS NOT NULL)::INT
+                + (t_3 IS NOT NULL)::INT AS INTEGER) AS steps_completed,
+           ROUND(epoch(t_3) - epoch(t_1), 6) AS seconds_to_convert
+    FROM s3
+    """,
+    e="table.events",
+)
+def q_user_funnel_conversion(e: DataFrame) -> DataFrame:
+    """Ordered view→click→purchase funnel with a 6-hour per-step
+    budget (§2b-E product analytics,
+    ``operators/windows.py::funnel_conversion``): first-touch greedy
+    anchoring (the Amplitude/GA semantics — greedy is not guaranteed
+    maximal under a gap budget, documented), one pre-aggregate per
+    step with the step filter FIRST, then co-partitioned equi-joins —
+    no windows, no explode.  Oracle = the identical step-CTE chain."""
+    from .operators.windows import funnel_conversion
+
+    return funnel_conversion(
+        e, ["user_id"], "ts", "event_type",
+        ["view", "click", "purchase"], max_gap_seconds=21600.0,
+    )
+
+
+@defq(
+    "nation_customer_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT c_nationkey, o_custkey, SUM(o_totalprice) AS r
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT c_nationkey, r,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY r) AS i
+      FROM rev
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CASE WHEN SUM(r) > 0
+                 THEN 2.0 * SUM(i * r) / (COUNT(*) * SUM(r))
+                      - (COUNT(*) + 1.0) / COUNT(*) END, 6) AS gini
+    FROM rk GROUP BY 1
+    """,
+    o="table.orders",
+    c="table.customer",
+)
+def q_nation_customer_gini(o: DataFrame, c: DataFrame) -> DataFrame:
+    """Gini concentration of customer revenue within each nation
+    (§2b-D inequality family,
+    ``operators/aggregates.py::gini_coefficient``): the Lorenz-curve
+    complement to ``nation_revenue_hhi`` — is one customer carrying a
+    nation's revenue?  Rank closed form: ONE row_number window + ONE
+    aggregate sharing the partition; tied values need no tiebreak
+    (swapping ranks among equal x leaves sum(i*x) unchanged).  Oracle
+    = the identical rank CTE."""
+    from .operators.aggregates import gini_coefficient
+
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    return gini_coefficient(rev, ["c_nationkey"], "r")
+
+
+@defq(
+    "embedding_mmr_select",
+    oracle=None,  # assigned below: unrolled greedy chain from mmr_sql
+    e="table.embeddings",
+)
+def q_embedding_mmr_select(e: DataFrame) -> DataFrame:
+    """Maximal-marginal-relevance selection (§2b-K retrieval family,
+    ``llm/similarity.py::mmr_select``): the 5 most relevant-but-
+    DIVERSE vectors for the vec_id=0 query — plain cosine top-k
+    returns near-duplicates of the best hit; MMR penalizes each
+    candidate by its max similarity to what's already picked
+    (lambda=0.7).  Greedy rounds stay in-plan (one-row TakeOrdered
+    frames, <= k-row broadcast penalty joins — no driver collect);
+    every argmax compares ROUNDED scores with an id tiebreak, which is
+    what lets a greedy ITERATIVE selection be value-hash-gated.
+    Oracle = the same greedy unrolled by ``mmr_sql``."""
+    from .llm.similarity import mmr_select
+
+    query = e.filter(F.col("vec_id") == 0).agg(
+        F.first("embedding").alias("embedding")
+    )
+    return mmr_select(
+        e.filter(F.col("vec_id") != 0), query, k=5, lam=0.7
+    )
+
+
+from .llm.similarity import mmr_sql as _mmr_sql  # noqa: E402
+
+ORACLES["embedding_mmr_select"] = _mmr_sql(k=5, lam=0.7, query_vec_id=0)
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

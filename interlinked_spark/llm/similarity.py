@@ -934,3 +934,139 @@ def vector_gate_rejections(
         .distinct()
     )
     return rejected, assigns
+
+
+def mmr_select(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal marginal relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` vectors maximizing ``lam * rel -
+    (1 - lam) * max_sim_to_already_selected`` — the diversity-aware
+    top-k behind RAG context packing and eval-set curation, where
+    plain cosine top-k returns k near-duplicates of the best hit.
+
+    ``query`` must be a ONE-ROW frame with a ``vec_col`` column (pass
+    an ungrouped aggregate so the plan auditor can PROVE it one-row).
+    Each greedy round is in-plan: the selected set is a growing
+    union of one-row TakeOrdered frames (k is small — that is MMR's
+    contract; no driver collect, no UDF), the diversity penalty joins
+    candidates against the <= k-row broadcast selected frame.  Scores
+    round to ``round_dp`` before every argmax with an id tiebreak, so
+    both engines pick identical sets in identical order.
+
+    Returns ``(rank, vec_id, relevance, mmr_score)``, rank 1..k."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    scored = vectors.join(F.broadcast(query.select(F.col(vec_col).alias("__qv")))).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), round_dp).alias(
+            "__rel"
+        ),
+    )
+    first = (
+        scored.orderBy(F.col("__rel").desc(), F.col("id").asc())
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "id",
+            "__v",
+            "__rel",
+            (F.lit(float(lam)) * F.col("__rel")).alias("__mmr"),
+        )
+    )
+    selected = first
+    for r in range(2, int(k) + 1):
+        sel_vecs = F.broadcast(
+            selected.select(F.col("id").alias("__sid"), F.col("__v").alias("__sv"))
+        )
+        cand = (
+            scored.join(
+                selected.select(F.col("id").alias("__sid")), 
+                scored["id"] == F.col("__sid"), "left_anti"
+            )
+            .join(sel_vecs)
+            .select(
+                "id",
+                "__v",
+                "__rel",
+                F.round(
+                    cosine_similarity(F.col("__v"), F.col("__sv")), round_dp
+                ).alias("__sim"),
+            )
+            .groupBy("id", "__v", "__rel")
+            .agg(F.max("__sim").alias("__pen"))
+        )
+        pick = (
+            cand.select(
+                F.lit(r).alias("rank"),
+                "id",
+                "__v",
+                "__rel",
+                F.round(
+                    F.lit(float(lam)) * F.col("__rel")
+                    - F.lit(1.0 - float(lam)) * F.col("__pen"),
+                    round_dp,
+                ).alias("__mmr"),
+            )
+            .orderBy(F.col("__mmr").desc(), F.col("id").asc())
+            .limit(1)
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.col("__rel").alias("relevance"),
+        F.col("__mmr").alias("mmr_score"),
+    )
+
+
+def mmr_sql(
+    k: int = 5,
+    lam: float = 0.7,
+    query_vec_id: int = 0,
+    table: str = "embeddings",
+) -> str:
+    """ANSI-SQL twin of :func:`mmr_select` (oracle parity helper): the
+    fixed ``k`` unrolls into a CTE chain of argmax + penalty rounds,
+    with the identical round-before-compare / id-tiebreak contract."""
+    lam = float(lam)
+    parts = [
+        f"WITH q AS (SELECT embedding FROM {table} WHERE vec_id = {int(query_vec_id)})",
+        (
+            "cand AS (SELECT c.vec_id AS id, c.embedding AS v, "
+            "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS rel "
+            f"FROM {table} c, q WHERE c.vec_id != {int(query_vec_id)})"
+        ),
+        (
+            f"sel1 AS (SELECT 1 AS rank, id, v, rel, ROUND({lam!r} * rel, 6) AS mmr "
+            "FROM cand ORDER BY rel DESC, id LIMIT 1)"
+        ),
+    ]
+    for r in range(2, int(k) + 1):
+        prev = f"sel{r - 1}"
+        parts.append(
+            f"pen{r} AS (SELECT c.id, c.v, c.rel, "
+            "MAX(ROUND(list_cosine_similarity(c.v::DOUBLE[], s.v::DOUBLE[]), 6)) AS pen "
+            f"FROM cand c, {prev} s WHERE c.id NOT IN (SELECT id FROM {prev}) "
+            "GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"pick{r} AS (SELECT {r} AS rank, id, v, rel, "
+            f"ROUND({lam!r} * rel - {1.0 - lam!r} * pen, 6) AS mmr "
+            f"FROM pen{r} ORDER BY mmr DESC, id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{r})"
+        )
+    chain = ",\n    ".join(parts)
+    return (
+        f"{chain}\n    SELECT rank, id AS vec_id, rel AS relevance, "
+        f"mmr AS mmr_score FROM sel{int(k)}"
+    )

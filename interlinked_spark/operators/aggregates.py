@@ -383,3 +383,45 @@ def mad_outlier_summary(
             ).otherwise(0)
         ).cast("bigint").alias("n_outliers"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Gini concentration (§2b-D inequality family): the
+    Lorenz-curve complement to :func:`~...nation_revenue_hhi`'s HHI —
+    0 = perfectly even, ->1 = one member holds everything ("is this
+    nation's revenue carried by one customer?", "is one source
+    dominating the corpus mix?").
+
+    Uses the rank closed form ``G = 2 * sum(i * x_i) / (n * sum(x)) -
+    (n + 1) / n`` over ascending-sorted values: ONE row_number window
+    + ONE hash aggregate sharing the group partitioning.  Equal values
+    may take their tied ranks in any order — swapping ranks between
+    equal x leaves ``sum(i * x_i)`` unchanged, so no tiebreak column
+    is needed for determinism (the rare window without one).  Defined
+    for non-negative values; NULLs are excluded up front, an all-zero
+    group yields NULL (no concentration to measure).
+
+    Returns keys + ``n`` + ``gini``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("__x")
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, F.col(value_col).alias("__x"))
+        .withColumn("__rk", F.row_number().over(w))
+    )
+    n = F.count("*")
+    tot = F.sum("__x")
+    g = F.when(
+        tot > 0,
+        2.0 * F.sum(F.col("__rk") * F.col("__x")) / (n * tot)
+        - (n + 1.0) / n,
+    )
+    return ranked.groupBy(*keys).agg(
+        n.cast("bigint").alias("n"), F.round(g, round_dp).alias("gini")
+    )

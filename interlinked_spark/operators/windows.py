@@ -179,3 +179,73 @@ def running_distinct(
     return flagged.withColumn(
         out_col, F.sum("__first").over(cum_w).cast("bigint")
     ).drop("__first")
+
+
+def funnel_conversion(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    step_col: str,
+    steps: Sequence[str],
+    max_gap_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered multi-step funnel with an optional per-step time budget
+    (§2b-E product analytics): for each entity, the FIRST-TOUCH greedy
+    path through ``steps`` — step 1 anchors at the entity's earliest
+    step-1 event, each later step at its earliest event STRICTLY after
+    the previous step (and within ``max_gap_seconds`` of it, when
+    set).  This is the standard product-analytics funnel semantics
+    (Amplitude/GA-style); greedy-from-earliest is not guaranteed
+    maximal when a gap budget is set — a later anchor could complete
+    where the earliest stalls — and that trade is documented, not
+    hidden.
+
+    Plan shape: one pre-aggregate per step (events pruned to that
+    step's rows FIRST — at 100 TB the step filter is the whole game),
+    then |steps| - 1 equi-joins on ``keys``, every frame keyed
+    identically so the joins co-partition.  No windows, no explode.
+
+    Returns one row per entity that reached step 1: keys +
+    ``t_1..t_N`` (NULL once stalled) + ``steps_completed`` +
+    ``seconds_to_convert`` (NULL unless fully converted)."""
+    keys = list(keys)
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel_conversion: need >= 2 steps")
+    cur = (
+        df.filter(F.col(step_col) == steps[0])
+        .groupBy(*keys)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        ev = df.filter(F.col(step_col) == step).select(
+            *keys, F.col(ts_col).alias("__ts")
+        )
+        cond = F.col("__ts") > F.col(prev)
+        if max_gap_seconds is not None:
+            cond = cond & (
+                F.col("__ts").cast("double")
+                <= F.col(prev).cast("double") + float(max_gap_seconds)
+            )
+        nxt = (
+            cur.join(ev, keys, "left")
+            .withColumn("__ok", F.when(cond, F.col("__ts")))
+            .groupBy(*keys, *[f"t_{j}" for j in range(1, i)])
+            .agg(F.min("__ok").alias(f"t_{i}"))
+        )
+        cur = nxt
+    t_cols = [f"t_{i}" for i in range(1, len(steps) + 1)]
+    completed = sum(
+        [F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in t_cols],
+        F.lit(0),
+    )
+    last, first = t_cols[-1], t_cols[0]
+    return cur.select(
+        *keys,
+        *t_cols,
+        completed.cast("int").alias("steps_completed"),
+        F.round(
+            F.col(last).cast("double") - F.col(first).cast("double"), 6
+        ).alias("seconds_to_convert"),
+    )

@@ -156,6 +156,9 @@ EXTENDED = [
     "events_type_overlap_hll",
     "user_running_distinct_types",
     "trade_kcore",
+    "user_funnel_conversion",
+    "nation_customer_gini",
+    "embedding_mmr_select",
 ]
 
 

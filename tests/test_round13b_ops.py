@@ -837,3 +837,119 @@ def test_round13g_catalog_plan_shapes(spark):
             ), name
         assert "BatchEvalPython" not in plan, name
         assert df.count() > 0, name
+
+
+def test_funnel_conversion_semantics(spark):
+    """Full conversion, mid-funnel stall, gap-budget cutoff, and the
+    documented first-touch greedy behavior (an in-budget later anchor
+    does NOT rescue a stalled earliest anchor)."""
+    from datetime import datetime, timedelta
+
+    from interlinked_spark.operators.windows import funnel_conversion
+
+    def ts(m):
+        return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    rows = [
+        # u1: clean conversion view@0 -> click@5 -> buy@10
+        ("u1", ts(0), "view"), ("u1", ts(5), "click"), ("u1", ts(10), "buy"),
+        # u2: stalls after click (no buy)
+        ("u2", ts(0), "view"), ("u2", ts(3), "click"),
+        # u3: click comes 2h after view -> outside the 1h budget;
+        # a SECOND view@119 sits within 1h of the click, but greedy
+        # anchored at the FIRST view, so u3 does not convert
+        ("u3", ts(0), "view"), ("u3", ts(120), "click"),
+        ("u3", ts(119), "view"), ("u3", ts(125), "buy"),
+        # u4: never views -> absent from the output entirely
+        ("u4", ts(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, step string")
+    got = {
+        r.u: r
+        for r in funnel_conversion(
+            df, ["u"], "ts", "step", ["view", "click", "buy"],
+            max_gap_seconds=3600.0,
+        ).collect()
+    }
+    assert got["u1"].steps_completed == 3
+    assert got["u1"].seconds_to_convert == 600.0
+    assert got["u2"].steps_completed == 2 and got["u2"].t_3 is None
+    assert got["u2"].seconds_to_convert is None
+    assert got["u3"].steps_completed == 1 and got["u3"].t_2 is None
+    assert "u4" not in got
+
+
+def test_gini_coefficient_closed_form(spark):
+    """Perfect equality -> 0; single holder -> (n-1)/n; a hand
+    distribution matches the rank formula; all-zero -> NULL."""
+    from interlinked_spark.operators.aggregates import gini_coefficient
+
+    rows = (
+        [("eq", float(5))] * 4
+        + [("one", 0.0), ("one", 0.0), ("one", 0.0), ("one", 12.0)]
+        + [("mix", 1.0), ("mix", 2.0), ("mix", 3.0), ("mix", 4.0)]
+        + [("zero", 0.0), ("zero", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: (r.n, r.gini) for r in gini_coefficient(df, ["g"], "v").collect()}
+    assert got["eq"] == (4, 0.0)
+    assert got["one"] == (4, 0.75)  # (n-1)/n
+    # mix: sorted 1,2,3,4 -> 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    assert got["mix"] == (4, 0.25)
+    assert got["zero"][1] is None
+
+
+def test_mmr_select_prefers_diverse_over_duplicate(spark):
+    """Plain cosine top-2 would take the two near-duplicates of the
+    best hit; MMR's second pick is the diverse vector; scores match
+    the rounded greedy reference."""
+    from interlinked_spark.llm.similarity import mmr_select
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [1.0, 0.1]),       # best hit
+        (2, [1.0, 0.12]),      # near-duplicate of 1 (sim ~ 0.9998)
+        (3, [0.8, -0.6]),      # diverse (sim to 1 ~ 0.74), rel 0.8
+        (4, [0.0, 1.0]),       # barely relevant
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = spark.createDataFrame(
+        [([1.0, 0.0],)], "embedding array<double>"
+    ).agg(F.first("embedding").alias("embedding"))
+    got = [
+        (r.rank, r.vec_id)
+        for r in mmr_select(vecs, query, k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    # lam=0.5: dup scores 0.5*(0.993 - 0.9998) < 0 while the diverse
+    # vector scores 0.5*(0.8 - 0.74) > 0 — MMR breaks the duplicate
+    # cluster a plain cosine top-2 would return
+    assert got[0] == (1, 1)       # highest relevance
+    assert got[1] == (2, 3)       # DIVERSE beats the near-duplicate
+    assert got[2] == (3, 2)       # then the dup beats the irrelevant 4
+
+
+def test_round13h_catalog_plan_shapes(spark):
+    """Funnel is join-only (no window, no explode); gini is one window
+    + one aggregate; MMR's selected-frame broadcasts are deliberate
+    (allowlisted in the whole-catalog audit)."""
+    from interlinked_spark import catalog
+    from interlinked_spark.plans.advisor import _unproven_bnlj
+
+    for name in ("user_funnel_conversion", "nation_customer_gini"):
+        df = catalog.run_query(name, spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert not (
+            "BroadcastNestedLoopJoin" in plan and _unproven_bnlj(plan) is not None
+        ), name
+        assert "BatchEvalPython" not in plan, name
+        assert df.count() > 0, name
+    funnel_plan = (
+        catalog.run_query("user_funnel_conversion", spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in funnel_plan and "Generate" not in funnel_plan
+    mmr = catalog.run_query("embedding_mmr_select", spark, SF)
+    assert mmr.count() == 5

@@ -433,6 +433,9 @@ def test_whole_catalog_plan_audit(spark):
         # deliberate theta self-join over the |sets|-row SKETCH frame
         # (categorical-sized, KBs — the whole point of the sketches)
         "events_type_overlap_hll",
+        # greedy MMR rounds broadcast the <= k-row SELECTED frame
+        # (TakeOrdered one-row picks — bounded by k, by contract)
+        "embedding_mmr_select",
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
