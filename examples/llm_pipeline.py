@@ -261,10 +261,63 @@ def packed_card(d, capacity: int = 256):
     )
 
 
+@wkf.depend(d="docs.canonical")
+@wkf.provide("readability_card")
+def readability_card(d):
+    """Round-13 curation dial: per-source Flesch reading-ease profile
+    (`llm.text.readability_scores` — a pure map job) — the difficulty
+    axis of the mix, orthogonal to the length/stopword gates."""
+    from interlinked_spark.llm.text import readability_scores
+
+    scored = readability_scores(d).join(
+        d.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("flesch"), 2).alias("mean_flesch"),
+        F.round(F.percentile("flesch", 0.1), 2).alias("p10_flesch"),
+    )
+
+
+@wkf.depend(d="docs.canonical")
+@wkf.provide("phrase_card")
+def phrase_card(d, min_count: int = 5, top_k: int = 10):
+    """Round-13 template detector: top PMI collocations
+    (`llm.text.bigram_pmi`) — a boilerplate-heavy corpus surfaces its
+    stock phrases here before they dominate training batches."""
+    from interlinked_spark.llm.text import bigram_pmi
+
+    return bigram_pmi(d, min_count=min_count, top_k=top_k)
+
+
+@wkf.depend(d="docs.canonical")
+@wkf.provide("drift_card")
+def drift_card(d):
+    """Round-13 drift check: PSI of document length between the train
+    and val splits (`operators.diagnostics.population_stability`) — a
+    split that drifted in length distribution biases eval; < 0.1 is
+    the stable band."""
+    from interlinked_spark.operators.diagnostics import population_stability
+    from interlinked_spark.operators.sampling import dataset_splits
+
+    s = dataset_splits(
+        d, "doc_id", {"train": 0.8, "val": 0.2}, salt="train-v1"
+    ).select(F.length("text").cast("double").alias("v"), "split")
+    return population_stability(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "val"),
+        "v",
+        n_buckets=5,
+    )
+
+
 if __name__ == "__main__":
     out, mix, matches, splits, packed, card, safe, budgeted = wkf.run(
         "report", "mix_report", "batch.matches", "splits_card", "packed_card",
         "source_card", "splits_leakage_safe", "mix.budgeted",
+    )
+    readability, phrases, drift = wkf.run(
+        "readability_card", "phrase_card", "drift_card"
     )
     card.show(5, truncate=False)
     row = out.first()
@@ -286,3 +339,7 @@ if __name__ == "__main__":
     per_src = budgeted.groupBy("source").agg(F.sum("n_chars").alias("chars"))
     assert per_src.filter(F.col("chars") > 2000).count() == 0
     print(f"budgeted mix: {budgeted.count()} docs, every source <= 2000 chars")
+    readability.show(truncate=False)
+    phrases.show(truncate=False)
+    psi = drift.first().psi_total
+    print(f"train-vs-val length PSI: {psi} ({'stable' if psi < 0.1 else 'DRIFTED'})")
