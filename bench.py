@@ -378,6 +378,8 @@ def main() -> None:
         "nation_customer_gini",
         # greedy k-round selection demo (5 in-plan argmax rounds)
         "embedding_mmr_select",
+        "orders_price_auc",
+        "nation_spearman_rho",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

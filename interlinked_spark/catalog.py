@@ -9007,6 +9007,98 @@ from .llm.similarity import mmr_sql as _mmr_sql  # noqa: E402
 ORACLES["embedding_mmr_select"] = _mmr_sql(k=5, lam=0.7, query_vec_id=0)
 
 
+@defq(
+    "orders_price_auc",
+    oracle="""
+    WITH cells AS (
+      SELECT ROUND(o_totalprice, 6) AS s,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS pos,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS neg
+      FROM orders GROUP BY 1
+    ), st AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+      FROM cells
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND(CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+                 THEN SUM(pos * (nb + 0.5e0 * neg)) END, 6) AS u_stat,
+           ROUND(CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+                 THEN SUM(pos * (nb + 0.5e0 * neg)) / (SUM(pos) * SUM(neg))
+                 END, 6) AS auc
+    FROM st
+    """,
+    o="table.orders",
+)
+def q_orders_price_auc(o: DataFrame) -> DataFrame:
+    """AUC / Mann-Whitney U of order value as an urgency predictor
+    (§2b-D inference family, ``operators/aggregates.py::rank_auc``):
+    the threshold-free discrimination metric computed WITHOUT sorting
+    the fact table — rows collapse to distinct-score cells, the
+    tie-aware mid-rank U is one cumulative window over the CELLS
+    frame, the ratio is a one-row aggregate.  (On this synthetic data
+    price carries no urgency signal, so AUC ~ 0.5 — which the hash
+    gate still pins exactly.)  Oracle = the identical CTE."""
+    from .operators.aggregates import rank_auc
+
+    return rank_auc(
+        o.withColumn("y", F.col("o_orderpriority") == "1-URGENT"),
+        "y",
+        "o_totalprice",
+    )
+
+
+@defq(
+    "nation_spearman_rho",
+    oracle="""
+    WITH rev AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROUND(SUM(o_totalprice), 2) AS r
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3
+    ), rk AS (
+      SELECT c_nationkey,
+             COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (COUNT(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1) / 2.0 AS rx,
+             COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY r
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (COUNT(*) OVER (PARTITION BY c_nationkey, r) - 1) / 2.0 AS ry
+      FROM rev
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(rx, ry), 6) AS rho
+    FROM rk GROUP BY 1
+    """,
+    o="table.orders",
+    c="table.customer",
+)
+def q_nation_spearman_rho(o: DataFrame, c: DataFrame) -> DataFrame:
+    """Spearman rank correlation of account balance vs revenue per
+    nation (§2b-D inference family,
+    ``operators/aggregates.py::spearman_rho``): the monotone
+    (outlier-robust) complement to Pearson ``nation_ols_slope``-style
+    fits.  Ties take AVERAGE ranks via two UNORDERED-safe window
+    counts (a value-<= RANGE frame + a peers count — never a
+    tiebreak-ordered row_number, so rank determinism needs no extra
+    column), then rho = corr of the rank columns in one aggregate.
+    Oracle = the identical rank CTE."""
+    from .operators.aggregates import spearman_rho
+
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        # round BEFORE ranking: the exact revenue lives on the 2-dp
+        # lattice, so rounding pins tie detection (and therefore the
+        # average ranks) against cross-engine sum-order ulps
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("r"))
+    )
+    return spearman_rho(rev, ["c_nationkey"], "c_acctbal", "r")
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -425,3 +425,130 @@ def gini_coefficient(
     return ranked.groupBy(*keys).agg(
         n.cast("bigint").alias("n"), F.round(g, round_dp).alias("gini")
     )
+
+
+def rank_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """AUC / Mann-Whitney U for a binary label against a numeric score
+    (§2b-D inference family): ``AUC = P(score_pos > score_neg) + 0.5 *
+    P(tie)`` — the threshold-free discrimination metric for any scorer
+    (quality filter, classifier, fraud rule) computed WITHOUT sorting
+    the fact table: rows collapse to DISTINCT-score cells (one hash
+    aggregate), the tie-aware U statistic is one cumulative window
+    over the CELLS frame — bounded by score granularity, not rows —
+    and the final ratio is a one-row aggregate.
+
+    ``U = sum_s pos(s) * (neg_below(s) + 0.5 * neg(s))``, the standard
+    mid-rank treatment of ties.  Scores round to ``round_dp`` BEFORE
+    cell-collapse so both engines build identical cells (and score
+    granularity — hence the window's frame size — is explicit).
+
+    Returns ONE row: ``n_pos``, ``n_neg``, ``u_stat``, ``auc`` (NULL
+    when either class is empty)."""
+    from pyspark.sql import Window
+
+    s = F.round(F.col(score_col), round_dp)
+    lab = F.col(label_col).cast("int")
+    cells = df.select(s.alias("s"), lab.alias("y")).groupBy("s").agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+    )
+    below = (
+        Window.partitionBy()
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = cells.withColumn(
+        "__nb", F.coalesce(F.sum("neg").over(below), F.lit(0))
+    )
+    u = F.sum(F.col("pos") * (F.col("__nb") + 0.5 * F.col("neg")))
+    out = staged.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        u.alias("__u"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return out.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.when(ok, F.col("__u")), round_dp).alias("u_stat"),
+        F.round(
+            F.when(ok, F.col("__u") / (F.col("n_pos") * F.col("n_neg"))),
+            round_dp,
+        ).alias("auc"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation (§2b-D inference family):
+    the monotone-association complement to Pearson ``corr`` — robust
+    to outliers and nonlinearity ("does balance RANK track revenue
+    RANK?").  Ties take AVERAGE ranks (the standard convention):
+    ``r_avg(x) = n_less(x) + (n_eq(x) + 1) / 2`` — two UNORDERED
+    window counts per column, so no tiebreak ordering can ever make
+    the rank nondeterministic — then rho is Pearson ``corr`` of the
+    two rank columns in ONE hash aggregate.
+
+    All four count windows and the final aggregate share the ``keys``
+    partitioning (one exchange).  Rows with a NULL on either side are
+    excluded pairwise up front.  NULL rho for groups under 2 rows or
+    with a constant side (zero rank variance) — both engines' ``corr``
+    contract.
+
+    Returns keys + ``n`` + ``rho``."""
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    # avg rank = n_less + (n_eq + 1)/2 = n_le - (n_eq - 1)/2, where
+    # n_le counts value <= x via a RANGE frame ENDING AT CURRENT ROW
+    # (peers included — never a value-arithmetic offset, which would
+    # be wrong for non-integer columns) and n_eq is an unordered count
+    # over the (keys, value) partition
+    def rank_col(col: str) -> F.Column:
+        le = (
+            Window.partitionBy(*keys)
+            .orderBy(col)
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        eq = Window.partitionBy(*keys, col)
+        n_le = F.count("*").over(le)
+        n_eq = F.count("*").over(eq)
+        return n_le - (n_eq - 1) / 2.0
+
+    ranked = base.select(
+        *keys,
+        rank_col("__x").alias("__rx"),
+        rank_col("__y").alias("__ry"),
+    )
+    # rho from guarded co-moments rather than corr(): under ANSI mode
+    # Spark's corr DIVIDES BY ZERO on a constant side instead of
+    # returning NULL; CASE-guarding the outer division restores the
+    # SQL contract (DuckDB's corr returns NULL there)
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.covar_samp("__rx", "__ry").alias("__cv"),
+        F.stddev_samp("__rx").alias("__sx"),
+        F.stddev_samp("__ry").alias("__sy"),
+    )
+    rho = F.when(
+        (F.col("__sx") > 0) & (F.col("__sy") > 0),
+        F.col("__cv") / (F.col("__sx") * F.col("__sy")),
+    )
+    return agg.select(
+        *[F.col(k) for k in keys],
+        "n",
+        F.round(rho, round_dp).alias("rho"),
+    )

@@ -159,6 +159,8 @@ EXTENDED = [
     "user_funnel_conversion",
     "nation_customer_gini",
     "embedding_mmr_select",
+    "orders_price_auc",
+    "nation_spearman_rho",
 ]
 
 

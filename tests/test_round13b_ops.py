@@ -953,3 +953,71 @@ def test_round13h_catalog_plan_shapes(spark):
     assert "Window" not in funnel_plan and "Generate" not in funnel_plan
     mmr = catalog.run_query("embedding_mmr_select", spark, SF)
     assert mmr.count() == 5
+
+
+def test_rank_auc_reference_cases(spark):
+    """Perfect separation -> 1.0; reversed -> 0.0; all-tied -> 0.5;
+    mixed-with-ties matches the mid-rank closed form; one-class ->
+    NULL."""
+    from interlinked_spark.operators.aggregates import rank_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "y boolean, s double")
+        return rank_auc(df, "y", "s").collect()[0]
+
+    r = auc_of([(True, 10.0), (True, 9.0), (False, 2.0), (False, 1.0)])
+    assert (r.auc, r.u_stat, r.n_pos, r.n_neg) == (1.0, 4.0, 2, 2)
+    assert auc_of([(True, 1.0), (False, 2.0)]).auc == 0.0
+    assert auc_of([(True, 5.0), (False, 5.0), (True, 5.0)]).auc == 0.5
+    # mixed: pos scores {3, 2}, neg {2, 1}:
+    # U = P(3>2)+P(3>1)+0.5*P(2=2)+P(2>1) = 1+1+0.5+1 = 3.5; AUC=3.5/4
+    r = auc_of([(True, 3.0), (True, 2.0), (False, 2.0), (False, 1.0)])
+    assert (r.u_stat, r.auc) == (3.5, 0.875)
+    assert auc_of([(True, 1.0), (True, 2.0)]).auc is None
+
+
+def test_spearman_rho_ties_and_monotone(spark):
+    """Nonlinear-but-monotone -> exactly 1; reversed -> -1; average
+    ranks under ties match the textbook computation; constant side ->
+    NULL; groups isolated."""
+    from interlinked_spark.operators.aggregates import spearman_rho
+
+    rows = (
+        # g1: y = x^3 (monotone, wildly nonlinear): rho exactly 1
+        [("g1", float(x), float(x**3)) for x in range(1, 6)]
+        + [("g2", float(x), float(-x)) for x in range(1, 5)]   # reversed
+        + [("g3", 1.0, 7.0), ("g3", 1.0, 3.0), ("g3", 2.0, 5.0)]  # x ties
+        + [("g4", 1.0, 5.0), ("g4", 2.0, 5.0)]                  # constant y
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: (r.n, r.rho) for r in spearman_rho(df, ["g"], "x", "y").collect()}
+    assert got["g1"] == (5, 1.0)
+    assert got["g2"] == (4, -1.0)
+    # g3: rx = [1.5, 1.5, 3], ry = [3, 1, 2] -> corr by hand
+    import statistics
+
+    rx, ry = [1.5, 1.5, 3.0], [3.0, 1.0, 2.0]
+    mx, my = statistics.mean(rx), statistics.mean(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    assert abs(got["g3"][1] - round(num / den, 6)) < 1e-9
+    assert got["g4"][1] is None
+
+
+def test_round13i_catalog_plan_shapes(spark):
+    """AUC windows run on the distinct-score CELLS frame; spearman's
+    rank windows and final aggregate share one partitioning."""
+    from interlinked_spark import catalog
+    from interlinked_spark.plans.advisor import _unproven_bnlj
+
+    for name in ("orders_price_auc", "nation_spearman_rho"):
+        df = catalog.run_query(name, spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert not (
+            "BroadcastNestedLoopJoin" in plan and _unproven_bnlj(plan) is not None
+        ), name
+        assert "BatchEvalPython" not in plan, name
+        assert df.count() > 0, name
