@@ -380,6 +380,7 @@ def main() -> None:
         "embedding_mmr_select",
         "orders_price_auc",
         "nation_spearman_rho",
+        "user_interarrival_stats",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

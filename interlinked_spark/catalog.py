@@ -9099,6 +9099,47 @@ def q_nation_spearman_rho(o: DataFrame, c: DataFrame) -> DataFrame:
     return spearman_rho(rev, ["c_nationkey"], "c_acctbal", "r")
 
 
+@defq(
+    "user_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - LAG(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ), a AS (
+      SELECT user_id,
+             COUNT(gap) AS n_gaps,
+             AVG(gap) AS m,
+             STDDEV_SAMP(gap) AS s
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           ROUND(m, 6) AS mean_gap_s,
+           ROUND(CASE WHEN n_gaps >= 2 AND s IS NOT NULL AND m > 0
+                 THEN s / m END, 6) AS cv,
+           ROUND(CASE WHEN n_gaps >= 2 AND s IS NOT NULL AND m > 0
+                 THEN (s / m - 1) / (s / m + 1) END, 6) AS burstiness
+    FROM a
+    """,
+    e="table.events",
+)
+def q_user_interarrival_stats(e: DataFrame) -> DataFrame:
+    """Inter-arrival burstiness per user (§2b-E,
+    ``operators/timeseries.py::interarrival_stats``): mean gap, CV,
+    and the Goh-Barabási index ``(cv-1)/(cv+1)`` — the Poisson /
+    periodic / bursty activity classifier behind bot detection and
+    session-timeout tuning.  One lag window + one hash aggregate
+    sharing the user partitioning.  Oracle = the identical lag CTE."""
+    from .operators.timeseries import interarrival_stats
+
+    return interarrival_stats(
+        e.select("event_id", "user_id", "ts"),
+        ["user_id"], "ts", ["ts", "event_id"],
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -387,3 +387,53 @@ def event_path_counts(
             F.col("n").desc(), *[F.col(c).asc() for c in names]
         ).limit(int(top_k))
     return out
+
+
+def interarrival_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-entity inter-arrival-time diagnostics (§2b-E): mean gap,
+    coefficient of variation, and the Goh-Barabási burstiness index
+    ``B = (cv - 1) / (cv + 1)`` — the "is this activity Poisson,
+    periodic, or bursty" classifier (B ~ -1 periodic, ~0 Poisson,
+    -> 1 bursty) behind bot detection, session-timeout tuning and
+    arrival-model choice.
+
+    Gaps come from one ``lag`` window (ONE shuffle on ``keys``, the
+    boundary never leaks across entities), the stats from one hash
+    aggregate sharing the partitioning.  NULL cv/burstiness below 2
+    gaps or at zero spread (constant cadence is B = -1 only in the
+    limit; an exactly-two-equal-gaps entity has cv = 0 -> B = -1,
+    which IS emitted — the NULL is for < 2 gaps where stddev_samp is
+    undefined).
+
+    Returns keys + ``n_gaps``, ``mean_gap_s``, ``cv``,
+    ``burstiness``."""
+    from pyspark.sql import Window
+
+    order = list(order_cols) if order_cols else [ts_col]
+    seq = Window.partitionBy(*keys).orderBy(*order)
+    carry = list(dict.fromkeys([*keys, *order]))  # keep the sort inputs
+    gaps = (
+        df.select(*carry, F.col(ts_col).cast("double").alias("__t"))
+        .withColumn("__gap", F.col("__t") - F.lag("__t").over(seq))
+        .filter(F.col("__gap").isNotNull())
+    )
+    agg = gaps.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.avg("__gap").alias("__m"),
+        F.stddev_samp("__gap").alias("__s"),
+    )
+    ok = (F.col("n_gaps") >= 2) & F.col("__s").isNotNull() & (F.col("__m") > 0)
+    cv = F.when(ok, F.col("__s") / F.col("__m"))
+    return agg.select(
+        *[F.col(k) for k in keys],
+        "n_gaps",
+        F.round("__m", round_dp).alias("mean_gap_s"),
+        F.round(cv, round_dp).alias("cv"),
+        F.round(F.when(ok, (cv - 1) / (cv + 1)), round_dp).alias("burstiness"),
+    )

@@ -161,6 +161,7 @@ EXTENDED = [
     "embedding_mmr_select",
     "orders_price_auc",
     "nation_spearman_rho",
+    "user_interarrival_stats",
 ]
 
 

@@ -1021,3 +1021,41 @@ def test_round13i_catalog_plan_shapes(spark):
         ), name
         assert "BatchEvalPython" not in plan, name
         assert df.count() > 0, name
+
+
+def test_interarrival_stats_reference(spark):
+    """Gaps, CV and Goh-Barabási burstiness against hand computation:
+    perfectly periodic -> B = -1; a bursty pattern -> B > 0; single
+    gap -> NULL cv; entities isolated (no cross-user gap)."""
+    import statistics
+    from datetime import datetime, timedelta
+
+    from interlinked_spark.operators.timeseries import interarrival_stats
+
+    def ts(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    rows = (
+        [("periodic", i, ts(i * 10)) for i in range(5)]       # gaps all 10
+        + [("bursty", i, ts(s)) for i, s in enumerate([0, 1, 2, 3, 1000])]
+        + [("single", 0, ts(0)), ("single", 1, ts(7))]        # one gap
+        + [("lone", 0, ts(50))]                               # no gaps
+    )
+    df = spark.createDataFrame(rows, "u string, event_id long, ts timestamp")
+    got = {
+        r.u: r
+        for r in interarrival_stats(
+            df, ["u"], "ts", ["ts", "event_id"]
+        ).collect()
+    }
+    p = got["periodic"]
+    assert (p.n_gaps, p.mean_gap_s, p.cv, p.burstiness) == (4, 10.0, 0.0, -1.0)
+    b = got["bursty"]
+    gaps = [1.0, 1.0, 1.0, 997.0]
+    m, s = statistics.mean(gaps), statistics.stdev(gaps)
+    assert b.n_gaps == 4 and abs(b.cv - round(s / m, 6)) < 1e-9
+    # cv ~ 2 -> B = (cv-1)/(cv+1) ~ 0.33: positive (bursty), exact
+    assert abs(b.burstiness - round((s / m - 1) / (s / m + 1), 6)) < 1e-9
+    assert b.burstiness > 0.0
+    assert got["single"].n_gaps == 1 and got["single"].cv is None
+    assert "lone" not in got  # zero gaps -> no row, not a NULL row
