@@ -8081,7 +8081,7 @@ def q_events_cusum_alarms(e: DataFrame) -> DataFrame:
            ROUND(ma, 6) AS mean_a,
            ROUND(mb, 6) AS mean_b,
            ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND va/n_a + vb/n_b > 0
-                 THEN (ma - mb) / sqrt(va/n_a + vb/n_b) END, 6) AS t_stat,
+                 THEN (ma - mb) / sqrt(va/n_a + vb/n_b) END, 6) + 0 AS t_stat,
            ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND va/n_a + vb/n_b > 0
                  THEN pow(va/n_a + vb/n_b, 2)
                       / (pow(va/n_a, 2)/(n_a - 1) + pow(vb/n_b, 2)/(n_b - 1))
@@ -9070,7 +9070,7 @@ def q_orders_price_auc(o: DataFrame) -> DataFrame:
     )
     SELECT c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(corr(rx, ry), 6) AS rho
+           ROUND(corr(rx, ry), 6) + 0 AS rho
     FROM rk GROUP BY 1
     """,
     o="table.orders",
@@ -9120,7 +9120,7 @@ def q_nation_spearman_rho(o: DataFrame, c: DataFrame) -> DataFrame:
            ROUND(CASE WHEN n_gaps >= 2 AND s IS NOT NULL AND m > 0
                  THEN s / m END, 6) AS cv,
            ROUND(CASE WHEN n_gaps >= 2 AND s IS NOT NULL AND m > 0
-                 THEN (s / m - 1) / (s / m + 1) END, 6) AS burstiness
+                 THEN (s / m - 1) / (s / m + 1) END, 6) + 0 AS burstiness
     FROM a
     """,
     e="table.events",

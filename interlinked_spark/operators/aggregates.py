@@ -187,7 +187,9 @@ def welch_ttest(
         "n_b",
         F.round("__ma", round_dp).alias("mean_a"),
         F.round("__mb", round_dp).alias("mean_b"),
-        F.round(t, round_dp).alias("t_stat"),
+        # + 0.0: an exactly-zero t reaches round() as ±eps — normalize
+        # IEEE negative zero for the value gate
+        (F.round(t, round_dp) + 0.0).alias("t_stat"),
         F.round(dof, round_dp).alias("df_welch"),
         F.when(ok, F.abs(t) > 2.0).alias("abs_t_above_2"),
     )
@@ -547,8 +549,11 @@ def spearman_rho(
         (F.col("__sx") > 0) & (F.col("__sy") > 0),
         F.col("__cv") / (F.col("__sx") * F.col("__sy")),
     )
+    # + 0.0 normalizes IEEE negative zero: an exactly-zero rho reaches
+    # round() as ±1e-17 depending on accumulation order, and -0.0
+    # formats differently from 0.0 in the value gate's canonicalizer
     return agg.select(
         *[F.col(k) for k in keys],
         "n",
-        F.round(rho, round_dp).alias("rho"),
+        (F.round(rho, round_dp) + 0.0).alias("rho"),
     )

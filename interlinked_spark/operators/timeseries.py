@@ -435,5 +435,9 @@ def interarrival_stats(
         "n_gaps",
         F.round("__m", round_dp).alias("mean_gap_s"),
         F.round(cv, round_dp).alias("cv"),
-        F.round(F.when(ok, (cv - 1) / (cv + 1)), round_dp).alias("burstiness"),
+        # + 0.0: cv exactly 1 reaches round() as ±eps — normalize
+        # IEEE negative zero for the value gate
+        (F.round(F.when(ok, (cv - 1) / (cv + 1)), round_dp) + 0.0).alias(
+            "burstiness"
+        ),
     )
