@@ -6599,6 +6599,110 @@ def q_similarity_ivf_probed(e: DataFrame) -> DataFrame:
 
 
 
+_PDIST = (
+    f"round(list_sum(list_transform(range(1, {KMEANS_D + 1}), i -> "
+    "(e.v[i]-s.c[i])*(e.v[i]-s.c[i]))), 6)"
+)
+
+
+@defq(
+    "embedding_near_dups_ivf",
+    oracle=_kmeans_assign_sql()
+    + f"""
+    , probe AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_PDIST}, s.cid) AS rk
+        FROM emb e CROSS JOIN c{KMEANS_ITERS} s)
+      WHERE rk <= {IVF_N_PROBE}),
+    cand AS (
+      SELECT DISTINCT least(p.vec_id, h.vec_id) AS left_id,
+                      greatest(p.vec_id, h.vec_id) AS right_id
+      FROM probe p JOIN afinal h ON p.cid = h.cid AND p.vec_id != h.vec_id),
+    ivf AS (
+      SELECT c.left_id, c.right_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      FROM cand c
+      JOIN emb a ON a.vec_id = c.left_id
+      JOIN emb b ON b.vec_id = c.right_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+    exact AS (
+      SELECT a.vec_id AS left_id, b.vec_id AS right_id
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+    SELECT CAST(h.cid AS INTEGER) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(SUM(CASE WHEN i.cos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ivf_pairs,
+           FLOOR(COALESCE(SUM(i.cos), 0) * 100 + 0.5) / 100.0 AS ivf_cosine_sum,
+           FLOOR(SUM(CASE WHEN i.cos IS NOT NULL THEN 1 ELSE 0 END) * 1000.0
+                 / COUNT(*) + 0.5) / 1000.0 AS recall
+    FROM exact x
+    JOIN afinal h ON h.vec_id = x.left_id
+    LEFT JOIN ivf i ON i.left_id = x.left_id AND i.right_id = x.right_id
+    GROUP BY h.cid
+    """,
+    e="table.embeddings",
+)
+def q_embedding_near_dups_ivf(e: DataFrame) -> DataFrame:
+    """IVF-routed near-dup pairs with recall measured IN THE OUTPUT
+    (r13 verdict item 1 — the scale-safe successor to the LSH
+    self-join whose candidate mass measured quadratic, SCALING.md):
+    every vector probes its ``IVF_N_PROBE`` nearest lists of the
+    deterministic Lloyd quantizer, candidates are probe-to-home
+    equi-join rows WITHIN lists only, survivors exact-cosine verified.
+    Output is per-home-cluster: exact brute-force pair count, IVF pair
+    count, the IVF pairs' cosine mass, and recall — a probe-selection
+    or list-join bug moves a recall number and fails the value hash
+    (the ``similarity_ivf_probed`` pattern applied to the near-dup
+    surface).  The brute-force reference rider is test-scale
+    instrumentation (broadcast theta join); the production surface is
+    `llm/similarity.embedding_near_dup_pairs_ivf` alone, whose
+    candidate mass is ``n_probe * list_size * n`` — linear at fixed
+    list size — not bucket-occupancy luck.  Rounding uses the
+    engine-portable ``floor(t + 0.5)`` rule (the ``quantize_int8``
+    precedent) because recall denominators vary per group."""
+    from .llm.embeddings import kmeans_assign, kmeans_fit
+    from .llm.similarity import cosine_similarity_vec, embedding_near_dup_pairs_ivf
+
+    fit = kmeans_fit(e, k=KMEANS_K, iters=KMEANS_ITERS)
+    ivf = embedding_near_dup_pairs_ivf(
+        e, fit, cosine_threshold=0.3, n_probe=IVF_N_PROBE
+    )
+    a = e.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("__av"))
+    b = e.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("__bv"))
+    exact = (
+        F.broadcast(a)
+        .join(b, F.col("left_id") < F.col("right_id"))
+        .withColumn(
+            "__cos", F.round(cosine_similarity_vec(F.col("__av"), F.col("__bv")), 6)
+        )
+        .filter(F.col("__cos") >= 0.3)
+        .select("left_id", "right_id")
+    )
+    home = kmeans_assign(e, fit).select(
+        F.col("id").alias("left_id"), F.col("cluster_id").cast("int")
+    )
+    hits = F.sum(F.when(F.col("cosine").isNotNull(), 1).otherwise(0))
+    return (
+        exact.join(ivf, ["left_id", "right_id"], "left")
+        .join(home, "left_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact_pairs"),
+            hits.cast("bigint").alias("n_ivf_pairs"),
+            (
+                F.floor(F.coalesce(F.sum("cosine"), F.lit(0.0)) * 100 + F.lit(0.5))
+                / 100.0
+            ).alias("ivf_cosine_sum"),
+            (F.floor(hits * 1000.0 / F.count("*") + F.lit(0.5)) / 1000.0).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # D — portable count-min sketch + bloom runtime filter
 # =====================================================================

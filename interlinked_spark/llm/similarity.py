@@ -529,6 +529,126 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_probe_ranks(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector IVF probe assignments ``(id, __v, __cid, __rk)`` —
+    each vector's ``n_probe`` nearest centroids of the deterministic
+    Lloyd quantizer (:func:`..embeddings.kmeans_fit`), rank 1 being the
+    HOME list (the same 6dp-rounded squared distance + lowest-cid
+    tiebreak ``kmeans_assign`` argmins over, so ``__rk = 1`` rows equal
+    the inverted-file assignment exactly).
+
+    Scale shape: a narrow NO-SHUFFLE projection — the scored centroid
+    array is a broadcast literal sorted row-locally, so the cost is
+    ``n * k`` distance folds with zero exchanges.  At very large ``k``
+    this term is the known IVF assignment cost (``k ~ sqrt(n)``
+    balances it against the candidate-verify mass; see
+    :func:`ivf_near_dup_pairs_assigned`)."""
+    from .embeddings import _centroid_literal
+
+    n_probe = min(n_probe, len(centroids))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.transform(
+        _centroid_literal(centroids),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        F.posexplode(F.slice(F.array_sort(scored), 1, n_probe)).alias("__pos", "__p"),
+    ).select(
+        "id",
+        "__v",
+        F.col("__p.cid").alias("__cid"),
+        (F.col("__pos") + 1).cast("int").alias("__rk"),
+    )
+
+
+def ivf_near_dup_pairs_assigned(
+    ranked: DataFrame,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs from IVF probe assignments: candidates are
+    the PROBE rows (``__rk <= n_probe``) equi-joined to the HOME rows
+    (``__rk = 1``) on list id, so a pair ``(a, b)`` is generated iff
+    ``home(b) in probe(a)`` or ``home(a) in probe(b)`` — the inverted-
+    file recall contract, symmetric because both directions are
+    generated and canonicalized to ``left_id < right_id``.  Survivors
+    are verified on the EXACT cosine (6dp) like every other near-dup
+    surface, so approximation lives ONLY in candidate recall.
+
+    Scale shape (the fix for the LSH self-join's measured-quadratic
+    candidate mass, SCALING.md): the only wide ops are the equi-join on
+    list id and the pair dedup.  With list size capped by growing ``k``
+    with the corpus (fixed ``n/k``), candidate mass is
+    ``n_probe * (n/k) * n`` — LINEAR in ``n`` — versus the random-
+    projection buckets whose occupancy is data-distribution-luck.  The
+    crossover where the no-shuffle ``n * k`` assignment term catches up
+    is ``k ~ sqrt(n)`` (both terms ``n^1.5``); below ~1e5-row lists the
+    fixed-list-size posture wins and is what `scaling_bench.py`
+    measures.  ``ranked`` comes from :func:`ivf_probe_ranks` (row-local
+    literal, the oracle-unrollable path) or any (id, __v, __cid, __rk)
+    frame, e.g. an MLlib-fit quantizer at scaled k."""
+    home = ranked.filter(F.col("__rk") == 1)
+    cand = (
+        ranked.select(F.col("id").alias("__pid"), "__cid")
+        .join(home.select(F.col("id").alias("__hid"), "__cid"), "__cid")
+        .filter(F.col("__pid") != F.col("__hid"))
+        .select(
+            F.least("__pid", "__hid").alias("left_id"),
+            F.greatest("__pid", "__hid").alias("right_id"),
+        )
+        .dropDuplicates()
+    )
+    lvec = home.select(F.col("id").alias("left_id"), F.col("__v").alias("__lv"))
+    rvec = home.select(F.col("id").alias("right_id"), F.col("__v").alias("__rv"))
+    return (
+        cand.join(lvec, "left_id")
+        .join(rvec, "right_id")
+        .withColumn(
+            "cosine", F.round(cosine_similarity_vec(F.col("__lv"), F.col("__rv")), 6)
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_ivf(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    cosine_threshold: float = 0.95,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-routed embedding near-dup pairs (the scale-safe sibling of
+    :func:`embedding_near_dup_pairs`): assign every vector to its home
+    inverted list and its ``n_probe`` probed lists row-locally, join
+    probe-side to home-side on list id, exact-cosine verify.  Recall is
+    bounded by the probe set (``n_probe = k`` is exhaustive within the
+    quantizer); the catalog twin ``embedding_near_dups_ivf`` measures
+    it in-output against the brute-force exact pair set."""
+    ranked = ivf_probe_ranks(
+        df, centroids, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+    return ivf_near_dup_pairs_assigned(ranked, cosine_threshold=cosine_threshold)
+
+
 def bounded_fit_sample(
     df: DataFrame,
     key_col: str,

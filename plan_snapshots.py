@@ -162,6 +162,8 @@ EXTENDED = [
     "orders_price_auc",
     "nation_spearman_rho",
     "user_interarrival_stats",
+    # round-14 additions (same policy)
+    "embedding_near_dups_ivf",
 ]
 
 

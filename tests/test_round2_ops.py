@@ -436,6 +436,10 @@ def test_whole_catalog_plan_audit(spark):
         # greedy MMR rounds broadcast the <= k-row SELECTED frame
         # (TakeOrdered one-row picks — bounded by k, by contract)
         "embedding_mmr_select",
+        # exact-recall reference rider: broadcast brute-force pair set
+        # (test-scale instrumentation; the production surface is the
+        # IVF probe-to-home equi-join alone)
+        "embedding_near_dups_ivf",
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
