@@ -9244,6 +9244,119 @@ def q_user_interarrival_stats(e: DataFrame) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round 14 — exact duplicate-span detection + removal (§2b-K)
+# =====================================================================
+
+_SPAN_RUNS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(tk, i, i + 2), ' ')) AS h
+      FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ), capped AS (
+      SELECT doc_id, pos, h FROM (
+        SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS df
+        FROM grams)
+      WHERE df <= 1000
+    ), m AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             a.pos AS lpos, b.pos AS rpos
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    ), islands AS (
+      SELECT left_id, right_id, lpos, rpos,
+             rpos - row_number() OVER (
+               PARTITION BY left_id, right_id, lpos - rpos ORDER BY rpos) AS grp
+      FROM m
+    ), runs AS (
+      SELECT left_id, right_id,
+             MIN(lpos) AS left_start, MIN(rpos) AS right_start,
+             COUNT(*) + 2 AS span_len
+      FROM islands GROUP BY left_id, right_id, lpos - rpos, grp
+    )
+"""
+
+
+@defq(
+    "doc_duplicate_spans",
+    oracle=_SPAN_RUNS_SQL
+    + """
+    SELECT left_id, right_id,
+           CAST(left_start AS BIGINT) AS left_start,
+           CAST(right_start AS BIGINT) AS right_start,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM runs WHERE span_len >= 8
+    """,
+    d="table.documents",
+)
+def q_doc_duplicate_spans(d: DataFrame) -> DataFrame:
+    """Maximal shared token runs >= 8 tokens between document pairs
+    (§2b-K — the exact-substring dedup DETECTION step, Lee et al. 2022
+    re-expressed as a positional-3-gram posting join + diagonal
+    gaps-and-islands stitch, ``llm/dedup.py::duplicate_span_runs``).
+    Unlike the winnowing/containment queries, which score pair-level
+    overlap, this certifies exact spans with positions — the input the
+    removal step needs.  Only matched positions ever shuffle; the
+    df-1000 cap bounds viral-phrase fan-out.  Oracle = the identical
+    stitch in SQL windows."""
+    from .llm.dedup import duplicate_span_runs
+
+    return duplicate_span_runs(d, k=3, min_len=8, max_kgram_df=1000).select(
+        "left_id",
+        "right_id",
+        F.col("left_start").cast("bigint"),
+        F.col("right_start").cast("bigint"),
+        F.col("span_len").cast("bigint"),
+    )
+
+
+@defq(
+    "doc_span_dedup_corpus",
+    oracle=_SPAN_RUNS_SQL
+    + """
+    , spans AS (
+      SELECT right_id AS doc_id, right_start AS s,
+             right_start + span_len - 1 AS e
+      FROM runs WHERE span_len >= 8
+    ), covered AS (
+      SELECT DISTINCT doc_id, p
+      FROM spans, unnest(range(s, e + 1)) AS u(p)
+    ), pos AS (
+      SELECT t.doc_id, t.tk[i] AS tok, i AS p, len(t.tk) AS n
+      FROM toks t, unnest(range(1, len(t.tk) + 1)) AS u(i)
+      WHERE t.doc_id IN (SELECT doc_id FROM spans)
+    )
+    SELECT pos.doc_id,
+           CAST(MAX(pos.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.p IS NULL THEN pos.tok END, ' '
+                               ORDER BY pos.p), '') AS dedup_text
+    FROM pos LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+    GROUP BY pos.doc_id
+    """,
+    d="table.documents",
+)
+def q_doc_span_dedup_corpus(d: DataFrame) -> DataFrame:
+    """The REMOVAL half of exact duplicate-span dedup (r13 verdict
+    item 2 — the corpus-prep step downstream of span detection,
+    ``llm/dedup.py::remove_duplicate_spans``): for every matched run
+    the lower-id document keeps its copy and the span is excised from
+    the higher-id document's token stream.  The runs frame (tiny next
+    to the corpus) groups to one covered-positions array per affected
+    doc; the surgery itself is a row-local array filter — no token-
+    level shuffle.  Output is the affected documents with their
+    deduplicated text, value-hash-gated including the full surviving
+    token stream."""
+    from .llm.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(d, k=3, min_len=8, max_kgram_df=1000)
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

@@ -834,3 +834,141 @@ def winnow_match_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= int(min_shared))
     )
+
+
+def duplicate_span_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 8,
+    max_kgram_df: int | None = 1000,
+) -> DataFrame:
+    """Maximal shared token runs between document pairs (§2b-K — the
+    exact-substring dedup detection step, the suffix-array family of
+    Lee et al. 2022 re-expressed as a positional-k-gram posting join):
+    hash every positional word k-gram, equi-join positions across
+    documents, stitch DIAGONAL-consecutive matches (same
+    ``lpos - rpos``) into maximal runs with the gaps-and-islands
+    rank-difference trick, keep runs covering >= ``min_len`` tokens.
+    A run of m consecutive k-gram matches certifies a shared span of
+    ``m + k - 1`` tokens — exact, not a similarity estimate.
+
+    Scale posture: the ONLY wide ops are the posting equi-join on the
+    k-gram hash and one (pair, diagonal)-keyed window + aggregate over
+    MATCHED positions (never all-pairs, never all-positions —
+    unmatched k-grams exit at the join).  ``max_kgram_df`` caps viral
+    k-grams (boilerplate phrases) before the join, the same documented
+    recall trade as the shingle/fingerprint df caps.  Returns
+    ``(left_id, right_id, left_start, right_start, span_len)`` with
+    ``left_id < right_id``, positions 1-based in NORMALIZED token
+    space (`operators/joins.norm_string`)."""
+    from pyspark.sql import Window
+
+    from ..operators.joins import norm_string
+
+    tk = F.split(norm_string(text_col), " ")
+    grams = (
+        df.select(F.col(id_col).alias("id"), tk.alias("__tk"))
+        .filter(F.size("__tk") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__tk"), i, F.lit(k)))),
+                )
+            ).alias("__p0", "h"),
+        )
+        .select("id", (F.col("__p0") + 1).alias("pos"), "h")
+    )
+    if max_kgram_df is not None:
+        from ..operators.diagnostics import drop_hot_buckets
+
+        grams = drop_hot_buckets(grams, ["h"], max_kgram_df)
+    l = grams.select(F.col("id").alias("left_id"), F.col("pos").alias("lpos"), "h")
+    r = grams.select(F.col("id").alias("right_id"), F.col("pos").alias("rpos"), "h")
+    m = (
+        l.join(r, "h")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "lpos", "rpos")
+    )
+    diag = (F.col("lpos") - F.col("rpos")).alias("__diag")
+    w = Window.partitionBy("left_id", "right_id", F.col("lpos") - F.col("rpos")).orderBy(
+        "rpos"
+    )
+    runs = m.select(
+        "left_id", "right_id", "lpos", "rpos", diag,
+        (F.col("rpos") - F.row_number().over(w)).alias("__grp"),
+    )
+    return (
+        runs.groupBy("left_id", "right_id", "__diag", "__grp")
+        .agg(
+            F.min("lpos").alias("left_start"),
+            F.min("rpos").alias("right_start"),
+            (F.count("*") + (k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= int(min_len))
+        .select("left_id", "right_id", "left_start", "right_start", "span_len")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 8,
+    max_kgram_df: int | None = 1000,
+    runs: DataFrame | None = None,
+) -> DataFrame:
+    """The removal half of exact duplicate-span dedup (the standard
+    corpus-prep step downstream of :func:`duplicate_span_runs` /
+    :func:`winnow_match_pairs` detection): for every matched run the
+    LOWER-id document keeps its copy and the span is excised from the
+    higher-id document — one deterministic pass, no chain recomputation
+    (a doc may lose a span whose twin is itself later removed from an
+    even-lower-priority doc; re-run to fixpoint if that matters).
+
+    Distributed shape: runs (already aggregated, tiny next to the
+    corpus) group to ONE spans-array row per affected document; the
+    surgery is then a row-local array filter — covered positions are
+    flattened from the span intervals and tokens outside them survive
+    in order.  Only affected documents are returned:
+    ``(doc_id, n_tokens, n_removed, dedup_text)``."""
+    if runs is None:
+        runs = duplicate_span_runs(
+            df, text_col, id_col, k=k, min_len=min_len, max_kgram_df=max_kgram_df
+        )
+    from ..operators.joins import norm_string
+
+    spans = (
+        runs.groupBy(F.col("right_id").alias("id"))
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(
+                            F.col("right_start"),
+                            F.col("right_start") + F.col("span_len") - 1,
+                        )
+                    )
+                )
+            ).alias("__covered")
+        )
+    )
+    tk = F.split(norm_string(text_col), " ")
+    kept = F.filter(
+        F.col("__tk"),
+        lambda t, i: ~F.array_contains(F.col("__covered"), (i + 1).cast("bigint")),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), tk.alias("__tk"))
+        .join(spans, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.size("__tk").cast("bigint").alias("n_tokens"),
+            (F.size("__tk") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("dedup_text"),
+        )
+    )

@@ -164,6 +164,8 @@ EXTENDED = [
     "user_interarrival_stats",
     # round-14 additions (same policy)
     "embedding_near_dups_ivf",
+    "doc_duplicate_spans",
+    "doc_span_dedup_corpus",
 ]
 
 

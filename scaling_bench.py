@@ -130,6 +130,66 @@ def _semdedup_scaledk(spark: SparkSession, sf_dir: str):
     )
 
 
+def _ivf_near_dups_scaledk(threshold: float):
+    """IVF-routed near-dup pairs with the SCALE posture — list size
+    held at ~250 rows by growing k with n (the semdedup_scaledk
+    contract applied to the near-dup surface, r13 verdict item 1).
+    Candidate mass is n_probe * 250 * n — linear — versus the LSH
+    self-join's measured 1.93/1.86; the no-shuffle n*k assignment term
+    stays negligible until n/250 rivals the verify mass (crossover
+    k ~ sqrt(n), SCALING.md).
+
+    Quantizer: MLlib KMeans (seeded) for the same reason as
+    _semdedup_scaledk — a scaled-k centroid literal would measure plan
+    compilation, not the data path.  Probe ranks come from a broadcast
+    centroid-table join + per-id window (the distributed shape when k
+    is too big for a literal); the pair join under test is the catalog
+    path's `ivf_near_dup_pairs_assigned` verbatim."""
+
+    def run(spark: SparkSession, sf_dir: str):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.sql import Window
+
+        from interlinked_spark.llm.similarity import ivf_near_dup_pairs_assigned
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        kk = max(8, round(emb.count() / 250))
+        prep = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("__v"),
+            array_to_vector(F.col("embedding")).alias("features"),
+        )
+        model = KMeans(
+            k=kk, seed=42, featuresCol="features", predictionCol="__c"
+        ).fit(prep)
+        cents = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
+        scored = prep.select("id", "__v").crossJoin(F.broadcast(cdf)).withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(
+                    "__v",
+                    "cvec",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy("id").orderBy(F.col("__d").asc(), F.col("cid").asc())
+        ranked = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= 3)
+            .select("id", "__v", F.col("cid").alias("__cid"), "__rk")
+        )
+        return ivf_near_dup_pairs_assigned(ranked, cosine_threshold=threshold)
+
+    return run
+
+
 # (name, runner) — runner(spark, sf_dir) -> DataFrame; None = catalog query
 HEAVY = [
     ("dedup_minhash_pairs", None),
@@ -141,6 +201,22 @@ HEAVY = [
     ("embedding_near_dups", None),
     ("embedding_near_dups_t90", _near_dups_t90),
     ("embedding_near_dups_banded", _near_dups_banded),
+    # round 14 (r13 verdict item 1): the IVF-routed pairs surface —
+    # same exact-cosine verify, candidates from probed inverted lists
+    # with list size pinned at ~250 by scaling k with n.  The t90
+    # zero-output control is the honesty row: its exponent is pure
+    # candidate generation + verify, directly comparable to the LSH
+    # control's 1.86.
+    ("embedding_near_dups_ivf_pairs", _ivf_near_dups_scaledk(0.3)),
+    ("embedding_near_dups_ivf_t90", _ivf_near_dups_scaledk(0.9)),
+    # round 14 (r13 verdict item 2): exact duplicate-span dedup —
+    # detection (positional-3-gram posting join + diagonal stitch) and
+    # the removal surgery.  Copies share ZERO k-grams with each other
+    # or the original (every token suffixed), so postings grow k-fold
+    # at constant per-gram df and true runs grow exactly k-fold: the
+    # design claim is ~linear, like the Jaccard family.
+    ("doc_duplicate_spans", None),
+    ("doc_span_dedup_corpus", None),
     # round 8b: the concat-split packer — two-phase prefix sum + explode
     # should be LINEAR in corpus tokens (copies shift doc_id by the
     # stride, so bucket counts grow k-fold while bucket width stays put)

@@ -65,3 +65,56 @@ def test_ivf_near_dups_partial_probe_subset(spark):
         .filter(F.col("probe_cid") != F.col("cluster_id"))
     )
     assert mism.count() == 0
+
+
+def test_duplicate_span_runs_pins_known_span(spark):
+    """A hand-built corpus with ONE known 10-token shared run: the
+    stitcher must report exactly that run (positions and length), not
+    fragments, and docs shorter than k tokens must not crash the
+    positional-k-gram builder."""
+    from interlinked_spark.llm.dedup import duplicate_span_runs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} outro"),
+            (2, f"different head {shared} and a different tail here"),
+            (3, "tiny"),
+            (4, "unrelated words entirely disjoint from the rest corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    runs = duplicate_span_runs(docs, k=3, min_len=8).collect()
+    assert len(runs) == 1
+    r = runs[0]
+    # doc 1: span starts after 3 lead tokens; doc 2: after 2.
+    assert (r.left_id, r.right_id) == (1, 2)
+    assert (r.left_start, r.right_start, r.span_len) == (4, 3, 10)
+
+
+def test_remove_duplicate_spans_excises_only_the_span(spark):
+    """Surgery contract: the higher-id doc loses exactly the shared
+    tokens (order of survivors preserved), the lower-id doc is
+    untouched (absent from the output), and overlapping spans from two
+    different sources merge instead of double-removing."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.llm.dedup import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} kappa"),          # keeper for doc 3's prefix
+            (2, f"gamma delta epsilon zeta eta theta iota joker"),  # keeper for doc 3's suffix
+            (3, f"{shared} iota trailing"),  # overlapped by both
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=3, min_len=6).collect()}
+    assert set(out) == {2, 3}
+    # doc 3: tokens 1-8 covered by doc 1's span, 3-9 by doc 2's ->
+    # union covers 1-9, leaving only "trailing".
+    assert out[3].dedup_text == "trailing"
+    assert (out[3].n_tokens, out[3].n_removed) == (10, 9)
+    # doc 2 loses its 6-token overlap with doc 1 (gamma..theta).
+    assert out[2].dedup_text == "iota joker"
