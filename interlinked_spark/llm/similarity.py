@@ -1064,6 +1064,8 @@ def mmr_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    checkpoint_every: int = 4,
+    max_k: int = 64,
 ) -> DataFrame:
     """Maximal marginal relevance selection (Carbonell & Goldstein
     1998): greedily pick ``k`` vectors maximizing ``lam * rel -
@@ -1080,11 +1082,39 @@ def mmr_select(
     round to ``round_dp`` before every argmax with an id tiebreak, so
     both engines pick identical sets in identical order.
 
+    Plan-growth contract (r13 verdict item 4): each in-plan round
+    references the previous ``selected`` lineage twice (anti-join +
+    penalty join), so the UNCHECKPOINTED plan tree grows ~3x PER ROUND
+    — measured compile times 4/8/23/133 s at k = 2/5/8/10 (sf0.001;
+    exponential, k=16 is infeasible).  ``checkpoint_every`` truncates
+    the ``selected`` lineage every that-many picks (localCheckpoint of
+    a <= k-row frame — the rounds' execution work is not repeated, only
+    the analyzer's), bounding per-segment growth and making total
+    compile ~linear in k: measured 16-25 s at k=16 and 28-76 s at k=32
+    across checkpoint_every in {2..6} (vs 133 s at k=10 unbounded;
+    SCALING.md) — ~1-2.4 s per round, the irreducible greedy-argmax
+    analysis cost.  The default of 4 never triggers at the catalog's
+    demo k=5, so the oracle-unrolled plan is unchanged there.  ``max_k`` is the hard guard — MMR's
+    sequential argmax is inherently k round-trips, so far past ~64
+    picks a diversity SAMPLER (stratified / cluster-based) is the right
+    tool, not a longer greedy chain (the `hard_negative_mining`
+    guard-contract pattern).
+
     Returns ``(rank, vec_id, relevance, mmr_score)``, rank 1..k."""
     from ..operators.checkpointing import materialize
 
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if int(k) > int(max_k):
+        raise ValueError(
+            f"mmr_select: k={k} exceeds max_k={max_k}.  Greedy MMR is "
+            "inherently sequential (one argmax round per pick); for "
+            "bulk diverse selection use cluster-stratified sampling "
+            "(kmeans_fit + per-cluster top-k) and raise max_k "
+            "explicitly only if you accept k driver round-trips."
+        )
+    if checkpoint_every is not None and int(checkpoint_every) < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     # materialize ONCE: every greedy round reads the scored frame, and
     # without this the relevance scan re-executes k times (measured
     # 5.7s -> the scan dominates at sf0.1)
@@ -1149,6 +1179,12 @@ def mmr_select(
             .limit(1)
         )
         selected = selected.unionByName(pick)
+        # Lineage cut: without this the analyzer cost triples per round
+        # (see docstring).  The checkpointed frame is <= r rows; the
+        # greedy work done so far executes once here instead of at the
+        # end — no repeated computation, only a truncated plan.
+        if checkpoint_every and r < int(k) and (r - 1) % int(checkpoint_every) == 0:
+            selected = materialize(selected, "local")
     return selected.select(
         "rank",
         F.col("id").alias("vec_id"),

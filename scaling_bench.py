@@ -274,6 +274,17 @@ HEAVY = [
     # sets disjoint, brands shared -> per-brand population grows
     # k-fold while true pairs grow exactly k-fold).
     ("part_name_edit_pairs", None),
+    # round 14 (r13 verdict item 6): the sorted-neighborhood family —
+    # the only join operators without measured exponents.  SNM pairs
+    # each row with its next-w sort neighbors, so candidates are
+    # O(n·w) BY CONSTRUCTION; on the case-stable alphabet-remapped
+    # copies the sort interleaves copies (remapped names sort into
+    # disjoint ranges), keeping within-window true-pair density
+    # comparable while n grows k-fold: both claims are ~linear.  The
+    # JW row additionally prices the vectorized Pandas-UDF verify over
+    # the blocked pairs (the documented Arrow-tier cost).
+    ("part_name_sorted_neighbors", None),
+    ("part_name_jw_pairs", None),
 ]
 
 

@@ -118,3 +118,24 @@ def test_remove_duplicate_spans_excises_only_the_span(spark):
     assert (out[3].n_tokens, out[3].n_removed) == (10, 9)
     # doc 2 loses its 6-token overlap with doc 1 (gamma..theta).
     assert out[2].dedup_text == "iota joker"
+
+
+def test_mmr_checkpointed_rounds_equal_inplan(spark):
+    """The checkpoint_every lineage cut must not move a single pick:
+    k=7 with cuts every 2 rounds equals the fully in-plan chain
+    (checkpoint_every=None path via a huge interval), and the max_k
+    guard raises with the sampler pointer."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from interlinked_spark.llm.similarity import mmr_select
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.first("embedding").alias("embedding")
+    )
+    a = [tuple(r) for r in mmr_select(e, q, k=7, checkpoint_every=2).collect()]
+    b = [tuple(r) for r in mmr_select(e, q, k=7, checkpoint_every=100).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 7
+    with pytest.raises(ValueError, match="max_k"):
+        mmr_select(e, q, k=65)
