@@ -9357,6 +9357,70 @@ def q_doc_span_dedup_corpus(d: DataFrame) -> DataFrame:
     return remove_duplicate_spans(d, k=3, min_len=8, max_kgram_df=1000)
 
 
+@defq(
+    "corpus_dsir_select",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, unnest(tk) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') AS f
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+    ), fc AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM feats GROUP BY 1, 2
+    ), tfc AS (
+      SELECT bucket, SUM(cnt) AS tn
+      FROM fc JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY 1
+    ), rfc AS (SELECT bucket, SUM(cnt) AS rn FROM fc GROUP BY 1),
+    model AS (
+      SELECT r.bucket,
+             CAST(floor((ln((COALESCE(t.tn, 0) + 0.5) / ((SELECT SUM(tn) FROM tfc) + 0.5 * 1024))
+                 - ln((r.rn + 0.5) / ((SELECT SUM(rn) FROM rfc) + 0.5 * 1024))) * 1e8 + 0.5)
+               AS BIGINT) AS lr8
+      FROM rfc r LEFT JOIN tfc t USING (bucket)
+    ), lw AS (
+      SELECT fc.doc_id, floor((SUM(fc.cnt * m.lr8) + 50) / 100.0) / 1e6 AS log_weight
+      FROM fc JOIN model m USING (bucket) GROUP BY 1
+    ), sc AS (
+      SELECT doc_id, log_weight,
+             log_weight + round(-ln(-ln(
+               (('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0)), 6) AS sel_key
+      FROM lw
+    )
+    SELECT CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id ASC) AS INT) AS rank,
+           doc_id, log_weight, round(sel_key, 6) AS sel_key
+    FROM sc ORDER BY sel_key DESC, doc_id ASC LIMIT 50
+    """,
+    d="table.documents",
+)
+def q_corpus_dsir_select(d: DataFrame) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, §2b-K corpus
+    selection — r13 verdict stretch item): select the 50 pool documents
+    whose hashed unigram+bigram distribution most resembles the
+    English-language target slice, by Gumbel-top-k under
+    ``log p_target(x) - log p_raw(x)`` from two add-0.5-smoothed
+    1024-bucket hashed LMs (`llm/ranking.py::dsir_select`).  Both LMs
+    are KB-sized bucket aggregates (broadcast — no vocab table at
+    100 TB); scoring is one broadcast join + per-doc sum; selection is
+    Gumbel-perturbed TakeOrdered.  Every stochastic piece is
+    md5-deterministic (the A-ES/bootstrap convention) and every
+    libm-touched value pre-rounds onto a decimal lattice, so an
+    IMPORTANCE-RESAMPLING op is value-hash-gated end-to-end."""
+    from .llm.ranking import dsir_select
+
+    return dsir_select(
+        d, d.filter(F.col("lang") == "en"), k=50, dim=1024, alpha=0.5
+    )
+
+
 # The TPC-H suite (Q4/Q6-Q10/Q13-Q15/Q17-Q19/Q21/Q22 on this schema)
 # registers itself via defq on import — keep this at module end so the
 # registry above is fully built first.

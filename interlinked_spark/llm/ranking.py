@@ -199,3 +199,158 @@ def rrf_fuse(
         F.round(F.sum("__c"), round_dp).alias("rrf_score"),
         F.count("*").cast("bigint").alias("n_lists"),
     )
+
+
+def _hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int,
+) -> DataFrame:
+    """Per-document hashed unigram+bigram occurrence counts ``(id,
+    bucket, cnt)`` — the DSIR feature space (Xie et al. 2023 use hashed
+    n-gram bags for both the target and raw language models).  Bucket
+    arithmetic is the :func:`feature_hash_counts` md5 fold (first 8 hex
+    chars mod ``dim``), applied to tokens AND adjacent token pairs
+    built row-locally; no sign trick — these are count features for a
+    probability model, not a cancelling vectorizer."""
+    tk = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(tk, bigrams)
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(feats).alias("f"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long") % int(dim)
+    )
+    return (
+        exploded.select("id", bucket.alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def dsir_select(
+    pool: DataFrame,
+    target: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): pick ``k`` pool documents whose hashed-n-gram distribution
+    looks most like the TARGET domain, via Gumbel-top-k resampling
+    under importance log-weights ``log p_target(x) - log p_raw(x)``
+    from two add-``alpha``-smoothed hashed unigram+bigram LMs — the
+    standard pretraining-corpus domain-selection primitive (select web
+    documents that look like Wikipedia/books/code).
+
+    Scale shape: both LMs are ``dim``-bucket count aggregates (the
+    model is KBs — broadcastable, no vocab table); scoring is one
+    equi-join of per-doc sparse features against the broadcast model +
+    one per-doc sum; selection is Gumbel-perturbed TakeOrdered (never a
+    global sort).  Every stochastic piece is md5-deterministic (the
+    A-ES/bootstrap convention), so an IMPORTANCE-RESAMPLING op is
+    value-hash-gateable: per-bucket log-ratios round to 8dp BEFORE the
+    per-doc sum (identical lattice inputs cross-engine), the doc sum
+    and the Gumbel perturbation round to 6dp, ties break on id.
+
+    Smoothing covers the whole ``dim``-bucket space (``+ alpha*dim``
+    mass), so buckets unseen in the target corpus contribute the floor
+    probability, never -inf.
+
+    Why the model is INTEGER-scaled (lattice discipline, learned the
+    hard way): per-bucket log-ratios quantized to 1e-8 units as BIGINT
+    make the per-doc weighted sum EXACT integer arithmetic — a plain
+    double sum of 8dp lattice values lands exactly on a 6dp ROUNDING
+    MIDPOINT for ~1% of documents (the exact decimal sum ends in
+    ...50e-8), turning the round into a cross-engine coin flip decided
+    by summation-order ulps (observed: one flipped doc at sf0.01).
+    The 6dp weight is then ``floor((s + 50) / 100) / 1e6`` — midpoints
+    decided by exact integer arithmetic, identically everywhere.
+    Returns ``(rank, doc_id, log_weight, sel_key)``, rank 1..k by
+    perturbed weight."""
+    feats = _hashed_ngram_counts(pool, text_col, id_col, dim)
+    tfeat = _hashed_ngram_counts(target, text_col, id_col, dim)
+    raw_m = feats.groupBy("bucket").agg(F.sum("cnt").alias("__rn"))
+    tgt_m = tfeat.groupBy("bucket").agg(F.sum("cnt").alias("__tn"))
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    # model = raw buckets (every scored bucket has raw count >= 1: the
+    # raw LM is fit on the pool itself) left-joined to target counts;
+    # the frame is <= dim rows — the documented categorical-sized
+    # global-window exception, then a broadcast join to doc features.
+    model = (
+        raw_m.join(tgt_m, "bucket", "left")
+        .select(
+            "bucket",
+            "__rn",
+            F.coalesce("__tn", F.lit(0)).alias("__tn"),
+            F.sum("__rn").over(w_all).alias("__R"),
+            F.sum(F.coalesce("__tn", F.lit(0))).over(w_all).alias("__T"),
+        )
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("__tn") + F.lit(float(alpha)))
+                        / (F.col("__T") + F.lit(float(alpha) * dim))
+                    )
+                    - F.log(
+                        (F.col("__rn") + F.lit(float(alpha)))
+                        / (F.col("__R") + F.lit(float(alpha) * dim))
+                    )
+                )
+                * 1e8
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__lr8"),
+        )
+    )
+    logw = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.col("__lr8")).alias("__s8"))
+        .select(
+            "id",
+            (F.floor((F.col("__s8") + 50) / 100) / 1e6).alias("log_weight"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    scored = logw.select(
+        "id",
+        "log_weight",
+        (F.col("log_weight") + F.round(-F.log(-F.log(u)), 6)).alias("sel_key"),
+    )
+    top = scored.orderBy(F.col("sel_key").desc(), F.col("id").asc()).limit(int(k))
+    from pyspark.sql import Window as W
+
+    return top.select(
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("sel_key").desc(), F.col("id").asc()))
+        .alias("rank"),
+        F.col("id").alias(id_col),
+        "log_weight",
+        F.round("sel_key", 6).alias("sel_key"),
+    )

@@ -166,6 +166,7 @@ EXTENDED = [
     "embedding_near_dups_ivf",
     "doc_duplicate_spans",
     "doc_span_dedup_corpus",
+    "corpus_dsir_select",
 ]
 
 

@@ -139,3 +139,31 @@ def test_mmr_checkpointed_rounds_equal_inplan(spark):
     assert sorted(a) == sorted(b) and len(a) == 7
     with pytest.raises(ValueError, match="max_k"):
         mmr_select(e, q, k=65)
+
+
+def test_dsir_select_ranks_target_like_docs_higher(spark):
+    """DSIR semantics: a pool doc written in the target domain's
+    vocabulary must carry a higher importance log-weight than one with
+    disjoint vocabulary, and the md5-deterministic Gumbel selection
+    must reproduce bit-identically across calls."""
+    from interlinked_spark.llm.ranking import dsir_select
+
+    target = spark.createDataFrame(
+        [(100 + i, "science physics quantum theory experiment data") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "quantum physics experiment shows theory works with data"),
+            (2, "recipe butter flour sugar oven bake delicious cake"),
+            (3, "physics data experiment quantum"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_select(pool, target, k=3).collect()}
+    assert out[1].log_weight > out[2].log_weight
+    assert out[3].log_weight > out[2].log_weight
+    again = {r.doc_id: r for r in dsir_select(pool, target, k=3).collect()}
+    assert {(r.rank, r.doc_id, r.log_weight, r.sel_key) for r in out.values()} == {
+        (r.rank, r.doc_id, r.log_weight, r.sel_key) for r in again.values()
+    }
