@@ -381,6 +381,16 @@ def main() -> None:
         "orders_price_auc",
         "nation_spearman_rho",
         "user_interarrival_stats",
+        # round 14: IVF near-dup twin (KMeans fit + brute-force recall
+        # rider are demo costs; the scale story is SCALING.md's
+        # measured 0.74 t90 exponent), exact-substring dedup pair,
+        # DSIR selection
+        "embedding_near_dups_ivf",
+        "doc_duplicate_spans",
+        "doc_span_dedup_corpus",
+        "corpus_dsir_select",
+        # streaming gate restages its source per run (harness artifact)
+        "stream_span_dedup",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -9358,6 +9358,58 @@ def q_doc_span_dedup_corpus(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "stream_span_dedup",
+    oracle=_SPAN_RUNS_SQL
+    + """
+    , spans AS (
+      SELECT right_id AS doc_id, right_start AS s,
+             right_start + span_len - 1 AS e
+      FROM runs WHERE span_len >= 8
+    ), covered AS (
+      SELECT DISTINCT doc_id, p
+      FROM spans, unnest(range(s, e + 1)) AS u(p)
+    ), pos AS (
+      SELECT t.doc_id, t.tk[i] AS tok, i AS p, len(t.tk) AS n
+      FROM toks t, unnest(range(1, len(t.tk) + 1)) AS u(i)
+      WHERE t.doc_id IN (SELECT doc_id FROM spans)
+    )
+    SELECT pos.doc_id,
+           CAST(MAX(pos.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.p IS NULL THEN pos.tok END, ' '
+                               ORDER BY pos.p), '') AS dedup_text
+    FROM pos LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+    GROUP BY pos.doc_id
+    """,
+    d="table.documents",
+)
+def q_stream_span_dedup(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Streaming exact duplicate-span removal (§2b-J x §2b-K) — the
+    TENTH exactly-once state gate, the first whose carried state is a
+    POSITIONAL k-gram index: the documents table replays as 4
+    id-ordered micro-batches; each batch span-matches against the
+    postings of everything seen so far plus itself, matched runs >= 8
+    tokens are excised from the batch's higher-id docs, and the
+    batch's postings join the state
+    (`streaming/ops.run_span_dedup_into_state`).  First-seen-wins +
+    id-ordered batches reproduce every batch-mode pair exactly when
+    its right doc's batch runs, so the concatenated per-batch outputs
+    EQUAL the one-shot ``remove_duplicate_spans`` for any boundaries —
+    the oracle is the batch twin's SQL, full surviving text included."""
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import run_span_dedup_into_state, stream_from_parquet
+
+    staged = _stage_id_ordered_files(d.select("doc_id", "text"), "doc_id", 4)
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        state = run_span_dedup_into_state(stream, k=3, min_len=8, max_kgram_df=1000)
+    return spark.read.parquet(f"{state}/out").select(
+        "doc_id", "n_tokens", "n_removed", "dedup_text"
+    )
+
+
+@defq(
     "corpus_dsir_select",
     oracle=r"""
     WITH toks AS (

@@ -836,6 +836,86 @@ def winnow_match_pairs(
     )
 
 
+def positional_kgram_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """``(id, pos, h)`` positional word-k-gram md5 postings — the
+    feature space of the exact-substring dedup family (row-local:
+    split -> k-gram md5 array -> posexplode; docs shorter than ``k``
+    tokens emit nothing).  Shared by :func:`duplicate_span_runs` and
+    the streaming span gate, whose state dirs store exactly these
+    rows."""
+    from ..operators.joins import norm_string
+
+    tk = F.split(norm_string(text_col), " ")
+    return (
+        df.select(F.col(id_col).alias("id"), tk.alias("__tk"))
+        .filter(F.size("__tk") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - (k - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__tk"), i, F.lit(k)))
+                    ),
+                )
+            ).alias("__p0", "h"),
+        )
+        .select("id", (F.col("__p0") + 1).alias("pos"), "h")
+    )
+
+
+def stitch_span_runs(
+    left_grams: DataFrame,
+    right_grams: DataFrame,
+    k: int,
+    min_len: int,
+) -> DataFrame:
+    """Maximal shared runs between two positional-k-gram posting frames
+    (``(id, pos, h)`` each): equi-join on the hash, stitch DIAGONAL-
+    consecutive matches (same ``lpos - rpos``) with the gaps-and-islands
+    rank-difference trick, keep runs covering >= ``min_len`` tokens.
+    Pairs are ``left_id < right_id`` (the caller picks which frame can
+    appear on which side — for the streaming gate, right = the new
+    batch, left = everything seen).  Returns ``(left_id, right_id,
+    left_start, right_start, span_len)``."""
+    from pyspark.sql import Window
+
+    l = left_grams.select(
+        F.col("id").alias("left_id"), F.col("pos").alias("lpos"), "h"
+    )
+    r = right_grams.select(
+        F.col("id").alias("right_id"), F.col("pos").alias("rpos"), "h"
+    )
+    m = (
+        l.join(r, "h")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "lpos", "rpos")
+    )
+    diag = (F.col("lpos") - F.col("rpos")).alias("__diag")
+    w = Window.partitionBy(
+        "left_id", "right_id", F.col("lpos") - F.col("rpos")
+    ).orderBy("rpos")
+    runs = m.select(
+        "left_id", "right_id", "lpos", "rpos", diag,
+        (F.col("rpos") - F.row_number().over(w)).alias("__grp"),
+    )
+    return (
+        runs.groupBy("left_id", "right_id", "__diag", "__grp")
+        .agg(
+            F.min("lpos").alias("left_start"),
+            F.min("rpos").alias("right_start"),
+            (F.count("*") + (k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= int(min_len))
+        .select("left_id", "right_id", "left_start", "right_start", "span_len")
+    )
+
+
 def duplicate_span_runs(
     df: DataFrame,
     text_col: str = "text",
@@ -863,54 +943,12 @@ def duplicate_span_runs(
     ``(left_id, right_id, left_start, right_start, span_len)`` with
     ``left_id < right_id``, positions 1-based in NORMALIZED token
     space (`operators/joins.norm_string`)."""
-    from pyspark.sql import Window
-
-    from ..operators.joins import norm_string
-
-    tk = F.split(norm_string(text_col), " ")
-    grams = (
-        df.select(F.col(id_col).alias("id"), tk.alias("__tk"))
-        .filter(F.size("__tk") >= k)
-        .select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__tk") - (k - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__tk"), i, F.lit(k)))),
-                )
-            ).alias("__p0", "h"),
-        )
-        .select("id", (F.col("__p0") + 1).alias("pos"), "h")
-    )
+    grams = positional_kgram_postings(df, text_col, id_col, k)
     if max_kgram_df is not None:
         from ..operators.diagnostics import drop_hot_buckets
 
         grams = drop_hot_buckets(grams, ["h"], max_kgram_df)
-    l = grams.select(F.col("id").alias("left_id"), F.col("pos").alias("lpos"), "h")
-    r = grams.select(F.col("id").alias("right_id"), F.col("pos").alias("rpos"), "h")
-    m = (
-        l.join(r, "h")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "lpos", "rpos")
-    )
-    diag = (F.col("lpos") - F.col("rpos")).alias("__diag")
-    w = Window.partitionBy("left_id", "right_id", F.col("lpos") - F.col("rpos")).orderBy(
-        "rpos"
-    )
-    runs = m.select(
-        "left_id", "right_id", "lpos", "rpos", diag,
-        (F.col("rpos") - F.row_number().over(w)).alias("__grp"),
-    )
-    return (
-        runs.groupBy("left_id", "right_id", "__diag", "__grp")
-        .agg(
-            F.min("lpos").alias("left_start"),
-            F.min("rpos").alias("right_start"),
-            (F.count("*") + (k - 1)).alias("span_len"),
-        )
-        .filter(F.col("span_len") >= int(min_len))
-        .select("left_id", "right_id", "left_start", "right_start", "span_len")
-    )
+    return stitch_span_runs(grams, grams, k=k, min_len=min_len)
 
 
 def remove_duplicate_spans(

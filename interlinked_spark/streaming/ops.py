@@ -1151,3 +1151,92 @@ def run_cusum_into_state(
 
     foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
     return state_path
+
+
+def run_span_dedup_into_state(
+    doc_stream: DataFrame,
+    state_path: Optional[str] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 8,
+    max_kgram_df: Optional[int] = 1000,
+    timeout_s: int = 300,
+) -> str:
+    """Streaming exact duplicate-span removal (§2b-J x §2b-K) — the
+    TENTH exactly-once state gate: each document micro-batch is
+    span-matched against the positional-k-gram postings of EVERYTHING
+    seen so far plus itself, matched runs >= ``min_len`` tokens are
+    excised from the batch's (higher-id) documents, and the batch's
+    own postings join the state.  The first gate whose carried state
+    is a POSITIONAL INDEX (id, pos, hash) rather than counts or
+    set-membership.
+
+    Priority is first-seen-wins, same as the near-dup gate: the doc
+    that keeps a span is the lower id, and with id-ordered batches
+    every batch-mode pair ``(l < r)`` is reproduced exactly when r's
+    batch runs — l's postings are in the state (earlier batch) or in
+    the batch itself — so the concatenated per-batch outputs EQUAL the
+    one-shot batch twin ``llm/dedup.remove_duplicate_spans`` for ANY
+    id-ordered boundaries (the catalog oracle is the batch twin's
+    SQL).  Matching and surgery are the batch operators VERBATIM
+    (`stitch_span_runs`, `remove_duplicate_spans(runs=...)`).
+
+    Exactly-once under foreachBatch's at-least-once contract, the
+    transitions/CUSUM dir shape: batch N reads ``grams/batch=<N``
+    (partition-pruned — a replay's own half-written ``batch=N`` dir is
+    excluded by the filter) and OVERWRITES its own ``out/batch=N`` +
+    ``grams/batch=N``, so replays rewrite identical rows.  The
+    ``max_kgram_df`` cap spans state + batch per micro-batch;
+    batch/stream equality is exact while no gram's GLOBAL df exceeds
+    the cap (size it from the df histogram first, as in batch mode —
+    the cap is a scale guard, not semantics).  Answer by reading
+    ``out/batch=*``."""
+    from ..llm.dedup import (
+        positional_kgram_postings,
+        remove_duplicate_spans,
+        stitch_span_runs,
+    )
+    from ..sources.writers import write_table
+
+    state_path = state_path or tempfile.mkdtemp(prefix="span_dedup_state_")
+    spark = doc_stream.sparkSession
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        grams_new = positional_kgram_postings(
+            batch_df, text_col=text_col, id_col=id_col, k=k
+        ).localCheckpoint(eager=True)
+        try:
+            seen = (
+                spark.read.parquet(f"{state_path}/grams")
+                .filter(F.col("batch") < batch_id)
+                .select("id", "pos", "h")
+            )
+        except AnalysisException:
+            seen = None
+        allg = grams_new if seen is None else seen.unionByName(grams_new)
+        if max_kgram_df is not None:
+            from ..operators.diagnostics import drop_hot_buckets
+
+            allg = drop_hot_buckets(allg, ["h"], max_kgram_df)
+        right = allg.join(
+            batch_df.select(F.col(id_col).alias("id")), "id", "semi"
+        )
+        runs = stitch_span_runs(allg, right, k=k, min_len=min_len)
+        out = remove_duplicate_spans(
+            batch_df, text_col=text_col, id_col=id_col, runs=runs
+        )
+        write_table(
+            out.coalesce(1), f"{state_path}/out/batch={batch_id}", mode="overwrite"
+        )
+        write_table(
+            grams_new.coalesce(1),
+            f"{state_path}/grams/batch={batch_id}",
+            mode="overwrite",
+        )
+
+    foreach_batch_into(doc_stream, update, timeout_s=timeout_s, output_mode="append")
+    return state_path

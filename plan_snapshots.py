@@ -167,6 +167,7 @@ EXTENDED = [
     "doc_duplicate_spans",
     "doc_span_dedup_corpus",
     "corpus_dsir_select",
+    "stream_span_dedup",
 ]
 
 

@@ -167,3 +167,58 @@ def test_dsir_select_ranks_target_like_docs_higher(spark):
     assert {(r.rank, r.doc_id, r.log_weight, r.sel_key) for r in out.values()} == {
         (r.rank, r.doc_id, r.log_weight, r.sel_key) for r in again.values()
     }
+
+
+def test_stream_span_dedup_equals_batch_and_replay_idempotent(spark):
+    """The 10th streaming-state gate's two claims: (1) with id-ordered
+    batches the concatenated per-batch outputs equal the one-shot batch
+    twin — including a CROSS-batch span (keeper in an earlier batch)
+    and a WITHIN-batch span; (2) replaying the whole stream into the
+    same state path rewrites identical state."""
+    from interlinked_spark.catalog import _stage_id_ordered_files
+    from interlinked_spark.llm.dedup import remove_duplicate_spans
+    from interlinked_spark.streaming.ops import (
+        run_span_dedup_into_state,
+        stream_from_parquet,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} kappa lambda"),            # batch 0: keeper
+            (3, f"prefix {shared} suffix"),           # later batch: cross-batch excise
+            (6, f"one two three {shared}"),           # cross-batch excise
+            (7, f"{shared} trailing bits here now"),  # same batch as 6: also vs 6
+            (9, "totally unrelated filler text with no shared runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    staged = _stage_id_ordered_files(docs, "doc_id", 4)
+
+    def run(state_path=None):
+        return run_span_dedup_into_state(
+            stream_from_parquet(spark, staged),
+            state_path=state_path, k=3, min_len=6,
+        )
+
+    state = run()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/out")
+        .select("doc_id", "n_tokens", "n_removed", "dedup_text")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in remove_duplicate_spans(docs, k=3, min_len=6).collect()
+    }
+    assert got == want and {r[0] for r in got} == {3, 6, 7}
+    # replay: identical stream into the SAME state path
+    run(state_path=state)
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/out")
+        .select("doc_id", "n_tokens", "n_removed", "dedup_text")
+        .collect()
+    }
+    assert again == got
