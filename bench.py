@@ -391,6 +391,7 @@ def main() -> None:
         "corpus_dsir_select",
         # streaming gate restages its source per run (harness artifact)
         "stream_span_dedup",
+        "doc_self_span_dedup",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

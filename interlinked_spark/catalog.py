@@ -9358,6 +9358,75 @@ def q_doc_span_dedup_corpus(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "doc_self_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(tk, i, i + 2), ' ')) AS h
+      FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ), capped AS (
+      SELECT doc_id, pos, h FROM (
+        SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS df
+        FROM grams)
+      WHERE df <= 1000
+    ), m AS (
+      SELECT a.doc_id, a.pos AS lp, b.pos AS rp
+      FROM capped a JOIN capped b
+        ON a.h = b.h AND a.doc_id = b.doc_id AND a.pos < b.pos
+    ), islands AS (
+      SELECT doc_id, lp, rp,
+             rp - row_number() OVER (
+               PARTITION BY doc_id, lp - rp ORDER BY rp) AS grp
+      FROM m
+    ), runs AS (
+      SELECT doc_id, MIN(rp) AS dup_start, COUNT(*) + 2 AS span_len
+      FROM islands GROUP BY doc_id, lp - rp, grp
+      HAVING COUNT(*) + 2 >= 3
+    ), spans AS (
+      SELECT doc_id, dup_start AS s, dup_start + span_len - 1 AS e FROM runs
+    ), covered AS (
+      SELECT DISTINCT doc_id, p
+      FROM spans, unnest(range(s, e + 1)) AS u(p)
+    ), pos AS (
+      SELECT t.doc_id, t.tk[i] AS tok, i AS p, len(t.tk) AS n
+      FROM toks t, unnest(range(1, len(t.tk) + 1)) AS u(i)
+      WHERE t.doc_id IN (SELECT doc_id FROM spans)
+    )
+    SELECT pos.doc_id,
+           CAST(MAX(pos.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN c.p IS NULL THEN pos.tok END, ' '
+                               ORDER BY pos.p), '') AS dedup_text
+    FROM pos LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+    GROUP BY pos.doc_id
+    """,
+    d="table.documents",
+)
+def q_doc_self_span_dedup(d: DataFrame) -> DataFrame:
+    """WITHIN-document repeated-span removal (§2b-K — the other half of
+    Lee et al. 2022's exact-substring dedup: self-plagiarized
+    boilerplate inside one document, which the cross-doc pair join
+    never sees because it filters ``left_id < right_id``).  Positional
+    3-gram self-matches (``lpos < rpos`` — earlier occurrence keeps)
+    stitch per (doc, diagonal) and every covered later position is
+    excised by the shared row-local surgery
+    (`llm/dedup.py::remove_self_duplicate_spans`).  Demo threshold
+    min_len=3 suits this synthetic corpus's short repeats; production
+    corpora use ~50 (the paper's setting) — the machinery is
+    threshold-independent.  Oracle = the identical self-join stitch +
+    surgery SQL."""
+    from .llm.dedup import remove_self_duplicate_spans
+
+    return remove_self_duplicate_spans(d, k=3, min_len=3, max_kgram_df=1000)
+
+
+@defq(
     "stream_span_dedup",
     oracle=_SPAN_RUNS_SQL
     + """

@@ -1010,3 +1010,85 @@ def remove_duplicate_spans(
             F.array_join(kept, " ").alias("dedup_text"),
         )
     )
+
+
+def self_duplicate_span_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 8,
+    max_kgram_df: int | None = 1000,
+) -> DataFrame:
+    """WITHIN-document repeated spans (the other half of Lee et al.
+    2022's exact-substring dedup: a document repeating its own
+    boilerplate is duplication too): positional k-gram self-matches
+    inside one document (``lpos < rpos`` — the earlier occurrence is
+    the keeper), stitched per (doc, diagonal) exactly like the
+    cross-document runs.  A tandem repeat (period < span) is covered:
+    every later occurrence's positions land on SOME qualifying run's
+    right side, so the removal rule "excise covered rpos positions"
+    keeps only the first copy.  Returns ``(doc_id, first_start,
+    dup_start, span_len)``.
+
+    Scale posture: the self-equi-join on (hash, id) only pairs
+    positions WITHIN a document, so candidate mass is bounded by
+    per-doc repetition (quadratic in a gram's within-doc count — the
+    repetition_signals diagnostics flag the pathological docs first);
+    the global ``max_kgram_df`` cap bounds boilerplate exactly as in
+    the cross-doc join."""
+    grams = positional_kgram_postings(df, text_col, id_col, k)
+    if max_kgram_df is not None:
+        from ..operators.diagnostics import drop_hot_buckets
+
+        grams = drop_hot_buckets(grams, ["h"], max_kgram_df)
+    from pyspark.sql import Window
+
+    l = grams.select("id", F.col("pos").alias("lpos"), "h")
+    r = grams.select("id", F.col("pos").alias("rpos"), "h")
+    m = (
+        l.join(r, ["h", "id"])
+        .filter(F.col("lpos") < F.col("rpos"))
+        .select("id", "lpos", "rpos")
+    )
+    w = Window.partitionBy("id", F.col("lpos") - F.col("rpos")).orderBy("rpos")
+    runs = m.select(
+        "id", "lpos", "rpos",
+        (F.col("lpos") - F.col("rpos")).alias("__diag"),
+        (F.col("rpos") - F.row_number().over(w)).alias("__grp"),
+    )
+    return (
+        runs.groupBy("id", "__diag", "__grp")
+        .agg(
+            F.min("lpos").alias("first_start"),
+            F.min("rpos").alias("dup_start"),
+            (F.count("*") + (k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= int(min_len))
+        .select(F.col("id").alias(id_col), "first_start", "dup_start", "span_len")
+    )
+
+
+def remove_self_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 8,
+    max_kgram_df: int | None = 1000,
+) -> DataFrame:
+    """Excise within-document repeated spans: the earlier occurrence
+    keeps, every covered LATER position is removed — the same row-local
+    covered-positions surgery as :func:`remove_duplicate_spans`, fed by
+    :func:`self_duplicate_span_runs`.  Returns affected documents only:
+    ``(doc_id, n_tokens, n_removed, dedup_text)``."""
+    runs = self_duplicate_span_runs(
+        df, text_col, id_col, k=k, min_len=min_len, max_kgram_df=max_kgram_df
+    ).select(
+        F.col(id_col).alias("right_id"),
+        F.col("dup_start").alias("right_start"),
+        "span_len",
+    )
+    return remove_duplicate_spans(
+        df, text_col=text_col, id_col=id_col, runs=runs
+    )

@@ -168,6 +168,7 @@ EXTENDED = [
     "doc_span_dedup_corpus",
     "corpus_dsir_select",
     "stream_span_dedup",
+    "doc_self_span_dedup",
 ]
 
 

@@ -222,3 +222,28 @@ def test_stream_span_dedup_equals_batch_and_replay_idempotent(spark):
         .collect()
     }
     assert again == got
+
+
+def test_self_span_dedup_tandem_and_plain_repeats(spark):
+    """Within-doc span semantics: a plain repeated phrase keeps its
+    first occurrence only; a TANDEM repeat (period < span) collapses to
+    one copy because every later position is covered by some qualifying
+    run; a doc without repeats is absent from the output."""
+    from interlinked_spark.llm.dedup import remove_self_duplicate_spans
+
+    phrase = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{phrase} middle filler words {phrase}"),
+            (2, "x y z x y z x y z x y z"),  # tandem repeat, period 3
+            (3, "all tokens here are completely distinct friends"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_self_duplicate_spans(docs, k=3, min_len=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].dedup_text == f"{phrase} middle filler words"
+    assert (out[1].n_tokens, out[1].n_removed) == (11, 4)
+    # tandem: first period survives, everything after is covered
+    assert out[2].dedup_text == "x y z"
+    assert (out[2].n_tokens, out[2].n_removed) == (12, 9)
