@@ -392,6 +392,8 @@ def main() -> None:
         # streaming gate restages its source per run (harness artifact)
         "stream_span_dedup",
         "doc_self_span_dedup",
+        # iterative-CC demo (the components loop is the demo cost)
+        "part_golden_records",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -7313,6 +7313,90 @@ def q_part_name_fuzzy_pairs(p: DataFrame) -> DataFrame:
 
 
 @defq(
+    "part_golden_records",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT p_partkey, p_brand AS brand, {_qgram_sql("p_name")} AS gr
+      FROM part),
+    prs AS (
+      SELECT l_id, r_id FROM (
+        SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+               len(list_intersect(a.gr, b.gr)) * 1.0
+               / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jac
+        FROM g a JOIN g b ON a.brand = b.brand AND a.p_partkey < b.p_partkey)
+      WHERE jac >= 0.5),
+    edges AS (SELECT l_id AS a, r_id AS b FROM prs UNION SELECT r_id, l_id FROM prs),
+    reach(v, c) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.c FROM edges e JOIN reach r ON e.a = r.v),
+    comp AS (SELECT v, MIN(c) AS c FROM reach GROUP BY v),
+    tagged AS (
+      SELECT p.*, COALESCE(m.c, p.p_partkey) AS entity_id
+      FROM part p LEFT JOIN comp m ON p.p_partkey = m.v),
+    base AS (
+      SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM tagged GROUP BY 1),
+    pick_name AS (
+      SELECT entity_id, p_name FROM (
+        SELECT entity_id, p_name,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY COUNT(*) DESC, p_name ASC) AS rk
+        FROM tagged WHERE p_name IS NOT NULL GROUP BY entity_id, p_name)
+      WHERE rk = 1),
+    pick_type AS (
+      SELECT entity_id, p_type FROM (
+        SELECT entity_id, p_type,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY COUNT(*) DESC, p_type ASC) AS rk
+        FROM tagged WHERE p_type IS NOT NULL GROUP BY entity_id, p_type)
+      WHERE rk = 1),
+    pick_size AS (
+      SELECT entity_id, p_size FROM (
+        SELECT entity_id, p_size,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY COUNT(*) DESC, p_size ASC) AS rk
+        FROM tagged WHERE p_size IS NOT NULL GROUP BY entity_id, p_size)
+      WHERE rk = 1)
+    SELECT b.entity_id, b.n_members, n.p_name, t.p_type, s.p_size
+    FROM base b
+    LEFT JOIN pick_name n USING (entity_id)
+    LEFT JOIN pick_type t USING (entity_id)
+    LEFT JOIN pick_size s USING (entity_id)
+    """,
+    p="table.part",
+)
+def q_part_golden_records(p: DataFrame) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP (§2b-C's missing last step —
+    every match join in the ER family produces pairs; this turns them
+    into one canonical GOLDEN RECORD per entity,
+    ``operators/merge.py::golden_records``): fuzzy name pairs within a
+    brand -> connected components -> per-entity most-frequent-value
+    vote per attribute (ties to the smaller value — deterministic,
+    unlike engine-native ``mode()``), entity id = min member key,
+    singletons are their own entity.  Per attribute the vote frame is
+    one counting aggregate + a top-1 window (WindowGroupLimit), bounded
+    by distinct values per entity.  Oracle = recursive-CTE reachability
+    + the identical vote windows."""
+    from .operators.joins import fuzzy_string_join
+    from .operators.merge import golden_records
+
+    l = p.select(F.col("p_partkey").alias("l_id"), F.col("p_name").alias("l_name"),
+                 F.col("p_brand").alias("brand"))
+    r = p.select(F.col("p_partkey").alias("r_id"), F.col("p_name").alias("r_name"),
+                 F.col("p_brand").alias("brand"))
+    pairs = fuzzy_string_join(
+        l, r, "l_name", "r_name", "l_id", "r_id",
+        threshold=0.5, q=3, extra_on=["brand"], dedupe_self=True,
+        same_side=True,
+    )
+    return golden_records(
+        p, pairs, "p_partkey", ["p_name", "p_type", "p_size"],
+        left_col="l_id", right_col="r_id",
+    )
+
+
+@defq(
     "embedding_arrow_stats",
     oracle="""
     SELECT vec_id AS id,

@@ -303,3 +303,54 @@ def snapshot_diff(
         .otherwise(F.lit(""))
         .alias("changed_cols"),
     )
+
+
+def golden_records(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    attr_cols: Sequence[str],
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP (the golden-record step downstream
+    of every match join in §2b-C): match pairs -> connected components
+    -> one canonical record per entity, each attribute resolved by
+    MOST-FREQUENT-VALUE voting among the entity's members (nulls
+    abstain; ties break on the smaller value — deterministic and
+    SQL-twinnable, unlike engine-native ``mode()`` whose tie pick is
+    unspecified).  ``entity_id`` is the component's minimum member id;
+    unmatched records are their own entity.
+
+    Scale shape: CC is the shared hash-to-min loop
+    (`operators/graph.connected_components`, checkpointed); per
+    attribute, ONE (entity, value) counting aggregate + a top-1 window
+    (WindowGroupLimit below the shuffle) — each attribute's vote frame
+    is bounded by distinct values per entity, never the record count.
+    Returns ``(entity_id, n_members, <attr>...)``."""
+    from .graph import connected_components
+    from .windows import top_k_per_group
+
+    comp = connected_components(
+        pairs, left_col, right_col, checkpoint_mode=checkpoint_mode
+    )
+    tagged = (
+        records.join(comp.withColumnRenamed("vertex", id_col), id_col, "left")
+        .withColumn("entity_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+    out = tagged.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    for a in attr_cols:
+        counts = (
+            tagged.filter(F.col(a).isNotNull())
+            .groupBy("entity_id", a)
+            .agg(F.count("*").alias("__c"))
+        )
+        pick = top_k_per_group(
+            counts, ["entity_id"], [F.col("__c").desc(), F.col(a).asc()], 1
+        ).select("entity_id", a)
+        out = out.join(pick, "entity_id", "left")
+    return out

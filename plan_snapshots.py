@@ -169,6 +169,7 @@ EXTENDED = [
     "corpus_dsir_select",
     "stream_span_dedup",
     "doc_self_span_dedup",
+    "part_golden_records",
 ]
 
 

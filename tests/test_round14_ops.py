@@ -247,3 +247,32 @@ def test_self_span_dedup_tandem_and_plain_repeats(spark):
     # tandem: first period survives, everything after is covered
     assert out[2].dedup_text == "x y z"
     assert (out[2].n_tokens, out[2].n_removed) == (12, 9)
+
+
+def test_golden_records_survivorship_votes(spark):
+    """Survivorship contract: most-frequent non-null value wins per
+    attribute (nulls abstain), ties break on the smaller value, entity
+    id is the component minimum, singletons are their own entity."""
+    from interlinked_spark.operators.merge import golden_records
+
+    recs = spark.createDataFrame(
+        [
+            (1, "widget", "A", 5),
+            (2, "widget", "B", None),
+            (3, "gadget", "B", 7),   # name 'gadget' loses 2:1; type B wins 2:1
+            (9, "lonely", "C", 1),   # singleton
+        ],
+        "pk long, name string, typ string, size int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "left_id long, right_id long"
+    )
+    out = {r.entity_id: r for r in golden_records(
+        recs, pairs, "pk", ["name", "typ", "size"]
+    ).collect()}
+    assert set(out) == {1, 9}
+    assert out[1].n_members == 3
+    assert out[1].name == "widget"      # 2 votes vs 1
+    assert out[1].typ == "B"            # 2 votes vs 1
+    assert out[1].size == 5             # 1-1 tie among non-nulls -> smaller
+    assert (out[9].n_members, out[9].name) == (1, "lonely")
