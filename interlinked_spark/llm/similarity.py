@@ -1090,7 +1090,7 @@ def mmr_select(
     the ``selected`` lineage every that-many picks (localCheckpoint of
     a <= k-row frame — the rounds' execution work is not repeated, only
     the analyzer's), bounding per-segment growth and making total
-    compile ~linear in k: measured 16-25 s at k=16 and 28-76 s at k=32
+    compile ~linear in k: measured 16-39 s at k=16 and 28-76 s at k=32
     across checkpoint_every in {2..6} (vs 133 s at k=10 unbounded;
     SCALING.md) — ~1-2.4 s per round, the irreducible greedy-argmax
     analysis cost.  The default of 4 never triggers at the catalog's

@@ -285,6 +285,15 @@ HEAVY = [
     # the blocked pairs (the documented Arrow-tier cost).
     ("part_name_sorted_neighbors", None),
     ("part_name_jw_pairs", None),
+    # round 14: the remaining new heavies.  corpus_dsir_select's LMs
+    # are dim-bounded aggregates (expected ~linear in the scan);
+    # part_golden_records adds the CC loop + vote windows on top of
+    # the fuzzy posting join (~linear, pairs grow exactly k-fold);
+    # stream_span_dedup is staging-dominated at these sizes like the
+    # other streaming gates (~linear beyond fixed per-batch cost).
+    ("corpus_dsir_select", None),
+    ("part_golden_records", None),
+    ("stream_span_dedup", None),
 ]
 
 
