@@ -394,6 +394,7 @@ def main() -> None:
         "doc_self_span_dedup",
         # iterative-CC demo (the components loop is the demo cost)
         "part_golden_records",
+        "orders_price_ks",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

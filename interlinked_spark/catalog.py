@@ -9442,6 +9442,65 @@ def q_doc_span_dedup_corpus(d: DataFrame) -> DataFrame:
 
 
 @defq(
+    "orders_price_ks",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             ROUND(o_totalprice, 6) AS v,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS cb
+      FROM orders GROUP BY 1, 2
+    ), st AS (
+      SELECT order_year, v,
+             SUM(ca) OVER (PARTITION BY order_year ORDER BY v) AS cuma,
+             SUM(cb) OVER (PARTITION BY order_year ORDER BY v) AS cumb,
+             SUM(ca) OVER (PARTITION BY order_year) AS na,
+             SUM(cb) OVER (PARTITION BY order_year) AS nb
+      FROM cells
+    ), d AS (
+      SELECT order_year, v, na, nb,
+             CASE WHEN na > 0 AND nb > 0
+                  THEN abs(cuma * 1.0 / na - cumb * 1.0 / nb) END AS dd
+      FROM st
+    ), dm AS (
+      SELECT *, MAX(dd) OVER (PARTITION BY order_year) AS dmax FROM d
+    )
+    SELECT order_year,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           FLOOR(MAX(dd) * 1e6 + 0.5) / 1e6 AS d_stat,
+           MIN(CASE WHEN dd = dmax THEN v END) AS d_at
+    FROM dm GROUP BY order_year
+    """,
+    o="table.orders",
+)
+def q_orders_price_ks(o: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per order year (§2b-D
+    inference/drift family, ``operators/aggregates.py::ks_two_sample``
+    — the nonparametric complement to ``orders_price_psi``: PSI's
+    decile buckets can miss a shift INSIDE a bucket, KS is the exact
+    sup-distance between the urgent and non-urgent price CDFs).
+    Computed without sorting the fact table: distinct-value cells in
+    one hash aggregate, both CDFs as cumulative windows over the CELLS
+    frame, sup + its location (smallest attaining value — the
+    hash-gateable argmax) per group.  D is an exact rational of
+    integer counts; output rounds with the portable floor(t+0.5)
+    rule."""
+    from .operators.aggregates import ks_two_sample
+
+    return ks_two_sample(
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+            F.round("o_totalprice", 6).alias("price"),
+        ),
+        "is_urgent",
+        "price",
+        keys=["order_year"],
+    )
+
+
+@defq(
     "doc_self_span_dedup",
     oracle="""
     WITH toks AS (

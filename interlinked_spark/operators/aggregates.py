@@ -557,3 +557,72 @@ def spearman_rho(
         "n",
         (F.round(rho, round_dp) + 0.0).alias("rho"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    side_col,
+    value_col: str,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (§2b-D inference /
+    drift family — the nonparametric complement to
+    ``population_stability``: PSI quantizes into deciles and can miss
+    a shift INSIDE a bucket; KS is the exact sup-distance between the
+    two empirical CDFs, sensitive everywhere).  ``side_col`` is a
+    boolean Column/name splitting the rows into cohorts A (true) and
+    B (false).
+
+    Computed WITHOUT sorting the fact table (the ``rank_auc`` shape):
+    rows collapse to DISTINCT-value cells in ONE hash aggregate, both
+    CDFs are cumulative sums over the CELLS frame (bounded by value
+    granularity, shared partitioning), and the sup is a one-row max.
+    The D statistic is an exact rational (integer cumulative counts
+    over integer totals — identical doubles in any engine); the output
+    rounds with the portable ``floor(t + 0.5)`` rule.  ``d_at`` is the
+    smallest value attaining the sup — the location of maximal drift,
+    and the tiebreak that keeps an argmax hash-gateable.  Returns
+    ``(keys..., n_a, n_b, d_stat, d_at)``; groups missing a whole
+    cohort return NULL ``d_stat``."""
+    from pyspark.sql import Window
+
+    keys = list(keys or [])
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    cells = (
+        df.select(*keys, side.alias("__s"), F.col(value_col).alias("__v"))
+        .groupBy(*keys, "__v")
+        .agg(
+            F.sum(F.when(F.col("__s"), 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(~F.col("__s"), 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("__v") if keys else Window.partitionBy().orderBy("__v")
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    scored = cells.select(
+        *keys,
+        "__v",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+    ).withColumn(
+        "__d",
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.abs(
+                F.col("__cuma") / F.col("__na") - F.col("__cumb") / F.col("__nb")
+            ),
+        ),
+    )
+    scored = scored.withColumn("__dmax", F.max("__d").over(wall))
+    return (
+        scored.groupBy(*keys)
+        .agg(
+            F.max("__na").cast("bigint").alias("n_a"),
+            F.max("__nb").cast("bigint").alias("n_b"),
+            (F.floor(F.max("__d") * 1e6 + F.lit(0.5)) / 1e6).alias("d_stat"),
+            F.min(F.when(F.col("__d") == F.col("__dmax"), F.col("__v"))).alias(
+                "d_at"
+            ),
+        )
+    )

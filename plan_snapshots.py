@@ -170,6 +170,7 @@ EXTENDED = [
     "stream_span_dedup",
     "doc_self_span_dedup",
     "part_golden_records",
+    "orders_price_ks",
 ]
 
 

@@ -276,3 +276,31 @@ def test_golden_records_survivorship_votes(spark):
     assert out[1].typ == "B"            # 2 votes vs 1
     assert out[1].size == 5             # 1-1 tie among non-nulls -> smaller
     assert (out[9].n_members, out[9].name) == (1, "lonely")
+
+
+def test_ks_two_sample_reference_values(spark):
+    """KS semantics against hand-computed references: identical
+    distributions give D=0; disjoint supports give D=1 at the boundary
+    value; a known partial shift gives the exact rational sup; a group
+    missing one cohort yields NULL."""
+    from interlinked_spark.operators.aggregates import ks_two_sample
+
+    rows = []
+    # g1: A = {1,2,3,4}, B = {1,2,3,4} -> D = 0
+    for v in [1, 2, 3, 4]:
+        rows += [("g1", True, float(v)), ("g1", False, float(v))]
+    # g2: A = {1,2}, B = {3,4} -> D = 1 at v=2
+    rows += [("g2", True, 1.0), ("g2", True, 2.0), ("g2", False, 3.0), ("g2", False, 4.0)]
+    # g3: A = {1,2,3,4}, B = {2,3,4,5} -> sup |Fa-Fb| = 1/4 at v=1
+    for v in [1, 2, 3, 4]:
+        rows.append(("g3", True, float(v)))
+    for v in [2, 3, 4, 5]:
+        rows.append(("g3", False, float(v)))
+    # g4: only cohort A -> NULL
+    rows += [("g4", True, 1.0), ("g4", True, 2.0)]
+    df = spark.createDataFrame(rows, "g string, side boolean, v double")
+    out = {r.g: r for r in ks_two_sample(df, "side", "v", keys=["g"]).collect()}
+    assert out["g1"].d_stat == 0.0
+    assert (out["g2"].d_stat, out["g2"].d_at) == (1.0, 2.0)
+    assert (out["g3"].d_stat, out["g3"].d_at) == (0.25, 1.0)
+    assert out["g4"].d_stat is None and out["g4"].n_b == 0
