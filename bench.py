@@ -395,6 +395,8 @@ def main() -> None:
         # iterative-CC demo (the components loop is the demo cost)
         "part_golden_records",
         "orders_price_ks",
+        # iterative-ML demo (8 per-subspace Lloyd fits are the demo cost)
+        "embedding_pq_codes",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -6605,6 +6605,93 @@ _PDIST = (
 )
 
 
+def _pq_sql(m: int = 8, k: int = 16, iters: int = 2, d: int = KMEANS_D) -> str:
+    """DuckDB CTE chain unrolling PRODUCT-QUANTIZATION fit + encode:
+    per subspace, the exact ``_kmeans_assign_sql`` recurrence (lowest-id
+    seeds rounded 6dp, rounded-distance argmin with cid tiebreak, 6dp
+    mean updates, empty clusters carried) applied to the vector SLICE,
+    then per-subspace reconstruction error terms against the final
+    codebook.  Exposes ``s{s}e(vec_id, cid, mx, sq)`` per subspace for
+    the final join."""
+    dsub = d // m
+    parts = ["emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for s in range(m):
+        off = s * dsub
+        parts.append(
+            f"e{s} AS (SELECT vec_id, v[{off + 1}:{off + dsub}] AS sv FROM emb)"
+        )
+        dist = (
+            f"round(list_sum(list_transform(range(1, {dsub + 1}), i -> "
+            "(e.sv[i]-s.c[i])*(e.sv[i]-s.c[i]))), 6)"
+        )
+
+        def assign(name: str, cents: str, sub: int = s, dist_expr: str = dist) -> str:
+            return f"""{name} AS (
+              SELECT vec_id, sv, cid, d FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+                FROM (SELECT e.vec_id, e.sv, s.cid, {dist_expr} AS d
+                      FROM e{sub} e CROSS JOIN {cents} s))
+              WHERE rk = 1)"""
+
+        parts.append(f"""s{s}c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+                 list_transform(sv, x -> round(x, 6)) AS c
+          FROM (SELECT vec_id, sv FROM e{s} ORDER BY vec_id LIMIT {k}))""")
+        for it in range(1, iters + 1):
+            parts.append(assign(f"s{s}a{it}", f"s{s}c{it - 1}"))
+            parts.append(f"""s{s}m{it} AS (
+              SELECT cid, list(mv ORDER BY dim) AS c
+              FROM (SELECT a.cid, t.i AS dim, round(avg(a.sv[t.i]), 6) AS mv
+                    FROM s{s}a{it} a CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS i) t
+                    GROUP BY a.cid, t.i)
+              GROUP BY cid)""")
+            parts.append(f"""s{s}c{it} AS (
+              SELECT p.cid, COALESCE(m.c, p.c) AS c
+              FROM s{s}c{it - 1} p LEFT JOIN s{s}m{it} m ON p.cid = m.cid)""")
+        parts.append(assign(f"s{s}af", f"s{s}c{iters}"))
+        parts.append(f"""s{s}e AS (
+          SELECT a.vec_id, a.cid,
+                 list_max(list_transform(range(1, {dsub + 1}),
+                   i -> abs(a.sv[i] - c.c[i]))) AS mx,
+                 list_sum(list_transform(range(1, {dsub + 1}),
+                   i -> abs(a.sv[i] - c.c[i]) * abs(a.sv[i] - c.c[i]))) AS sq
+          FROM s{s}af a JOIN s{s}c{iters} c ON a.cid = c.cid)""")
+    return "WITH " + ",\n".join(parts)
+
+
+@defq(
+    "embedding_pq_codes",
+    oracle=_pq_sql()
+    + f"""
+    SELECT s0e.vec_id,
+           [{", ".join(f"s{s}e.cid" for s in range(8))}] AS codes,
+           ROUND(greatest({", ".join(f"s{s}e.mx" for s in range(8))}), 6) AS max_abs_err,
+           ROUND(({" + ".join(f"s{s}e.sq" for s in range(8))}) / {KMEANS_D}, 6) AS mse
+    FROM s0e {" ".join(f"JOIN s{s}e ON s{s}e.vec_id = s0e.vec_id" for s in range(1, 8))}
+    """,
+    e="table.embeddings",
+)
+def q_embedding_pq_codes(e: DataFrame) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, §2b-K storage path —
+    the compression rung above ``embedding_int8_quant``): 8 subspaces
+    of 8 dims, each Lloyd-quantized to 16 centroids, storing 8 codes
+    (4 bits each) per vector instead of 64 floats — with the
+    reconstruction error actually incurred surfaced per vector
+    (`llm/embeddings.pq_fit` / `pq_encode`).  The fit is m deterministic
+    per-subspace Lloyd runs (lowest-id seeds, 6dp lattice); the encode
+    is a narrow row-local projection against broadcast codebook
+    literals — at 100 TB a map job, like the int8 quantizer.  Oracle =
+    the fit recurrence unrolled PER SUBSPACE plus the identical decode
+    arithmetic, so the approximate codes AND their error are
+    value-hash-gated."""
+    from .llm.embeddings import pq_encode, pq_fit
+
+    books = pq_fit(e, m=8, k=16, iters=2)
+    return pq_encode(e, books).select(
+        F.col("id").alias("vec_id"), "codes", "max_abs_err", "mse"
+    )
+
+
 @defq(
     "embedding_near_dups_ivf",
     oracle=_kmeans_assign_sql()

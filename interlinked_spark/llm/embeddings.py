@@ -165,15 +165,20 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> F.Column:
     return F.expr(f"array({parts})")
 
 
-def _assign_cols(vec_col: str, centroids) -> tuple[F.Column, F.Column]:
+def _assign_cols(vec_col, centroids) -> tuple[F.Column, F.Column]:
     """(cluster_id, sq_dist) columns: argmin over the centroid literal.
 
     Squared distance is a sequential ``aggregate(zip_with(...))`` fold
     (index order — the same IEEE reduction DuckDB's ``list_sum`` over a
     ``list_transform(range(...))`` performs), rounded to 6dp before the
     argmin so knife-edge reduction noise cannot flip an assignment;
-    ties break on the lower centroid id via struct ordering."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ties break on the lower centroid id via struct ordering.
+    ``vec_col`` may be a column name or an array Column (the PQ encoder
+    passes per-subspace slices)."""
+    v = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
+    )
     scored = F.transform(
         _centroid_literal(centroids),
         lambda s: F.struct(
@@ -539,3 +544,82 @@ def semdedup_keep_assigned(
         result = materialize(result, "local", eager=True)
         tagged.unpersist()
     return result
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al. 2011 — the standard
+    vector-compression rung above :func:`quantize_int8`: d/m-dim
+    subspaces each quantized to k centroids, storing ``m * log2(k)``
+    bits per vector instead of ``d * 32``): one deterministic Lloyd fit
+    (:func:`kmeans_fit` — lowest-id seeds, 6dp rounding, fixed
+    iterations) PER SUBSPACE on the sliced vectors.  Each fit's driver
+    state is the k x (d/m) sub-codebook; m fits run sequentially (m and
+    iters are small constants — the per-fit cost is one scan + one
+    KB-sized aggregate per round, the ``kmeans_fit`` contract).
+    Returns ``m`` codebooks, subspace order."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_fit on an empty DataFrame")
+    d = len(first[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("__sub"),
+        )
+        books.append(kmeans_fit(sub, vec_col="__sub", id_col=id_col, k=k, iters=iters))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against fitted PQ codebooks and surface the
+    reconstruction error actually incurred: ``(id, codes, max_abs_err,
+    mse)`` where ``codes[s]`` is subspace ``s``'s nearest-centroid id
+    (6dp-rounded distances, lowest-cid ties — the shared
+    ``_assign_cols`` argmin) and the error columns compare the vector
+    against its DECODED form (codebook rows substituted back).  A
+    narrow row-local projection — codebooks ride as broadcast literals,
+    no join, no shuffle: the 100-TB encode is a map job, exactly like
+    the int8 quantizer.  Error terms accumulate in subspace order, so
+    the fold is engine-portable."""
+    if not codebooks:
+        raise ValueError("pq_encode needs at least one codebook")
+    dsub = len(codebooks[0][0][1])
+    code_cols = []
+    err_maxes = []
+    sq_sums = []
+    n_dims = dsub * len(codebooks)
+    for s, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        cid, _dist = _assign_cols(sub, book)
+        code_cols.append(cid)
+        decoded = F.element_at(_centroid_literal(book), cid + 1)["c"]
+        diffs = F.zip_with(sub, decoded, lambda x, c: F.abs(x.cast("double") - c))
+        err_maxes.append(F.array_max(diffs))
+        sq_sums.append(
+            F.aggregate(diffs, F.lit(0.0), lambda acc, e: acc + e * e)
+        )
+    mse = sq_sums[0]
+    for t in sq_sums[1:]:
+        mse = mse + t
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(*code_cols).alias("codes"),
+        F.round(F.greatest(*err_maxes), 6).alias("max_abs_err"),
+        F.round(mse / F.lit(float(n_dims)), 6).alias("mse"),
+    )

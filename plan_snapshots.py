@@ -171,6 +171,7 @@ EXTENDED = [
     "doc_self_span_dedup",
     "part_golden_records",
     "orders_price_ks",
+    "embedding_pq_codes",
 ]
 
 

@@ -304,3 +304,27 @@ def test_ks_two_sample_reference_values(spark):
     assert (out["g2"].d_stat, out["g2"].d_at) == (1.0, 2.0)
     assert (out["g3"].d_stat, out["g3"].d_at) == (0.25, 1.0)
     assert out["g4"].d_stat is None and out["g4"].n_b == 0
+
+
+def test_pq_roundtrip_exact_when_corpus_is_codebook(spark):
+    """PQ sanity: with exactly k vectors on the 6dp lattice every
+    vector IS a centroid after the deterministic fit, so reconstruction
+    error is exactly zero; codes are length-m in [0, k); and a
+    non-divisible subspace split raises."""
+    import pytest
+
+    from interlinked_spark.llm.embeddings import pq_encode, pq_fit
+
+    rows = [
+        (i, [round(0.1 * i + 0.01 * j, 6) for j in range(8)]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_fit(df, m=2, k=4, iters=2)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    out = pq_encode(df, books).collect()
+    assert len(out) == 4
+    for r in out:
+        assert len(r.codes) == 2 and all(0 <= c < 4 for c in r.codes)
+        assert r.max_abs_err <= 1e-6 and r.mse <= 1e-9
+    with pytest.raises(ValueError, match="divisible"):
+        pq_fit(df, m=3, k=2, iters=1)
