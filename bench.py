@@ -397,6 +397,7 @@ def main() -> None:
         "orders_price_ks",
         # iterative-ML demo (8 per-subspace Lloyd fits are the demo cost)
         "embedding_pq_codes",
+        "similarity_pq_adc",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -9528,6 +9528,116 @@ def q_doc_span_dedup_corpus(d: DataFrame) -> DataFrame:
     return remove_duplicate_spans(d, k=3, min_len=8, max_kgram_df=1000)
 
 
+_ADC_TERMS = " + ".join(f"d{s}.t" for s in range(8))
+_ADC_JOINS = " ".join(
+    f"JOIN d{s} ON d{s}.qid = d0.qid AND d{s}.nid = d0.nid" for s in range(1, 8)
+)
+_ADC_SUBS = ",\n".join(
+    f"""d{s} AS (
+      SELECT q.vec_id AS qid, a.vec_id AS nid,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (q.v[i + {s * 8}] - c.c[i]) * (q.v[i + {s * 8}] - c.c[i]))), 6) AS t
+      FROM (SELECT vec_id, v FROM emb WHERE vec_id < 5) q
+      CROSS JOIN s{s}af a JOIN s{s}c2 c ON a.cid = c.cid)"""
+    for s in range(8)
+)
+
+
+@defq(
+    "similarity_pq_adc",
+    oracle=_pq_sql()
+    + f"""
+    , {_ADC_SUBS},
+    adc AS (
+      SELECT d0.qid, d0.nid, round({_ADC_TERMS}, 6) AS adc
+      FROM d0 {_ADC_JOINS}
+      WHERE d0.qid != d0.nid),
+    top AS (
+      SELECT qid, nid, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        FROM adc)
+      WHERE rk <= 5),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                   i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6), c.vec_id) AS rk
+        FROM (SELECT vec_id, v FROM emb WHERE vec_id < 5) q
+        JOIN emb c ON c.vec_id != q.vec_id)
+      WHERE rk <= 5)
+    SELECT t.qid AS query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           ROUND(CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 5, 3) AS recall_at_5,
+           FLOOR((SUM(CAST(round(t.adc * 1e6) AS BIGINT)) + 5000) / 10000.0) / 100.0
+             AS adc_sum
+    FROM top t LEFT JOIN exact e ON e.qid = t.qid AND e.nid = t.nid
+    GROUP BY t.qid
+    """,
+    e="table.embeddings",
+)
+def q_similarity_pq_adc(e: DataFrame) -> DataFrame:
+    """ADC top-k over PQ codes with recall measured IN THE OUTPUT
+    (§2b-K — the search half of product quantization,
+    ``llm/embeddings.pq_adc_top_k``): corpus vectors reduce to 8
+    half-byte codes, queries stay full precision, distance = sum of
+    per-subspace exact distances to the DECODED centroids — at 100 TB
+    the corpus read is 8 bytes/vector instead of 256.  Each output row
+    carries ``recall_at_5`` against the true squared-L2 top-5 (the
+    ``similarity_ivf_probed`` pattern: a codebook or lookup bug moves a
+    recall number and fails the hash) plus the integer-scaled ADC mass.
+    The 5-query exact rider broadcasts (the documented brute-force
+    contract); the ADC side is a row-local fold over codebook literals
+    — no shuffle beyond the per-query top-k window."""
+    from .llm.embeddings import pq_adc_top_k, pq_fit
+    from .operators.windows import top_k_per_group
+
+    books = pq_fit(e, m=8, k=16, iters=2)
+    qs = e.filter(F.col("vec_id") < 5)
+    top = pq_adc_top_k(e, qs, books, k=5)
+    q = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"),
+                F.col("__cv"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    exact = top_k_per_group(
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__l2", l2)
+        .select("query_id", "neighbor_id", "__l2"),
+        ["query_id"],
+        [F.col("__l2").asc(), F.col("neighbor_id").asc()],
+        5,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        top.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_returned"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double") / 5, 3
+            ).alias("recall_at_5"),
+            (
+                F.floor(
+                    (F.sum(F.round(F.col("adc") * 1e6).cast("long")) + 5000)
+                    / 10000.0
+                )
+                / 100.0
+            ).alias("adc_sum"),
+        )
+    )
+
+
 @defq(
     "orders_price_ks",
     oracle="""

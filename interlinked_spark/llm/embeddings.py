@@ -623,3 +623,68 @@ def pq_encode(
         F.round(F.greatest(*err_maxes), 6).alias("max_abs_err"),
         F.round(mse / F.lit(float(n_dims)), 6).alias("mse"),
     )
+
+
+def pq_adc_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al.
+    2011): corpus vectors are represented ONLY by their m codes, the
+    query stays full-precision, and the search distance is the sum of
+    per-subspace exact distances to the DECODED centroids — the
+    standard memory-bound ANN scoring rung (at 100 TB the corpus side
+    reads 8 bytes/vector instead of 256).
+
+    Shape: corpus codes come from the same row-local argmin the encoder
+    uses; the bounded query set broadcasts (``cosine_top_k``'s
+    documented rider contract); per-(query, corpus) ADC is a row-local
+    fold over codebook literals — no shuffle beyond the per-query top-k
+    window.  Per-subspace terms round to 6dp (lattice inputs) and sum
+    in subspace order, so the APPROXIMATE ranking is engine-portable.
+    Returns ``(query_id, neighbor_id, adc)``, k rows per query,
+    ``(adc asc, neighbor_id)`` order."""
+    from ..operators.windows import top_k_per_group
+
+    if not codebooks:
+        raise ValueError("pq_adc_top_k needs codebooks")
+    dsub = len(codebooks[0][0][1])
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        cid, _ = _assign_cols(sub, book)
+        code_cols.append(cid.alias(f"__c{s}"))
+    coded = corpus.select(F.col(id_col).alias("neighbor_id"), *code_cols)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    joined = coded.join(F.broadcast(q))
+    terms = []
+    for s, book in enumerate(codebooks):
+        qsub = F.slice(F.col("__qv"), s * dsub + 1, dsub)
+        decoded = F.element_at(_centroid_literal(book), F.col(f"__c{s}") + 1)["c"]
+        terms.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        qsub, decoded, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+        )
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    scored = (
+        joined.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", F.round(adc, 6))
+        .select("query_id", "neighbor_id", "adc")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("adc").asc(), F.col("neighbor_id").asc()], k
+    )

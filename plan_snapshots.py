@@ -172,6 +172,7 @@ EXTENDED = [
     "part_golden_records",
     "orders_price_ks",
     "embedding_pq_codes",
+    "similarity_pq_adc",
 ]
 
 

@@ -328,3 +328,28 @@ def test_pq_roundtrip_exact_when_corpus_is_codebook(spark):
         assert r.max_abs_err <= 1e-6 and r.mse <= 1e-9
     with pytest.raises(ValueError, match="divisible"):
         pq_fit(df, m=3, k=2, iters=1)
+
+
+def test_pq_adc_exact_when_codebook_is_lossless(spark):
+    """ADC sanity: with m=1 and k = n the codebook IS the (6dp-rounded)
+    corpus, so ADC distances equal true squared L2 up to the lattice
+    rounding and the top-k matches the exact ordering."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.llm.embeddings import pq_adc_top_k, pq_fit
+
+    rows = [(i, [round(0.3 * i + 0.05 * j, 6) for j in range(4)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_fit(df, m=1, k=6, iters=2)
+    qs = df.filter(F.col("vec_id") < 2)
+    top = pq_adc_top_k(df, qs, books, k=3)
+    got = {
+        q: [r.neighbor_id for r in sorted(rows, key=lambda r: r.adc)]
+        for q, rows in __import__("itertools").groupby(
+            sorted(top.collect(), key=lambda r: (r.query_id, r.adc, r.neighbor_id)),
+            key=lambda r: r.query_id,
+        )
+    }
+    # 1-d-increasing corpus: nearest neighbors of 0 are 1,2,3; of 1 are 0,2 then 3
+    assert got[0] == [1, 2, 3]
+    assert got[1] == [0, 2, 3] or got[1] == [2, 0, 3]

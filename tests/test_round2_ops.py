@@ -440,6 +440,9 @@ def test_whole_catalog_plan_audit(spark):
         # (test-scale instrumentation; the production surface is the
         # IVF probe-to-home equi-join alone)
         "embedding_near_dups_ivf",
+        # ADC scoring broadcasts the bounded 5-query side (the
+        # cosine_top_k rider contract) + the exact-recall L2 reference
+        "similarity_pq_adc",
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
