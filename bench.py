@@ -398,6 +398,8 @@ def main() -> None:
         # iterative-ML demo (8 per-subspace Lloyd fits are the demo cost)
         "embedding_pq_codes",
         "similarity_pq_adc",
+        # iterative-ML demo (coarse + 8 residual Lloyd fits per run)
+        "similarity_ivfpq_probed",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

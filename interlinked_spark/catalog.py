@@ -6605,20 +6605,18 @@ _PDIST = (
 )
 
 
-def _pq_sql(m: int = 8, k: int = 16, iters: int = 2, d: int = KMEANS_D) -> str:
-    """DuckDB CTE chain unrolling PRODUCT-QUANTIZATION fit + encode:
-    per subspace, the exact ``_kmeans_assign_sql`` recurrence (lowest-id
-    seeds rounded 6dp, rounded-distance argmin with cid tiebreak, 6dp
-    mean updates, empty clusters carried) applied to the vector SLICE,
-    then per-subspace reconstruction error terms against the final
-    codebook.  Exposes ``s{s}e(vec_id, cid, mx, sq)`` per subspace for
-    the final join."""
+def _pq_parts(
+    m: int, k: int, iters: int, d: int, vec_cte: str = "emb", tag: str = ""
+) -> list[str]:
+    """Per-subspace PQ CTE chains reading ``{vec_cte}(vec_id, v)`` —
+    the shared generator behind :func:`_pq_sql` (raw vectors) and the
+    IVF-PQ oracle (residual vectors, ``tag``-namespaced)."""
     dsub = d // m
-    parts = ["emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    parts = []
     for s in range(m):
         off = s * dsub
         parts.append(
-            f"e{s} AS (SELECT vec_id, v[{off + 1}:{off + dsub}] AS sv FROM emb)"
+            f"{tag}e{s} AS (SELECT vec_id, v[{off + 1}:{off + dsub}] AS sv FROM {vec_cte})"
         )
         dist = (
             f"round(list_sum(list_transform(range(1, {dsub + 1}), i -> "
@@ -6630,32 +6628,46 @@ def _pq_sql(m: int = 8, k: int = 16, iters: int = 2, d: int = KMEANS_D) -> str:
               SELECT vec_id, sv, cid, d FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
                 FROM (SELECT e.vec_id, e.sv, s.cid, {dist_expr} AS d
-                      FROM e{sub} e CROSS JOIN {cents} s))
+                      FROM {tag}e{sub} e CROSS JOIN {cents} s))
               WHERE rk = 1)"""
 
-        parts.append(f"""s{s}c0 AS (
+        parts.append(f"""{tag}s{s}c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
                  list_transform(sv, x -> round(x, 6)) AS c
-          FROM (SELECT vec_id, sv FROM e{s} ORDER BY vec_id LIMIT {k}))""")
+          FROM (SELECT vec_id, sv FROM {tag}e{s} ORDER BY vec_id LIMIT {k}))""")
         for it in range(1, iters + 1):
-            parts.append(assign(f"s{s}a{it}", f"s{s}c{it - 1}"))
-            parts.append(f"""s{s}m{it} AS (
+            parts.append(assign(f"{tag}s{s}a{it}", f"{tag}s{s}c{it - 1}"))
+            parts.append(f"""{tag}s{s}m{it} AS (
               SELECT cid, list(mv ORDER BY dim) AS c
               FROM (SELECT a.cid, t.i AS dim, round(avg(a.sv[t.i]), 6) AS mv
-                    FROM s{s}a{it} a CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS i) t
+                    FROM {tag}s{s}a{it} a CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS i) t
                     GROUP BY a.cid, t.i)
               GROUP BY cid)""")
-            parts.append(f"""s{s}c{it} AS (
+            parts.append(f"""{tag}s{s}c{it} AS (
               SELECT p.cid, COALESCE(m.c, p.c) AS c
-              FROM s{s}c{it - 1} p LEFT JOIN s{s}m{it} m ON p.cid = m.cid)""")
-        parts.append(assign(f"s{s}af", f"s{s}c{iters}"))
-        parts.append(f"""s{s}e AS (
+              FROM {tag}s{s}c{it - 1} p LEFT JOIN {tag}s{s}m{it} m ON p.cid = m.cid)""")
+        parts.append(assign(f"{tag}s{s}af", f"{tag}s{s}c{iters}"))
+        parts.append(f"""{tag}s{s}e AS (
           SELECT a.vec_id, a.cid,
                  list_max(list_transform(range(1, {dsub + 1}),
                    i -> abs(a.sv[i] - c.c[i]))) AS mx,
                  list_sum(list_transform(range(1, {dsub + 1}),
                    i -> abs(a.sv[i] - c.c[i]) * abs(a.sv[i] - c.c[i]))) AS sq
-          FROM s{s}af a JOIN s{s}c{iters} c ON a.cid = c.cid)""")
+          FROM {tag}s{s}af a JOIN {tag}s{s}c{iters} c ON a.cid = c.cid)""")
+    return parts
+
+
+def _pq_sql(m: int = 8, k: int = 16, iters: int = 2, d: int = KMEANS_D) -> str:
+    """DuckDB CTE chain unrolling PRODUCT-QUANTIZATION fit + encode:
+    per subspace, the exact ``_kmeans_assign_sql`` recurrence (lowest-id
+    seeds rounded 6dp, rounded-distance argmin with cid tiebreak, 6dp
+    mean updates, empty clusters carried) applied to the vector SLICE,
+    then per-subspace reconstruction error terms against the final
+    codebook.  Exposes ``s{s}e(vec_id, cid, mx, sq)`` per subspace for
+    the final join."""
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    ] + _pq_parts(m, k, iters, d)
     return "WITH " + ",\n".join(parts)
 
 
@@ -9596,6 +9608,150 @@ def q_similarity_pq_adc(e: DataFrame) -> DataFrame:
     books = pq_fit(e, m=8, k=16, iters=2)
     qs = e.filter(F.col("vec_id") < 5)
     top = pq_adc_top_k(e, qs, books, k=5)
+    q = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"),
+                F.col("__cv"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    exact = top_k_per_group(
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__l2", l2)
+        .select("query_id", "neighbor_id", "__l2"),
+        ["query_id"],
+        [F.col("__l2").asc(), F.col("neighbor_id").asc()],
+        5,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        top.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_returned"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double") / 5, 3
+            ).alias("recall_at_5"),
+            (
+                F.floor(
+                    (F.sum(F.round(F.col("adc") * 1e6).cast("long")) + 5000)
+                    / 10000.0
+                )
+                / 100.0
+            ).alias("adc_sum"),
+        )
+    )
+
+
+_IVFPQ_DSUBS = ",\n".join(
+    f"""d{s} AS (
+      SELECT q.qid, h.vec_id AS nid,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (q.rv[i + {s * 8}] - c.c[i]) * (q.rv[i + {s * 8}] - c.c[i]))), 6) AS t
+      FROM qres q
+      JOIN afinal h ON h.cid = q.cid AND h.vec_id != q.qid
+      JOIN rs{s}af a ON a.vec_id = h.vec_id
+      JOIN rs{s}c2 c ON c.cid = a.cid)"""
+    for s in range(8)
+)
+
+
+def _materialize_ctes(sql: str, names) -> str:
+    """Tag the listed CTEs ``AS MATERIALIZED`` — DuckDB inlines CTEs by
+    default, and the IVF-PQ oracle references its unrolled kmeans
+    chains ~10x each (re-inlining measured 356 s -> 0.7 s at sf0.001
+    with identical values)."""
+    for n in names:
+        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (")
+    return sql
+
+
+_IVFPQ_MAT = ["afinal", "a1", "a2", "a3", "remb", "qres", "probe"] + [
+    f"rs{s}{x}" for s in range(8) for x in ("af", "c2")
+]
+
+
+@defq(
+    "similarity_ivfpq_probed",
+    oracle=_materialize_ctes(_kmeans_assign_sql()
+    + f"""
+    , remb AS (
+      SELECT a.vec_id, list_transform(range(1, {KMEANS_D + 1}),
+               i -> a.v[i] - c.c[i]) AS v
+      FROM afinal a JOIN c{KMEANS_ITERS} c ON a.cid = c.cid),
+    {",".join(_pq_parts(8, 16, 2, KMEANS_D, vec_cte="remb", tag="r"))},
+    probe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_PDIST}, s.cid) AS rk
+        FROM (SELECT * FROM emb WHERE vec_id < 5) e
+        CROSS JOIN c{KMEANS_ITERS} s)
+      WHERE rk <= {IVF_N_PROBE}),
+    qres AS (
+      SELECT p.qid, p.cid,
+             list_transform(range(1, {KMEANS_D + 1}), i -> e.v[i] - c.c[i]) AS rv
+      FROM probe p
+      JOIN emb e ON e.vec_id = p.qid
+      JOIN c{KMEANS_ITERS} c ON c.cid = p.cid),
+    {_IVFPQ_DSUBS},
+    adc AS (
+      SELECT d0.qid, d0.nid, round({_ADC_TERMS}, 6) AS adc
+      FROM d0 {_ADC_JOINS}),
+    top AS (
+      SELECT qid, nid, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        FROM adc)
+      WHERE rk <= 5),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                   i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6), c.vec_id) AS rk
+        FROM (SELECT vec_id, v FROM emb WHERE vec_id < 5) q
+        JOIN emb c ON c.vec_id != q.vec_id)
+      WHERE rk <= 5)
+    SELECT t.qid AS query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           ROUND(CAST(SUM(CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 5, 3) AS recall_at_5,
+           FLOOR((SUM(CAST(round(t.adc * 1e6) AS BIGINT)) + 5000) / 10000.0) / 100.0
+             AS adc_sum
+    FROM top t LEFT JOIN exact e ON e.qid = t.qid AND e.nid = t.nid
+    GROUP BY t.qid
+    """, _IVFPQ_MAT),
+    e="table.embeddings",
+)
+def q_similarity_ivfpq_probed(e: DataFrame) -> DataFrame:
+    """IVF-PQ probed ANN with recall measured IN THE OUTPUT (§2b-K —
+    the production composition the FAISS default implements, and the
+    capstone of this round's quantization trilogy: IVF prunes WHICH
+    vectors are scored to n_probe=3 of 8 inverted lists, PQ prunes WHAT
+    is read per scored vector to 8 residual codes, ADC scores against
+    decoded residual centroids, ``llm/embeddings.ivfpq_probed_top_k``).
+    Residual encoding is why IVF and PQ compose: vectors encode
+    ``x - coarse_centroid(x)``, which concentrates near zero where one
+    shared codebook spends its centroids best.  Every stage — coarse
+    Lloyd fit, residual PQ fits, probe ranks, ADC — is the
+    deterministic 6dp-lattice recurrence, so the DOUBLY-approximate
+    result is still value-hash-gated, with recall vs the true
+    squared-L2 top-5 riding in each row."""
+    from .llm.embeddings import ivfpq_fit, ivfpq_probed_top_k
+    from .operators.windows import top_k_per_group
+
+    coarse, books = ivfpq_fit(
+        e, coarse_k=KMEANS_K, m=8, k=16, coarse_iters=KMEANS_ITERS, pq_iters=2
+    )
+    qs = e.filter(F.col("vec_id") < 5)
+    top = ivfpq_probed_top_k(e, qs, coarse, books, k=5, n_probe=IVF_N_PROBE)
     q = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
     l2 = F.round(

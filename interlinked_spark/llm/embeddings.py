@@ -688,3 +688,134 @@ def pq_adc_top_k(
     return top_k_per_group(
         scored, ["query_id"], [F.col("adc").asc(), F.col("neighbor_id").asc()], k
     )
+
+
+def ivfpq_probed_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (Jégou et al. 2011, the
+    FAISS default): a coarse quantizer prunes WHICH vectors are scored
+    (only the ``n_probe`` probed inverted lists), product quantization
+    prunes WHAT is read per scored vector (m codes, not d floats), and
+    the distance is ADC against the RESIDUAL codebooks (vectors encode
+    ``x - coarse_centroid(x)`` — residuals concentrate near 0, where a
+    shared codebook spends its centroids best).
+
+    Scale shape: coarse assignment and PQ encoding are row-local
+    against broadcast literals; the only join is the probed
+    (query, list) side — bounded by ``|queries| * n_probe`` — against
+    the list-partitioned codes, then a per-query top-k window.  All
+    distance terms 6dp-round and sum in subspace order (the
+    engine-portable approximate-ranking convention).  Returns
+    ``(query_id, neighbor_id, adc)``."""
+    from ..operators.windows import top_k_per_group
+
+    if not codebooks:
+        raise ValueError("ivfpq_probed_top_k needs codebooks")
+    dsub = len(codebooks[0][0][1])
+    # corpus side: home list + residual codes, all row-local
+    home_cid, _ = _assign_cols(vec_col, coarse_centroids)
+    coarse = F.element_at(
+        _centroid_literal(coarse_centroids), home_cid + 1
+    )["c"]
+    resid = F.zip_with(F.col(vec_col), coarse, lambda x, c: x.cast("double") - c)
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(resid, s * dsub + 1, dsub)
+        cid, _ = _assign_cols(sub, book)
+        code_cols.append(cid.alias(f"__c{s}"))
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), home_cid.alias("__list"), *code_cols
+    )
+    # query side: n_probe nearest coarse lists, row-local sort
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored_lists = F.transform(
+        _centroid_literal(coarse_centroids),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    n_probe = min(n_probe, len(coarse_centroids))
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scored_lists), 1, n_probe), lambda p: p["cid"]
+            )
+        ).alias("__list"),
+    )
+    joined = coded.join(F.broadcast(probed), "__list").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # ADC against the residual codebooks: query residual vs decoded code
+    qresid = F.zip_with(
+        F.col("__qv"),
+        F.element_at(_centroid_literal(coarse_centroids), F.col("__list") + 1)["c"],
+        lambda x, c: x.cast("double") - c,
+    )
+    terms = []
+    for s, book in enumerate(codebooks):
+        qsub = F.slice(qresid, s * dsub + 1, dsub)
+        decoded = F.element_at(_centroid_literal(book), F.col(f"__c{s}") + 1)["c"]
+        terms.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(qsub, decoded, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+        )
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    scored = joined.withColumn("adc", F.round(adc, 6)).select(
+        "query_id", "neighbor_id", "adc"
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("adc").asc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    coarse_k: int = 8,
+    m: int = 8,
+    k: int = 16,
+    coarse_iters: int = 3,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Fit the IVF-PQ pair: the coarse Lloyd quantizer on raw vectors,
+    then PQ codebooks on the RESIDUALS ``x - coarse_centroid(x)`` —
+    residuals concentrate near zero, where one shared codebook spends
+    its centroids best (the reason FAISS encodes residuals, not raw
+    vectors).  Returns ``(coarse_centroids, codebooks)``."""
+    coarse = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=coarse_k, iters=coarse_iters)
+    home_cid, _ = _assign_cols(vec_col, coarse)
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(_centroid_literal(coarse), home_cid + 1)["c"],
+        lambda x, c: x.cast("double") - c,
+    )
+    resid_df = df.select(F.col(id_col), resid.alias("__res"))
+    books = pq_fit(resid_df, m=m, k=k, iters=pq_iters, vec_col="__res", id_col=id_col)
+    return coarse, books

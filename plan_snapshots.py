@@ -173,6 +173,7 @@ EXTENDED = [
     "orders_price_ks",
     "embedding_pq_codes",
     "similarity_pq_adc",
+    "similarity_ivfpq_probed",
 ]
 
 

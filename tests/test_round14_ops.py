@@ -353,3 +353,21 @@ def test_pq_adc_exact_when_codebook_is_lossless(spark):
     # 1-d-increasing corpus: nearest neighbors of 0 are 1,2,3; of 1 are 0,2 then 3
     assert got[0] == [1, 2, 3]
     assert got[1] == [0, 2, 3] or got[1] == [2, 0, 3]
+
+
+def test_ivfpq_probe_all_lossless_codebook_matches_exact(spark):
+    """IVF-PQ sanity: probing ALL lists with a lossless residual
+    codebook (m=1, k=n — every residual is its own centroid) makes ADC
+    equal true squared L2 up to lattice rounding, so the top-k matches
+    the exact neighbor ordering."""
+    import pyspark.sql.functions as F
+
+    from interlinked_spark.llm.embeddings import ivfpq_fit, ivfpq_probed_top_k
+
+    rows = [(i, [round(0.3 * i + 0.05 * j, 6) for j in range(4)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    coarse, books = ivfpq_fit(df, coarse_k=2, m=1, k=6, coarse_iters=2, pq_iters=2)
+    qs = df.filter(F.col("vec_id") == 0)
+    top = ivfpq_probed_top_k(df, qs, coarse, books, k=3, n_probe=2)
+    got = [r.neighbor_id for r in sorted(top.collect(), key=lambda r: (r.adc, r.neighbor_id))]
+    assert got == [1, 2, 3]

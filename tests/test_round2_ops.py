@@ -443,6 +443,9 @@ def test_whole_catalog_plan_audit(spark):
         # ADC scoring broadcasts the bounded 5-query side (the
         # cosine_top_k rider contract) + the exact-recall L2 reference
         "similarity_pq_adc",
+        # same exact-recall L2 reference rider (the ADC side itself is
+        # an equi-join on the probed list id)
+        "similarity_ivfpq_probed",
     }
     # UDTF eval is row-based by API design — that IS the tier being demoed.
     allowed_row_udf = {"brand_reversed_udf", "doc_tokens_udtf"}
