@@ -6676,7 +6676,7 @@ def _pq_sql(m: int = 8, k: int = 16, iters: int = 2, d: int = KMEANS_D) -> str:
     oracle=_pq_sql()
     + f"""
     SELECT s0e.vec_id,
-           [{", ".join(f"s{s}e.cid" for s in range(8))}] AS codes,
+           concat_ws('-', {", ".join(f"s{s}e.cid" for s in range(8))}) AS codes,
            ROUND(greatest({", ".join(f"s{s}e.mx" for s in range(8))}), 6) AS max_abs_err,
            ROUND(({" + ".join(f"s{s}e.sq" for s in range(8))}) / {KMEANS_D}, 6) AS mse
     FROM s0e {" ".join(f"JOIN s{s}e ON s{s}e.vec_id = s0e.vec_id" for s in range(1, 8))}
@@ -6699,8 +6699,16 @@ def q_embedding_pq_codes(e: DataFrame) -> DataFrame:
     from .llm.embeddings import pq_encode, pq_fit
 
     books = pq_fit(e, m=8, k=16, iters=2)
+    # Codes emit as a '-'-joined STRING, not array<int>: the driver's
+    # pandas canonicalizer cannot sort collection columns (r14 red row),
+    # per the catalog-wide nation_segments convention.
     return pq_encode(e, books).select(
-        F.col("id").alias("vec_id"), "codes", "max_abs_err", "mse"
+        F.col("id").alias("vec_id"),
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), "-"
+        ).alias("codes"),
+        "max_abs_err",
+        "mse",
     )
 
 

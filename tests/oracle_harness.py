@@ -32,8 +32,18 @@ def _canon(value):
         if math.isnan(value):
             return "nan"
         return f"{round(value, 6):.6f}"
-    if isinstance(value, (list, tuple)):
-        return "[" + ",".join(_canon(v) for v in value) + "]"
+    if isinstance(value, (list, tuple, dict, set)):
+        # The driver's pandas canonicalizer cannot sort collection-typed
+        # columns (`TypeError: unhashable type: 'list'`, CORRECTNESS_r14
+        # `embedding_pq_codes`).  Silently stringifying here let the local
+        # suite stay green while the driver was red — fail loudly instead,
+        # the same way the driver does.  Catalog queries must stringify
+        # collections themselves (string_agg / array_join / concat_ws).
+        raise TypeError(
+            "collection-typed result value reached the correctness gate; "
+            "the driver's canonicalizer cannot sort it — stringify the "
+            f"column in the query and its oracle (got {type(value).__name__})"
+        )
     if hasattr(value, "isoformat"):
         return value.isoformat()
     return str(value)

@@ -64,3 +64,50 @@ def test_uncast_sum_fixture_fails_locally(spark):
         assert good_report["ok"], good_report
     finally:
         con.close()
+
+
+def test_canon_rejects_collection_values():
+    """The driver's pandas canonicalizer dies on collection columns
+    (`TypeError: unhashable type: 'list'`, CORRECTNESS_r14
+    `embedding_pq_codes`).  The local `_canon` used to stringify them —
+    suite green, driver red.  Pin the fail-loud alignment."""
+    import pytest
+
+    from .oracle_harness import _canon
+
+    assert _canon("a-b") == "a-b"
+    for bad in ([1, 2], (1, 2), {"k": 1}, {1, 2}):
+        with pytest.raises(TypeError, match="collection-typed"):
+            _canon(bad)
+
+
+def test_no_collection_columns_in_any_oracle():
+    """No-Spark tripwire (VERDICT r14 item 1): DESCRIBE every catalog
+    oracle on DuckDB views and fail on any top-level LIST/STRUCT/MAP
+    column.  The oracle schema IS the declared output (compare() gates
+    type-family equality), so this catches an array-typed query column
+    in milliseconds, before the driver's canonicalizer ever sees it."""
+    from interlinked_spark import catalog
+
+    con = duck_connection(SF_ORACLE)
+    try:
+        offenders = {}
+        for name in catalog.query_names():
+            sql = catalog.ORACLES.get(name)
+            if not sql:
+                continue
+            cols = con.sql(f"DESCRIBE {sql}").fetchall()
+            bad = [
+                (c[0], c[1])
+                for c in cols
+                if "[]" in str(c[1])
+                or str(c[1]).upper().startswith(("STRUCT", "MAP", "LIST", "UNION"))
+            ]
+            if bad:
+                offenders[name] = bad
+        assert not offenders, (
+            "collection-typed top-level columns reached the oracle surface "
+            f"(the driver canonicalizer cannot sort them): {offenders}"
+        )
+    finally:
+        con.close()
