@@ -2365,7 +2365,15 @@ def q_embedding_near_dups(e: DataFrame) -> DataFrame:
     recall at 12 hash tables for cos >= 0.3 is measured 100% on the
     test corpora at sf0.001 and sf0.01 (seeded random projections ->
     deterministic across runs).  The oracle is the full exact
-    all-pairs cosine SQL."""
+    all-pairs cosine SQL.
+
+    **Kept as the measured-quadratic CONTRAST row, not the scale
+    path**: LSH candidate mass grows ~n^1.9 here (SCALING.md runtime
+    exponent 1.93, control 1.86) because random-hyperplane buckets
+    coarsen with corpus size.  The 100-TB default for the same result
+    set is ``embedding_near_dups_ivf`` (probed inverted lists,
+    measured control exponent 0.74); this row stays registered so the
+    quadratic-vs-probed trade remains a measured curve in SCALING.md."""
     from .llm.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(e, cosine_threshold=0.3, num_hash_tables=12)

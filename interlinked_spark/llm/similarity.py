@@ -505,7 +505,17 @@ def embedding_near_dup_pairs(
     LSH recall — the boundary is never decided by the noisier
     normalized-euclidean distance.  With ``num_hash_tables`` sized for
     the threshold, recall is measured 100% on the test corpora
-    (see catalog ``embedding_near_dups``, oracle-checked)."""
+    (see catalog ``embedding_near_dups``, oracle-checked).
+
+    **Scale warning — this is the measured-quadratic contrast, not the
+    100-TB path.**  Random-hyperplane LSH buckets coarsen as the corpus
+    grows, so the candidate mass scales ~n^1.9 (SCALING.md: runtime
+    exponent 1.93, zero-output control 1.86).  The 100-TB default is
+    :func:`ivf_near_dup_pairs_assigned` (catalog
+    ``embedding_near_dups_ivf``), whose probed-list candidate mass is
+    ``n * n_probe * list_size`` — measured control exponent 0.74 on the
+    same corpus.  Keep this LSH form for small corpora or when the
+    quantizer fit is unavailable."""
     import math
 
     # cos >= t  <=>  dist on unit vectors <= sqrt(2 - 2t); 2% margin so
