@@ -9818,7 +9818,10 @@ def q_similarity_ivfpq_probed(e: DataFrame) -> DataFrame:
              ROUND(o_totalprice, 6) AS v,
              SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
              SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS cb
-      FROM orders GROUP BY 1, 2
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL  -- NULL sides ABSTAIN (ADVICE r14:
+        -- the operator filters them; non-null in TPC-H, so values hold)
+      GROUP BY 1, 2
     ), st AS (
       SELECT order_year, v,
              SUM(ca) OVER (PARTITION BY order_year ORDER BY v) AS cuma,

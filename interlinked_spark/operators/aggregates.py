@@ -583,13 +583,21 @@ def ks_two_sample(
     smallest value attaining the sup — the location of maximal drift,
     and the tiebreak that keeps an argmax hash-gateable.  Returns
     ``(keys..., n_a, n_b, d_stat, d_at)``; groups missing a whole
-    cohort return NULL ``d_stat``."""
+    cohort return NULL ``d_stat``.
+
+    NULL policy (ADVICE r14): rows whose ``side_col`` evaluates NULL
+    ABSTAIN — they join neither cohort.  The old ``~side`` encoding
+    silently dropped them too (``F.when`` yields 0 for NULL on both
+    arms) while the documented SQL twin's ``CASE ... ELSE 0`` counted
+    them in cohort B; the filter makes the one policy explicit on both
+    sides (the catalog oracle carries the matching ``IS NOT NULL``)."""
     from pyspark.sql import Window
 
     keys = list(keys or [])
     side = F.col(side_col) if isinstance(side_col, str) else side_col
     cells = (
         df.select(*keys, side.alias("__s"), F.col(value_col).alias("__v"))
+        .filter(F.col("__s").isNotNull())
         .groupBy(*keys, "__v")
         .agg(
             F.sum(F.when(F.col("__s"), 1).otherwise(0)).alias("__ca"),
