@@ -6417,13 +6417,22 @@ KMEANS_ITERS = 3
 KMEANS_D = 64
 
 
-def _kmeans_assign_sql(iters: int = KMEANS_ITERS, k: int = KMEANS_K, d: int = KMEANS_D) -> str:
+def _kmeans_assign_sql(
+    iters: int = KMEANS_ITERS,
+    k: int = KMEANS_K,
+    d: int = KMEANS_D,
+    src: str = "embeddings",
+) -> str:
     """DuckDB CTE chain deriving the FINAL k-means assignment
     (``afinal(vec_id, v, cid, d)``) by unrolling the exact recurrence
     ``llm/embeddings.kmeans_fit`` runs: lowest-id seeds rounded to 6dp,
     squared-distance argmin with (rounded-distance, cid) tiebreak, 6dp
     per-coordinate mean updates, empty clusters carrying forward.  The
-    SINGLE source of truth shared by the kmeans and semdedup oracles."""
+    SINGLE source of truth shared by the kmeans and semdedup oracles.
+
+    ``src``: the relation the fit reads (default the full embeddings
+    table) — the materialized-index oracles fit on a BASE subset and
+    encode everything, so they pass a filtered subquery here."""
     dist = (
         f"round(list_sum(list_transform(range(1, {d + 1}), i -> "
         "(e.v[i]-s.c[i])*(e.v[i]-s.c[i]))), 6)"
@@ -6438,7 +6447,7 @@ def _kmeans_assign_sql(iters: int = KMEANS_ITERS, k: int = KMEANS_K, d: int = KM
           WHERE rk = 1)"""
 
     parts = [
-        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {src})",
         f"""c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
                  list_transform(v, x -> round(x, 6)) AS c
@@ -9683,14 +9692,26 @@ def _materialize_ctes(sql: str, names) -> str:
     """Tag the listed CTEs ``AS MATERIALIZED`` — DuckDB inlines CTEs by
     default, and the IVF-PQ oracle references its unrolled kmeans
     chains ~10x each (re-inlining measured 356 s -> 0.7 s at sf0.001
-    with identical values)."""
+    with identical values).  Whole-name anchored (ADVICE r14): a plain
+    substring replace of ``"a1 AS ("`` also rewrote ``rs0a1 AS (`` —
+    harmless extra tags then, silent rewrites for any future CTE whose
+    name merely ENDS with a listed name."""
+    import re as _re
+
     for n in names:
-        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (")
+        sql = _re.sub(
+            rf"(?<![0-9A-Za-z_]){_re.escape(n)} AS \(",
+            f"{n} AS MATERIALIZED (",
+            sql,
+        )
     return sql
 
 
 _IVFPQ_MAT = ["afinal", "a1", "a2", "a3", "remb", "qres", "probe"] + [
-    f"rs{s}{x}" for s in range(8) for x in ("af", "c2")
+    # rs{s}a1/a2 were materialized by the old substring match (via the
+    # kmeans names a1/a2) and the measured 0.7s oracle time includes
+    # them — keep the set identical under the anchored matcher.
+    f"rs{s}{x}" for s in range(8) for x in ("af", "c2", "a1", "a2")
 ]
 
 
@@ -9808,6 +9829,250 @@ def q_similarity_ivfpq_probed(e: DataFrame) -> DataFrame:
             ).alias("adc_sum"),
         )
     )
+
+
+# --- materialized IVF-PQ index (round 15): fit on the base subset,
+# --- encode EVERYTHING against the frozen codebooks, search/gate
+# --- against the stored codes (`llm/pq_index`).
+
+# Per-subspace encode of ALL residuals against the frozen (base-fit)
+# codebooks rs{s}c2 — the SQL twin of `pq_index.ivfpq_index_codes`.
+_IVFPQ_IDX_ENC = ",\n".join(
+    f"""enc{s} AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM (SELECT e.vec_id, s.cid,
+                     round(list_sum(list_transform(range(1, 9),
+                       i -> (e.sv[i]-s.c[i])*(e.sv[i]-s.c[i]))), 6) AS d
+              FROM (SELECT vec_id, v[{s * 8 + 1}:{s * 8 + 8}] AS sv FROM rall) e
+              CROSS JOIN rs{s}c2 s))
+      WHERE rk = 1)"""
+    for s in range(8)
+)
+
+
+def _ivfpq_index_base_sql() -> str:
+    """Shared oracle prefix for the materialized-index queries: the
+    coarse Lloyd fit UNROLLED ON THE BASE SUBSET ONLY (vec_id % 5 != 0
+    — the fit sample), then home lists + residuals + frozen-codebook
+    codes for EVERY vector (base at build, held-out at append — same
+    arithmetic, so one encode pass expresses both)."""
+    fit = _kmeans_assign_sql(
+        src="(SELECT * FROM embeddings WHERE vec_id % 5 != 0)"
+    )
+    return (
+        fit
+        + f"""
+    , allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    hall AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM (SELECT e.vec_id, e.v, s.cid, {_PDIST} AS d
+              FROM allv e CROSS JOIN c{KMEANS_ITERS} s))
+      WHERE rk = 1),
+    rall AS (
+      SELECT h.vec_id, list_transform(range(1, {KMEANS_D + 1}),
+               i -> h.v[i] - c.c[i]) AS v
+      FROM hall h JOIN c{KMEANS_ITERS} c ON h.cid = c.cid),
+    rbase AS (SELECT * FROM rall WHERE vec_id % 5 != 0),
+    {",".join(_pq_parts(8, 16, 2, KMEANS_D, vec_cte="rbase", tag="r"))},
+    {_IVFPQ_IDX_ENC}"""
+    )
+
+
+_IVFPQ_IDX_DSUBS = ",\n".join(
+    f"""d{s} AS (
+      SELECT q.qid, h.vec_id AS nid,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (q.rv[i + {s * 8}] - c.c[i]) * (q.rv[i + {s * 8}] - c.c[i]))), 6) AS t
+      FROM qres q
+      JOIN hall h ON h.cid = q.cid AND h.vec_id != q.qid
+      JOIN enc{s} a ON a.vec_id = h.vec_id
+      JOIN rs{s}c2 c ON c.cid = a.cid)"""
+    for s in range(8)
+)
+
+_IVFPQ_IDX_MAT = ["a1", "a2", "a3", "hall", "rall", "rbase", "qres", "probe"] + [
+    f"rs{s}{x}" for s in range(8) for x in ("c2", "a1", "a2")
+] + [f"enc{s}" for s in range(8)]
+
+
+@defq(
+    "similarity_ivfpq_indexed",
+    oracle=_materialize_ctes(
+        _ivfpq_index_base_sql()
+        + f"""
+    , probe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_PDIST}, s.cid) AS rk
+        FROM (SELECT * FROM allv WHERE vec_id < 5) e
+        CROSS JOIN c{KMEANS_ITERS} s)
+      WHERE rk <= {IVF_N_PROBE}),
+    qres AS (
+      SELECT p.qid, p.cid,
+             list_transform(range(1, {KMEANS_D + 1}), i -> e.v[i] - c.c[i]) AS rv
+      FROM probe p
+      JOIN allv e ON e.vec_id = p.qid
+      JOIN c{KMEANS_ITERS} c ON c.cid = p.cid),
+    {_IVFPQ_IDX_DSUBS},
+    adc AS (
+      SELECT d0.qid, d0.nid, round({_ADC_TERMS}, 6) AS adc
+      FROM d0 {_ADC_JOINS}),
+    top AS (
+      SELECT qid, nid, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        FROM adc)
+      WHERE rk <= 5)
+    SELECT qid AS query_id,
+           string_agg(CAST(nid AS VARCHAR), '-' ORDER BY adc, nid) AS neighbors,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           FLOOR((SUM(CAST(round(adc * 1e6) AS BIGINT)) + 5000) / 10000.0) / 100.0
+             AS adc_sum
+    FROM top
+    GROUP BY qid
+    """,
+        _IVFPQ_IDX_MAT,
+    ),
+    idx="ivfpq_index",
+    e="table.embeddings",
+)
+def q_similarity_ivfpq_indexed(
+    idx: str, e: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """ANN search routed through the MATERIALIZED IVF-PQ index (§2b-K
+    — the missing index lifecycle the r14 verdict named): codebooks
+    were fit ONCE on the base subset and persisted, the held-out fifth
+    was APPENDED against the frozen codebooks (no refit — FAISS's
+    train-then-add contract, `llm/pq_index.append_ivfpq_index`), and
+    the search reads the stored list-clustered codes — m=8 bytes per
+    candidate, raw vectors never touched
+    (`llm/pq_index.ivfpq_index_search`).  Neighbors ride as the
+    rank-ordered id string (catalog stringify convention) and the ADC
+    mass integer-scales past float knife-edges.  Oracle = the base-fit
+    recurrence + frozen-codebook encode of everything + probed ADC
+    top-5, so build, append, and search are all value-hash-gated."""
+    from .llm.pq_index import ivfpq_index_search
+
+    qs = e.filter(F.col("vec_id") < 5)
+    top = ivfpq_index_search(spark, idx, qs, k=5, n_probe=IVF_N_PROBE)
+    return top.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("adc"), F.col("neighbor_id")))
+                ),
+                lambda s: s["neighbor_id"].cast("string"),
+            ),
+            "-",
+        ).alias("neighbors"),
+        F.count("*").cast("bigint").alias("n_returned"),
+        (
+            F.floor(
+                (F.sum(F.round(F.col("adc") * 1e6).cast("long")) + 5000) / 10000.0
+            )
+            / 100.0
+        ).alias("adc_sum"),
+    )
+
+
+@WKF.depend(e="table.embeddings")
+@WKF.provide("ivfpq_index")
+def _ivfpq_index(e: DataFrame) -> str:
+    """Routed materialized IVF-PQ state: codebooks fit on the base
+    subset (vec_id % 5 != 0), base codes written at build, the held-out
+    fifth appended against the FROZEN codebooks — built once per run
+    and memoized, the quantized counterpart of ``vector_index``
+    (`llm/pq_index.build_ivfpq_index` / `append_ivfpq_index`)."""
+    import tempfile
+
+    from .llm.pq_index import append_ivfpq_index, build_ivfpq_index
+
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    build_ivfpq_index(
+        e.filter(F.col("vec_id") % 5 != 0), path,
+        coarse_k=KMEANS_K, m=8, k=16,
+        coarse_iters=KMEANS_ITERS, pq_iters=2, num_files=2,
+    )
+    append_ivfpq_index(e.filter(F.col("vec_id") % 5 == 0), path, num_files=1)
+    return path
+
+
+# The gate's rejection radius: squared-L2 ADC distance.  Sized against
+# the measured residual-ADC distribution of the synthetic embeddings so
+# the gate genuinely splits the stream (some rejected, most kept) at
+# every SF — see tests/test_round15_ops.py for the distribution probe.
+VEC_PQ_GATE_ADC_T = 1.0
+
+
+@defq(
+    "stream_vector_neardup_pq",
+    oracle=_materialize_ctes(
+        _ivfpq_index_base_sql()
+        + f"""
+    , probe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_PDIST}, s.cid) AS rk
+        FROM (SELECT * FROM allv WHERE vec_id % 5 = 0) e
+        CROSS JOIN c{KMEANS_ITERS} s)
+      WHERE rk <= {IVF_N_PROBE}),
+    qres AS (
+      SELECT p.qid, p.cid,
+             list_transform(range(1, {KMEANS_D + 1}), i -> e.v[i] - c.c[i]) AS rv
+      FROM probe p
+      JOIN allv e ON e.vec_id = p.qid
+      JOIN c{KMEANS_ITERS} c ON c.cid = p.cid),
+    {_IVFPQ_IDX_DSUBS},
+    adc AS (
+      SELECT d0.qid, d0.nid, round({_ADC_TERMS}, 6) AS adc
+      FROM d0 {_ADC_JOINS}),
+    rejected AS (
+      SELECT DISTINCT qid FROM adc
+      WHERE adc <= {VEC_PQ_GATE_ADC_T}
+        AND (nid % 5 != 0 OR nid < qid))
+    SELECT vec_id FROM embeddings
+    WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT qid FROM rejected)
+    """,
+        _IVFPQ_IDX_MAT,
+    ),
+    e="table.embeddings",
+)
+def q_stream_vector_neardup_pq(e: DataFrame, spark: SparkSession) -> DataFrame:
+    """Streaming vector near-dup gate whose cross-batch state is the
+    MATERIALIZED IVF-PQ index (§2b-J x §2b-K, r14 verdict item 3): the
+    index seeds from the warm base corpus (codebooks fit once), the
+    held-out fifth replays as 4 id-ordered micro-batches, each batch is
+    ADC-matched against the stored codes of everything seen inside its
+    probed lists — 8 bytes of state read per candidate, raw vectors
+    never re-read — plus within-batch pairs (smaller id wins), and the
+    index absorbs every batch's codes
+    (`streaming/ops.run_vector_neardup_pq_gate_into_parquet`).
+    First-seen-wins on id-ordered batches == the oracle's single
+    anti-join; both of the gate's approximations (coded corpus side,
+    probe restriction) are mirrored exactly in the oracle, so the
+    gate's semantics are what's value-hash-gated."""
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import (
+        run_vector_neardup_pq_gate_into_parquet,
+        stream_from_parquet,
+    )
+
+    staged = _stage_id_ordered_files(
+        e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding"),
+        "vec_id", 4,
+    )
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        accepted_path, _idx = run_vector_neardup_pq_gate_into_parquet(
+            stream, e.filter(F.col("vec_id") % 5 != 0),
+            adc_threshold=VEC_PQ_GATE_ADC_T, n_probe=IVF_N_PROBE,
+            coarse_k=KMEANS_K, m=8, k=16,
+            coarse_iters=KMEANS_ITERS, pq_iters=2,
+        )
+    return spark.read.parquet(accepted_path).select("vec_id")
 
 
 @defq(

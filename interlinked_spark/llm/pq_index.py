@@ -1,0 +1,378 @@
+"""Materialized IVF-PQ index lifecycle — build / append / search /
+range-match over a PERSISTED quantized corpus (§2b-K scale path).
+
+The quantization trilogy (``embeddings.pq_fit`` / ``pq_adc_top_k`` /
+``ivfpq_probed_top_k``) refits codebooks and re-encodes the corpus
+inside every query; at 100 TB the coded corpus + codebooks ARE the
+asset.  This module gives the IVF-PQ family the same persisted
+lifecycle the shingle index (``dedup.build_shingle_index``) and the LSH
+vector index (``similarity.build_vector_index``) already have:
+
+- ``{path}/coarse/``  — the coarse Lloyd centroids ``(cid, c)``
+- ``{path}/books/``   — per-subspace residual PQ codebooks
+  ``(s, cid, c)``
+- ``{path}/codes/``   — the coded corpus ``(id, list, c0..c{m-1})``,
+  hash-clustered on ``list`` so a probed search reads only its lists'
+  files — m small ints per vector (8 bytes at m=8) instead of d floats
+- ``{path}/meta/``    — one row pinning the geometry
+  ``(coarse_k, m, k, dsub, dim)`` so append/search can NEVER encode a
+  batch against different parameters than the stored corpus
+
+Append encodes new vectors against the FROZEN stored codebooks — no
+refit, the production contract (FAISS ``add`` after ``train``): the
+index stays commensurate, and the cost of absorbing a batch is one
+row-local encode + one partitioned parquet append.  Search reads the
+stored codes; the only join is the bounded probed ``(query, list)``
+side against the list-clustered codes.
+
+Determinism: the fit is ``embeddings.ivfpq_fit``'s 6dp-lattice Lloyd
+recurrence and the encode is the shared rounded-distance argmin, so an
+index built today equals one built tomorrow from the same corpus — the
+precondition for persisting derived state at all (same argument as
+``build_vector_index``'s seeded projections).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .embeddings import _assign_cols, _centroid_literal
+
+__all__ = [
+    "build_ivfpq_index",
+    "append_ivfpq_index",
+    "load_ivfpq_index",
+    "ivfpq_index_codes",
+    "ivfpq_index_search",
+    "ivfpq_index_matches",
+]
+
+
+def _encode_cols(
+    vec_col,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+) -> tuple[F.Column, list[F.Column]]:
+    """``(home_list, [code_0 .. code_{m-1}])`` for one vector column —
+    the row-local IVF-PQ encode: coarse argmin for the home list, then
+    per-subspace argmin of the RESIDUAL slice against that subspace's
+    codebook.  Centroids and codebooks ride as broadcast literals; the
+    encode is a narrow projection with no join and no shuffle (the
+    100-TB append is a map job)."""
+    dsub = len(books[0][0][1])
+    home_cid, _ = _assign_cols(vec_col, coarse)
+    coarse_c = F.element_at(_centroid_literal(coarse), home_cid + 1)["c"]
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    resid = F.zip_with(v, coarse_c, lambda x, c: x.cast("double") - c)
+    codes = []
+    for s, book in enumerate(books):
+        sub = F.slice(resid, s * dsub + 1, dsub)
+        cid, _ = _assign_cols(sub, book)
+        codes.append(cid)
+    return home_cid, codes
+
+
+def _books_rows(books: list[list[tuple[int, list[float]]]]):
+    return [
+        (int(s), int(cid), [float(x) for x in c])
+        for s, book in enumerate(books)
+        for cid, c in book
+    ]
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    coarse_k: int = 8,
+    m: int = 8,
+    k: int = 16,
+    coarse_iters: int = 3,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_files: int = 8,
+) -> None:
+    """Fit IVF-PQ on the corpus (``embeddings.ivfpq_fit`` — coarse
+    Lloyd on raw vectors, residual PQ per subspace) and persist
+    codebooks + the coded corpus.  Unlike the LSH index, a PQ index
+    cannot seed empty: the codebooks are DATA-DEPENDENT, so the build
+    corpus is the fit sample (the production shape — FAISS ``train``
+    on a warm sample, ``add`` everything after).  Raises on an empty
+    corpus instead of writing an index that could never encode."""
+    from ..sources.writers import write_single_file, write_table
+    from .embeddings import ivfpq_fit
+
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row or dim_row[0]["d"] is None:
+        raise ValueError(
+            "build_ivfpq_index: the build corpus is empty (or its first "
+            "vector is NULL) — PQ codebooks are data-dependent and cannot "
+            "seed from nothing; build from a warm fit sample and append "
+            "the rest (the FAISS train-then-add contract)."
+        )
+    dim = int(dim_row[0]["d"])
+    coarse, books = ivfpq_fit(
+        corpus, coarse_k=coarse_k, m=m, k=k,
+        coarse_iters=coarse_iters, pq_iters=pq_iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    write_single_file(
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in c]) for cid, c in coarse],
+            "cid int, c array<double>",
+        ),
+        f"{path}/coarse",
+    )
+    write_single_file(
+        spark.createDataFrame(_books_rows(books), "s int, cid int, c array<double>"),
+        f"{path}/books",
+    )
+    write_single_file(
+        spark.createDataFrame(
+            [(int(coarse_k), int(m), int(k), dim // m, dim)],
+            "coarse_k int, m int, k int, dsub int, dim int",
+        ),
+        f"{path}/meta",
+    )
+    write_table(
+        ivfpq_index_codes(corpus, coarse, books, id_col=id_col, vec_col=vec_col)
+        .repartition(num_files, F.col("list")),
+        f"{path}/codes",
+    )
+
+
+def ivfpq_index_codes(
+    df: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored-codes frame ``(id, list, c0..c{m-1})`` for a batch —
+    the row-local encode against FROZEN codebooks, exposed so callers
+    that already need the coded batch (the streaming gate's
+    within-batch compare) can encode once and hand the frame to
+    :func:`append_ivfpq_index`."""
+    home, codes = _encode_cols(vec_col, coarse, books)
+    return df.select(
+        F.col(id_col).alias("id"),
+        home.alias("list"),
+        *[c.alias(f"c{s}") for s, c in enumerate(codes)],
+    )
+
+
+def load_ivfpq_index(spark: SparkSession, path: str):
+    """``(coarse, books, meta)`` from the stored index — two bounded
+    collects (``coarse_k`` rows and ``m * k`` rows by construction,
+    the same driver-side footprint the in-query trilogy already
+    carries as literals)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    coarse = [
+        (int(r["cid"]), list(r["c"]))
+        for r in sorted(
+            spark.read.parquet(f"{path}/coarse").collect(), key=lambda r: r["cid"]
+        )
+    ]
+    brows = spark.read.parquet(f"{path}/books").collect()
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(int(meta.m))]
+    for r in sorted(brows, key=lambda r: (r["s"], r["cid"])):
+        books[int(r["s"])].append((int(r["cid"]), list(r["c"])))
+    return coarse, books, meta
+
+
+def _check_dim(meta, batch: DataFrame, vec_col: str, caller: str) -> None:
+    row = batch.select(F.size(vec_col).alias("d")).limit(1).collect()
+    batch_dim = int(row[0]["d"]) if row and row[0]["d"] else None
+    if batch_dim is not None and batch_dim != int(meta.dim):
+        raise ValueError(
+            f"{caller}: batch vectors have dim {batch_dim} but the index "
+            f"was built at dim {int(meta.dim)} — encoding against the "
+            "stored codebooks would silently produce garbage codes. "
+            "Rebuild the index or fix the upstream embedder."
+        )
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_files: int = 4,
+    codes: Optional[DataFrame] = None,
+) -> None:
+    """Encode a batch against the FROZEN stored codebooks and append
+    its codes — no refit, ever: refitting would re-key every stored
+    code (the whole index would need re-encoding), so the stored
+    codebooks are immutable after build, exactly FAISS's
+    train-then-add contract.  Append-only like the shingle/LSH
+    indexes; the caller owns acceptance policy.
+
+    ``codes``: a pre-encoded frame from :func:`ivfpq_index_codes` for
+    this exact batch — pass it to skip re-encoding when the batch was
+    already coded for matching (the streaming gate's shape).  It MUST
+    come from this index's stored codebooks; producing it any other
+    way re-introduces the parameter drift the meta exists to prevent."""
+    from ..sources.writers import write_table
+
+    spark = new_vectors.sparkSession
+    if codes is None:
+        coarse, books, meta = load_ivfpq_index(spark, path)
+        _check_dim(meta, new_vectors, vec_col, "append_ivfpq_index")
+        codes = ivfpq_index_codes(
+            new_vectors, coarse, books, id_col=id_col, vec_col=vec_col
+        )
+    write_table(
+        codes.repartition(num_files, F.col("list")),
+        f"{path}/codes",
+        mode="append",
+    )
+
+
+def _probed_queries(
+    queries: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(query_id, __qv, list)`` — each query exploded to its
+    ``n_probe`` nearest coarse lists (6dp-rounded distance, lowest-cid
+    ties), a row-local sort over the broadcast centroid literal — the
+    same probe ranking ``ivfpq_probed_top_k`` computes."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.transform(
+        _centroid_literal(coarse),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    n_probe = min(n_probe, len(coarse))
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(F.slice(F.array_sort(scored), 1, n_probe), lambda p: p["cid"])
+        ).alias("list"),
+    )
+
+
+def _adc_scored(
+    coded: DataFrame,
+    probed: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """``(query_id, neighbor_id, adc)`` — the probed join against a
+    stored-codes frame plus the ADC fold: residualize the query
+    against the probed list's centroid, per subspace take the exact
+    distance to the DECODED code centroid (6dp-rounded, summed in
+    subspace order — the engine-portable convention shared with
+    ``ivfpq_probed_top_k``).  The broadcast side is the bounded probed
+    query set; the codes side stays list-clustered parquet."""
+    dsub = len(books[0][0][1])
+    joined = coded.withColumnRenamed("id", "neighbor_id").join(
+        F.broadcast(probed), "list"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    qresid = F.zip_with(
+        F.col("__qv"),
+        F.element_at(_centroid_literal(coarse), F.col("list") + 1)["c"],
+        lambda x, c: x.cast("double") - c,
+    )
+    terms = []
+    for s, book in enumerate(books):
+        qsub = F.slice(qresid, s * dsub + 1, dsub)
+        decoded = F.element_at(_centroid_literal(book), F.col(f"c{s}") + 1)["c"]
+        terms.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(qsub, decoded, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+        )
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    return joined.withColumn("adc", F.round(adc, 6)).select(
+        "query_id", "neighbor_id", "adc"
+    )
+
+
+def ivfpq_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ANN routed through the STORED index: probe ``n_probe``
+    coarse lists per query, ADC-score only those lists' stored codes,
+    per-query top-k window.  The corpus read is m bytes/vector from
+    the list-clustered codes parquet — at 100 TB the scan prunes to
+    the probed lists' files and never touches raw vectors.  Returns
+    ``(query_id, neighbor_id, adc)``, the ``ivfpq_probed_top_k``
+    contract against persisted state."""
+    from ..operators.windows import top_k_per_group
+
+    coarse, books, meta = load_ivfpq_index(spark, path)
+    _check_dim(meta, queries, vec_col, "ivfpq_index_search")
+    coded = spark.read.parquet(f"{path}/codes")
+    probed = _probed_queries(queries, coarse, n_probe, id_col, vec_col)
+    scored = _adc_scored(coded, probed, coarse, books)
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("adc").asc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def ivfpq_index_matches(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    adc_threshold: float,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coded_extra: Optional[DataFrame] = None,
+    extra_id_lt: bool = False,
+) -> DataFrame:
+    """Range matches for a batch against the stored index:
+    ``(new_id, match_id, adc)`` for every stored vector within
+    ``adc_threshold`` of a batch vector, restricted to the batch
+    vector's ``n_probe`` probed lists — the streaming gate's decision
+    set (8 bytes of state read per candidate).
+
+    ``coded_extra``: an additional codes frame to match against (the
+    gate passes the batch's OWN codes for within-batch pairs); with
+    ``extra_id_lt`` the extra side only matches ``match_id < new_id``
+    (first-seen-wins inside one batch)."""
+    coarse, books, meta = load_ivfpq_index(spark, path)
+    _check_dim(meta, batch, vec_col, "ivfpq_index_matches")
+    probed = _probed_queries(batch, coarse, n_probe, id_col, vec_col)
+    coded = spark.read.parquet(f"{path}/codes")
+    scored = _adc_scored(coded, probed, coarse, books)
+    if coded_extra is not None:
+        extra = _adc_scored(coded_extra, probed, coarse, books)
+        if extra_id_lt:
+            extra = extra.filter(F.col("neighbor_id") < F.col("query_id"))
+        scored = scored.unionByName(extra)
+    return scored.filter(F.col("adc") <= F.lit(float(adc_threshold))).select(
+        F.col("query_id").alias("new_id"),
+        F.col("neighbor_id").alias("match_id"),
+        "adc",
+    )

