@@ -237,6 +237,26 @@ def main() -> None:
     timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
     iqr = {name: round(_iqr(xs), 3) for name, xs in samples.items()}
 
+    # Plan-compile wall time per headline query: build the DataFrame and
+    # force analysis->executedPlan WITHOUT running a job.  The MMR
+    # measurement proved compile can dominate (133 s at k=10 before
+    # checkpoint_every) and runtime medians never see it after the warm
+    # sweep — a compile regression (literal blowup, unchecked iterative
+    # plan growth) surfaces here like a runtime one does in `queries`.
+    # Secondary payload only, never the contract line.
+    # Streaming gates excluded: their run_query EXECUTES the stream
+    # (foreachBatch inside the query function), so a "compile" probe
+    # would re-price the harness restaging, not plan compilation —
+    # the same documented reason they are excluded from plan gating.
+    compile_secs: dict[str, float] = {}
+    for name in HEADLINE:
+        if name.startswith("stream_"):
+            continue
+        start = time.perf_counter()
+        df = catalog.run_query(name, spark, sf_dir)
+        df._jdf.queryExecution().executedPlan()
+        compile_secs[name] = round(time.perf_counter() - start, 3)
+
     # Secondary (non-headline) heavy queries: recorded in the full
     # BENCH_LOCAL.json payload only, never in the compact contract line
     # or "value" — they carry documented inherent costs (per-group
@@ -400,6 +420,12 @@ def main() -> None:
         "similarity_pq_adc",
         # iterative-ML demo (coarse + 8 residual Lloyd fits per run)
         "similarity_ivfpq_probed",
+        # round 15: index-lifecycle queries (each run REBUILDS the
+        # materialized IVF-PQ index — fit + 4 parquet writes — a
+        # harness artifact the production loop amortizes) and the PQ
+        # streaming gate (restages its source per run).
+        "similarity_ivfpq_indexed",
+        "stream_vector_neardup_pq",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:
@@ -425,6 +451,7 @@ def main() -> None:
         "queries": timings,
         "min": {name: round(min(xs), 3) for name, xs in samples.items()},
         "iqr": iqr,
+        "compile_secs": compile_secs,
         "secondary": secondary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -294,6 +294,28 @@ HEAVY = [
     ("corpus_dsir_select", None),
     ("part_golden_records", None),
     ("stream_span_dedup", None),
+    # round 15 (r14 verdict item 6): the quantization trilogy + the
+    # materialized-index path.  embedding_pq_codes is the fit+encode
+    # (2*pq_iters+1 jobs per subspace batch over n rows -> ~linear);
+    # similarity_pq_adc scores 5 full-precision queries against ALL n
+    # coded vectors (~linear in n, the ADC fold per candidate is
+    # constant); similarity_ivfpq_probed prunes the same scoring to
+    # n_probe=3 of coarse_k=8 lists (~linear with a ~3/8 constant —
+    # the catalog pins coarse_k for the oracle, so per-list size grows
+    # with n; the scaled-coarse_k posture is measured separately by
+    # embedding_near_dups_ivf_*).  similarity_ivfpq_indexed adds the
+    # build/append/persist lifecycle per run (3 parquet writes — a
+    # harness artifact the production loop amortizes, same caveat as
+    # similarity_incremental_indexed); stream_vector_neardup_pq is the
+    # gate end-to-end (staging + per-batch fixed cost dominate small k;
+    # its candidate mass is batch x n_probe x list_size with FIXED
+    # coarse_k=8 lists, so the honest expectation is superlinear here
+    # and the scaled-coarse_k contrast row is the fix at 100 TB).
+    ("embedding_pq_codes", None),
+    ("similarity_pq_adc", None),
+    ("similarity_ivfpq_probed", None),
+    ("similarity_ivfpq_indexed", None),
+    ("stream_vector_neardup_pq", None),
 ]
 
 
@@ -516,6 +538,80 @@ def decorrelated_embeddings(spark: SparkSession, n: int, d: int = 64):
     )
 
 
+def ivf_neardup_recall_sweep(
+    spark: SparkSession, dirs: dict[int, str], ks: list[int]
+) -> dict:
+    """Measured in-output recall for the IVF-routed near-dup pairs at
+    growing corpus size (r14 verdict item 7 — the SCALING.md:54 output-
+    exponent footnote promoted to a measured curve, the treatment
+    ``similarity_ivf_probed`` already has).
+
+    Exact reference on a SAMPLED probe set (~500 vectors, stride-
+    sampled so every copy contributes): brute-force exact-cosine pairs
+    probe x corpus at the 0.3 threshold — n_true is exact for those
+    probes, and the brute-force cost stays |probes| * n instead of the
+    n^2 a full reference would need at k=10.  The IVF side is the same
+    scaled-coarse_k runner the exponent rows measure
+    (``_ivf_near_dups_scaledk``); recall = found/true over pairs
+    touching a probe.  The IVF verify is the exact cosine, so every
+    found pair is true — recall is the ONLY quality axis."""
+    from interlinked_spark.llm.similarity import cosine_similarity
+
+    runner = _ivf_near_dups_scaledk(0.3)
+    out: dict[str, dict] = {}
+    for k in ks:
+        sf_dir = dirs[k]
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        stride = max(1, n // 500)
+        probes = emb.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+        )
+        exact = (
+            F.broadcast(probes)
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("oid"), F.col("embedding").alias("ov")
+                ),
+                F.col("pid") != F.col("oid"),
+            )
+            .withColumn(
+                "cos", F.round(cosine_similarity(F.col("pv"), F.col("ov")), 6)
+            )
+            .filter(F.col("cos") >= 0.3)
+            .select(
+                F.least("pid", "oid").alias("a"), F.greatest("pid", "oid").alias("b")
+            )
+            .distinct()
+        )
+        n_true = exact.count()
+        ivf = runner(spark, sf_dir).filter(
+            (F.col("left_id") % stride == 0) | (F.col("right_id") % stride == 0)
+        )
+        n_found = (
+            ivf.select(
+                F.least("left_id", "right_id").alias("a"),
+                F.greatest("left_id", "right_id").alias("b"),
+            )
+            .distinct()
+            .join(exact, ["a", "b"], "left_semi")
+            .count()
+        )
+        out[str(k)] = {
+            "n_vectors": n,
+            "n_probes": n // stride if stride > 1 else n,
+            "n_true_pairs": n_true,
+            "n_found_pairs": n_found,
+            "recall": round(n_found / n_true, 4) if n_true else None,
+        }
+        print(
+            json.dumps({"ivf_neardup_recall": {str(k): out[str(k)]}},
+                       separators=(",", ":")),
+            flush=True,
+        )
+    return out
+
+
 def candidate_mass_sweep(spark: SparkSession, n: int) -> dict:
     """Raw LSH candidate-pair mass (pre-flight ``bucket_stats``, no join
     launched) for the AND-banding r sweep on the DECORRELATED corpus —
@@ -721,6 +817,9 @@ def main() -> None:
             json.dumps({"edit_prefix_filter_ab": edit_ab}, separators=(",", ":")),
             flush=True,
         )
+    ivf_recall = None
+    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_IVF_RECALL"):
+        ivf_recall = ivf_neardup_recall_sweep(spark, dirs, ks)
 
     out_file = Path(__file__).resolve().parent / "SCALING.json"
     if only and out_file.exists():
@@ -742,6 +841,8 @@ def main() -> None:
                 payload["fuzzy_prefix_filter_ab"] = fuzzy_ab
             if edit_ab is not None:
                 payload["edit_prefix_filter_ab"] = edit_ab
+            if ivf_recall is not None:
+                payload["ivf_neardup_recall"] = ivf_recall
         except (json.JSONDecodeError, OSError, KeyError):
             payload = {
                 "metric": "scaling_exponents",
@@ -764,6 +865,8 @@ def main() -> None:
             payload["fuzzy_prefix_filter_ab"] = fuzzy_ab
         if edit_ab is not None:
             payload["edit_prefix_filter_ab"] = edit_ab
+        if ivf_recall is not None:
+            payload["ivf_neardup_recall"] = ivf_recall
     out_file.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
