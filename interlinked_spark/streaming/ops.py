@@ -1307,6 +1307,39 @@ def run_span_dedup_into_state(
         if max_kgram_df is not None:
             from ..operators.diagnostics import drop_hot_buckets
 
+            # Observability (ADVICE r14): the cap applies to the PREFIX
+            # (state + batch) df, so a gram that sat under the cap in
+            # earlier batches but crosses it NOW already produced pairs
+            # the batch twin (global cap) suppresses — batch/stream
+            # equality broke the moment this count is nonzero.  Prefix
+            # df is monotone, so "under the cap before this batch" means
+            # under it at every earlier batch; surface the crossing
+            # loudly instead of leaving the divergence silent.
+            tot = allg.groupBy("h").agg(F.count("*").alias("__tot"))
+            new = grams_new.groupBy("h").agg(F.count("*").alias("__new"))
+            prev = F.col("__tot") - F.coalesce(F.col("__new"), F.lit(0))
+            crossed = (
+                tot.join(new, "h", "left")
+                .filter(
+                    (F.col("__tot") > max_kgram_df)
+                    & (prev > 0)
+                    & (prev <= max_kgram_df)
+                )
+                .count()
+            )
+            if crossed:
+                import warnings
+
+                warnings.warn(
+                    f"run_span_dedup_into_state: {crossed} k-gram(s) "
+                    f"crossed max_kgram_df={max_kgram_df} at batch "
+                    f"{batch_id} — earlier batches emitted pairs for "
+                    "them that the batch twin (global cap) suppresses, "
+                    "so batch/stream equality no longer holds; size the "
+                    "cap from the df histogram (see the batch-mode "
+                    "docs) and re-run.",
+                    stacklevel=2,
+                )
             allg = drop_hot_buckets(allg, ["h"], max_kgram_df)
         right = allg.join(
             batch_df.select(F.col(id_col).alias("id")), "id", "semi"

@@ -304,18 +304,20 @@ HEAVY = [
     # the catalog pins coarse_k for the oracle, so per-list size grows
     # with n; the scaled-coarse_k posture is measured separately by
     # embedding_near_dups_ivf_*).  similarity_ivfpq_indexed adds the
-    # build/append/persist lifecycle per run (3 parquet writes — a
+    # build/append/persist lifecycle per run (4 parquet writes — a
     # harness artifact the production loop amortizes, same caveat as
-    # similarity_incremental_indexed); stream_vector_neardup_pq is the
-    # gate end-to-end (staging + per-batch fixed cost dominate small k;
-    # its candidate mass is batch x n_probe x list_size with FIXED
-    # coarse_k=8 lists, so the honest expectation is superlinear here
-    # and the scaled-coarse_k contrast row is the fix at 100 TB).
+    # similarity_incremental_indexed).  stream_vector_neardup_pq is
+    # deliberately NOT row-ed: its candidate mass is analytically
+    # batch x n_probe x list_size with the oracle-pinned FIXED
+    # coarse_k=8 (quadratic in n — ~2e10 ADC folds at k=10, unrunnable
+    # here and not the claim); the measured scale posture for
+    # gate-shaped probed matching is the scaled-coarse_k
+    # embedding_near_dups_ivf_* pair above, and the gate itself is
+    # timed end-to-end in bench.py secondaries.
     ("embedding_pq_codes", None),
     ("similarity_pq_adc", None),
     ("similarity_ivfpq_probed", None),
     ("similarity_ivfpq_indexed", None),
-    ("stream_vector_neardup_pq", None),
 ]
 
 

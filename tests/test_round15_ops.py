@@ -182,3 +182,32 @@ def test_ks_null_side_abstains(spark):
     assert (row.n_a, row.n_b) == (2, 2)
     # and must not shift the sup: D = |1/2 - 0/2| at v=1 -> 0.5
     assert abs(row.d_stat - 0.5) < 1e-9 and row.d_at == 1.0
+
+
+def test_span_gate_warns_on_cap_crossing(spark):
+    """ADVICE r14: a k-gram crossing max_kgram_df mid-stream breaks
+    batch/stream equality — the gate must say so, not stay silent."""
+    import warnings
+
+    from interlinked_spark.catalog import _stage_id_ordered_files
+    from interlinked_spark.streaming.ops import (
+        run_span_dedup_into_state,
+        stream_from_parquet,
+    )
+
+    # one shared 3-gram ("x y z") in every doc: prefix df 2 after batch
+    # 1 (under cap 3, pairs emitted), 4 after batch 2 (crossed).
+    docs = spark.createDataFrame(
+        [(i, f"x y z tail{i} a{i} b{i} c{i} d{i} e{i}") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    staged = _stage_id_ordered_files(docs, "doc_id", 2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        state = run_span_dedup_into_state(
+            stream_from_parquet(spark, staged), k=3, min_len=1, max_kgram_df=3
+        )
+    msgs = [str(w.message) for w in caught if "max_kgram_df" in str(w.message)]
+    assert msgs and "crossed" in msgs[0]
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
