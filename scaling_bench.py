@@ -130,7 +130,7 @@ def _semdedup_scaledk(spark: SparkSession, sf_dir: str):
     )
 
 
-def _ivf_near_dups_scaledk(threshold: float):
+def _ivf_near_dups_scaledk(threshold: float, n_probe: int = 3):
     """IVF-routed near-dup pairs with the SCALE posture — list size
     held at ~250 rows by growing k with n (the semdedup_scaledk
     contract applied to the near-dup surface, r13 verdict item 1).
@@ -182,7 +182,7 @@ def _ivf_near_dups_scaledk(threshold: float):
         w = Window.partitionBy("id").orderBy(F.col("__d").asc(), F.col("cid").asc())
         ranked = (
             scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= 3)
+            .filter(F.col("__rk") <= n_probe)
             .select("id", "__v", F.col("cid").alias("__cid"), "__rk")
         )
         return ivf_near_dup_pairs_assigned(ranked, cosine_threshold=threshold)
@@ -559,10 +559,7 @@ def ivf_neardup_recall_sweep(
     found pair is true — recall is the ONLY quality axis."""
     from interlinked_spark.llm.similarity import cosine_similarity
 
-    runner = _ivf_near_dups_scaledk(0.3)
-    out: dict[str, dict] = {}
-    for k in ks:
-        sf_dir = dirs[k]
+    def one(sf_dir: str, n_probe: int) -> dict:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n = emb.count()
         stride = max(1, n // 500)
@@ -587,7 +584,8 @@ def ivf_neardup_recall_sweep(
             .distinct()
         )
         n_true = exact.count()
-        ivf = runner(spark, sf_dir).filter(
+        start = time.perf_counter()
+        ivf = _ivf_near_dups_scaledk(0.3, n_probe=n_probe)(spark, sf_dir).filter(
             (F.col("left_id") % stride == 0) | (F.col("right_id") % stride == 0)
         )
         n_found = (
@@ -599,18 +597,38 @@ def ivf_neardup_recall_sweep(
             .join(exact, ["a", "b"], "left_semi")
             .count()
         )
-        out[str(k)] = {
+        return {
             "n_vectors": n,
+            "n_probe": n_probe,
             "n_probes": n // stride if stride > 1 else n,
             "n_true_pairs": n_true,
             "n_found_pairs": n_found,
             "recall": round(n_found / n_true, 4) if n_true else None,
+            "ivf_sec": round(time.perf_counter() - start, 3),
         }
+
+    out: dict[str, dict] = {}
+    for k in ks:
+        out[str(k)] = one(dirs[k], 3)
         print(
             json.dumps({"ivf_neardup_recall": {str(k): out[str(k)]}},
                        separators=(",", ":")),
             flush=True,
         )
+    # The n_probe dial at the LARGEST corpus: recall decays at fixed
+    # n_probe=3 while lists proliferate (kk = n/250) — probing a fixed
+    # FRACTION of lists is the standard recovery, and its price is the
+    # proportional candidate-mass (runtime) growth measured alongside.
+    dial: dict[str, dict] = {}
+    for n_probe in (9, 27):
+        r = one(dirs[ks[-1]], n_probe)
+        dial[str(n_probe)] = r
+        print(
+            json.dumps({"ivf_neardup_recall_nprobe": {str(n_probe): r}},
+                       separators=(",", ":")),
+            flush=True,
+        )
+    out["nprobe_dial_at_max_k"] = dial
     return out
 
 

@@ -5,10 +5,11 @@ and the PQ-state streaming vector gate (r14 verdict item 3).
 Threshold provenance for ``catalog.VEC_PQ_GATE_ADC_T = 1.0``: the
 residual-ADC distribution over earlier-seen candidate pairs at sf0.001
 is min 0.72 / p5 1.13 / median 1.41 / max 2.14 (measured via the
-oracle's own adc CTE), so T=1.0 sits below p5 — the gate rejects a real
-minority at sf0.001 (64/100) and, as density grows, an increasing share
-(954/1000 at sf0.01), the expected first-seen-wins behavior on a
-corpus that is dense in cosine space (cf. the cos>=0.3 LSH gate)."""
+oracle's own adc CTE), so T=1.0 sits below p5 — the gate rejects a
+real majority-but-not-all of the streamed fifth (64/100 at sf0.001,
+54/100 at sf0.01; both embeddings tables are 500-vector draws), the
+expected first-seen-wins behavior on a corpus that is dense in cosine
+space (cf. the cos>=0.3 LSH gate)."""
 
 import shutil
 import tempfile
