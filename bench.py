@@ -426,6 +426,8 @@ def main() -> None:
         # streaming gate (restages its source per run).
         "similarity_ivfpq_indexed",
         "stream_vector_neardup_pq",
+        "similarity_ivfpq_reranked",
+        "similarity_ivfpq_filtered",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

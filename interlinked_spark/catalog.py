@@ -9880,17 +9880,25 @@ def _ivfpq_index_base_sql() -> str:
     )
 
 
-_IVFPQ_IDX_DSUBS = ",\n".join(
-    f"""d{s} AS (
+def _ivfpq_idx_dsubs(corpus: str = "hall") -> str:
+    """Per-subspace ADC term CTEs over the frozen-codebook codes —
+    ``corpus`` is the home-assignment relation the candidates come
+    from (``hall`` = everything; the filtered-ANN oracle passes a
+    predicate-restricted subset)."""
+    return ",\n".join(
+        f"""d{s} AS (
       SELECT q.qid, h.vec_id AS nid,
              round(list_sum(list_transform(range(1, 9),
                i -> (q.rv[i + {s * 8}] - c.c[i]) * (q.rv[i + {s * 8}] - c.c[i]))), 6) AS t
       FROM qres q
-      JOIN hall h ON h.cid = q.cid AND h.vec_id != q.qid
+      JOIN {corpus} h ON h.cid = q.cid AND h.vec_id != q.qid
       JOIN enc{s} a ON a.vec_id = h.vec_id
       JOIN rs{s}c2 c ON c.cid = a.cid)"""
-    for s in range(8)
-)
+        for s in range(8)
+    )
+
+
+_IVFPQ_IDX_DSUBS = _ivfpq_idx_dsubs()
 
 _IVFPQ_IDX_MAT = ["a1", "a2", "a3", "hall", "rall", "rbase", "qres", "probe"] + [
     f"rs{s}{x}" for s in range(8) for x in ("c2", "a1", "a2")
@@ -10073,6 +10081,163 @@ def q_stream_vector_neardup_pq(e: DataFrame, spark: SparkSession) -> DataFrame:
             coarse_iters=KMEANS_ITERS, pq_iters=2,
         )
     return spark.read.parquet(accepted_path).select("vec_id")
+
+
+_IVFPQ_IDX_PROBE = f"""
+    , probe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_PDIST}, s.cid) AS rk
+        FROM (SELECT * FROM allv WHERE vec_id < 5) e
+        CROSS JOIN c{KMEANS_ITERS} s)
+      WHERE rk <= {IVF_N_PROBE}),
+    qres AS (
+      SELECT p.qid, p.cid,
+             list_transform(range(1, {KMEANS_D + 1}), i -> e.v[i] - c.c[i]) AS rv
+      FROM probe p
+      JOIN allv e ON e.vec_id = p.qid
+      JOIN c{KMEANS_ITERS} c ON c.cid = p.cid)"""
+
+
+@defq(
+    "similarity_ivfpq_reranked",
+    oracle=_materialize_ctes(
+        _ivfpq_index_base_sql()
+        + _IVFPQ_IDX_PROBE
+        + f""",
+    {_IVFPQ_IDX_DSUBS},
+    adc AS (
+      SELECT d0.qid, d0.nid, round({_ADC_TERMS}, 6) AS adc
+      FROM d0 {_ADC_JOINS}),
+    topc AS (
+      SELECT qid, nid FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        FROM adc)
+      WHERE rk <= 20),
+    rr AS (
+      SELECT t.qid, t.nid,
+             round(list_sum(list_transform(range(1, {KMEANS_D + 1}),
+               i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6) AS l2
+      FROM topc t
+      JOIN allv q ON q.vec_id = t.qid
+      JOIN allv c ON c.vec_id = t.nid)
+    SELECT qid AS query_id, nid AS neighbor_id, l2
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY l2, nid) AS rk
+          FROM rr)
+    WHERE rk <= 5
+    """,
+        _IVFPQ_IDX_MAT,
+    ),
+    idx="ivfpq_index",
+    e="table.embeddings",
+)
+def q_similarity_ivfpq_reranked(
+    idx: str, e: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """Two-stage retrieval over the materialized index (§2b-K — the
+    production composition every quantized ANN deployment runs): the
+    stored codes produce a 20-candidate ADC shortlist per query
+    (recall stage, 8 bytes per candidate), then ONLY those |q| x 20
+    rows re-rank by the EXACT squared-L2 against their raw vectors
+    (precision stage, `llm/pq_index.ivfpq_index_search_reranked`).
+    At 100 TB the corpus scan stays quantized and the exact reads are
+    shortlist-sized — the two-stage shape is WHY storing 8-byte codes
+    is enough.  Both stages' orders are 6dp-rounded deterministic
+    folds, so the re-ranked result is value-hash-gated per row."""
+    from .llm.pq_index import ivfpq_index_search_reranked
+
+    qs = e.filter(F.col("vec_id") < 5)
+    return ivfpq_index_search_reranked(
+        spark, idx, qs, e, k=5, c=20, n_probe=IVF_N_PROBE
+    )
+
+
+@defq(
+    "similarity_ivfpq_filtered",
+    oracle=_materialize_ctes(
+        _ivfpq_index_base_sql()
+        + _IVFPQ_IDX_PROBE
+        + f""",
+    fil AS (
+      SELECT h.* FROM hall h
+      JOIN (SELECT vec_id FROM embeddings WHERE label % 2 = 0) w
+        ON w.vec_id = h.vec_id),
+    {_ivfpq_idx_dsubs("fil")},
+    adc AS (
+      SELECT d0.qid, d0.nid, round({_ADC_TERMS}, 6) AS adc
+      FROM d0 {_ADC_JOINS}),
+    top AS (
+      SELECT qid, nid, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        FROM adc)
+      WHERE rk <= 5)
+    SELECT t.qid AS query_id,
+           string_agg(CAST(t.nid AS VARCHAR), '-' ORDER BY t.adc, t.nid) AS neighbors,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN lbl.label % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_odd_neighbors,
+           FLOOR((SUM(CAST(round(t.adc * 1e6) AS BIGINT)) + 5000) / 10000.0) / 100.0
+             AS adc_sum
+    FROM top t
+    JOIN embeddings lbl ON lbl.vec_id = t.nid
+    GROUP BY t.qid
+    """,
+        _IVFPQ_IDX_MAT + ["fil"],
+    ),
+    idx="ivfpq_index",
+    e="table.embeddings",
+)
+def q_similarity_ivfpq_filtered(
+    idx: str, e: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """FILTERED ANN over the materialized index (§2b-K — the
+    metadata-predicate production shape: "nearest neighbors WHERE
+    label is even"): the predicate applies as a semi-join on the
+    CODES side BEFORE scoring, so excluded vectors never cost an ADC
+    fold and the per-query top-k is taken over ELIGIBLE candidates
+    only — post-filtering a top-k instead silently returns short
+    lists whenever the filter bites inside it
+    (`llm/pq_index.ivfpq_index_search(allowed=...)`).
+    ``n_odd_neighbors`` rides as the structural assertion (always 0:
+    no filtered-out neighbor can appear); the neighbor id string and
+    integer-scaled ADC mass hash-gate the values."""
+    from .llm.pq_index import ivfpq_index_search
+
+    qs = e.filter(F.col("vec_id") < 5)
+    top = ivfpq_index_search(
+        spark, idx, qs, k=5, n_probe=IVF_N_PROBE,
+        allowed=e.filter(F.col("label") % 2 == 0),
+    )
+    odd = e.filter(F.col("label") % 2 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("__odd")
+    )
+    return (
+        top.join(odd, "neighbor_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("adc"), F.col("neighbor_id")))
+                    ),
+                    lambda s: s["neighbor_id"].cast("string"),
+                ),
+                "-",
+            ).alias("neighbors"),
+            F.count("*").cast("bigint").alias("n_returned"),
+            F.sum(F.coalesce(F.col("__odd"), F.lit(0))).cast("bigint").alias(
+                "n_odd_neighbors"
+            ),
+            (
+                F.floor(
+                    (F.sum(F.round(F.col("adc") * 1e6).cast("long")) + 5000)
+                    / 10000.0
+                )
+                / 100.0
+            ).alias("adc_sum"),
+        )
+    )
 
 
 @defq(

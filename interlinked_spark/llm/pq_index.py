@@ -25,6 +25,14 @@ row-local encode + one partitioned parquet append.  Search reads the
 stored codes; the only join is the bounded probed ``(query, list)``
 side against the list-clustered codes.
 
+Maintenance: appends accumulate one file set per batch; rewrite
+``{path}/codes`` with ``sources.writers.compact_table(spark,
+f"{path}/codes", cluster_cols=["list"])`` periodically — the same
+OPTIMIZE half every append-only resource here has (shingle index,
+LSH vector index, gate accepted tables), crash-safe staged-swap
+semantics included.  Codebooks/meta are single-file and immutable,
+so compaction never touches them.
+
 Determinism: the fit is ``embeddings.ivfpq_fit``'s 6dp-lattice Lloyd
 recurrence and the encode is the shared rounded-distance argmin, so an
 index built today equals one built tomorrow from the same corpus — the
@@ -47,6 +55,7 @@ __all__ = [
     "load_ivfpq_index",
     "ivfpq_index_codes",
     "ivfpq_index_search",
+    "ivfpq_index_search_reranked",
     "ivfpq_index_matches",
 ]
 
@@ -320,6 +329,7 @@ def ivfpq_index_search(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Top-k ANN routed through the STORED index: probe ``n_probe``
     coarse lists per query, ADC-score only those lists' stored codes,
@@ -327,16 +337,89 @@ def ivfpq_index_search(
     the list-clustered codes parquet — at 100 TB the scan prunes to
     the probed lists' files and never touches raw vectors.  Returns
     ``(query_id, neighbor_id, adc)``, the ``ivfpq_probed_top_k``
-    contract against persisted state."""
+    contract against persisted state.
+
+    ``allowed``: optional FILTERED-ANN predicate — a frame whose
+    ``id_col`` values are the searchable subset (the metadata-filter
+    production shape: "nearest docs WHERE lang='en'").  Applied as a
+    semi-join on the CODES side BEFORE scoring, so excluded vectors
+    never cost an ADC fold and the per-query top-k is taken over
+    eligible candidates only (post-filtering top-k instead would
+    return < k rows whenever the filter bites inside the top-k)."""
     from ..operators.windows import top_k_per_group
 
     coarse, books, meta = load_ivfpq_index(spark, path)
     _check_dim(meta, queries, vec_col, "ivfpq_index_search")
     coded = spark.read.parquet(f"{path}/codes")
+    if allowed is not None:
+        coded = coded.join(
+            allowed.select(F.col(id_col).alias("id")), "id", "semi"
+        )
     probed = _probed_queries(queries, coarse, n_probe, id_col, vec_col)
     scored = _adc_scored(coded, probed, coarse, books)
     return top_k_per_group(
         scored, ["query_id"], [F.col("adc").asc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def ivfpq_index_search_reranked(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    c: int = 20,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Two-stage retrieval — the standard production composition over
+    a quantized index: the STORED codes produce a ``c``-candidate
+    shortlist per query by ADC (recall stage, m bytes per candidate),
+    then ONLY those ``|queries| * c`` candidates re-rank by the EXACT
+    squared-L2 distance against their raw vectors (precision stage).
+    The big corpus scan never touches raw vectors; the re-rank join
+    reads exactly the shortlist's rows from ``vectors`` (id-keyed —
+    broadcastable shortlist at any corpus size).
+
+    Ordering contract: stage 1 is the deterministic ``(adc, id)``
+    top-c; stage 2 re-ranks the SAME set by ``(l2, id)`` — both
+    6dp-rounded folds, so the result is engine-portable.  Returns
+    ``(query_id, neighbor_id, l2)``."""
+    from ..operators.windows import top_k_per_group
+
+    cands = ivfpq_index_search(
+        spark, path, queries, k=c, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, allowed=allowed,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"),
+                F.col("__nv"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        cands.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("l2", l2)
+        .select("query_id", "neighbor_id", "l2")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("l2").asc(), F.col("neighbor_id").asc()], k
     )
 
 

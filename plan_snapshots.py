@@ -179,6 +179,8 @@ EXTENDED = [
     # gate is the stored-codes probed join); the streaming PQ gate is
     # excluded like the other foreachBatch gates (restaged source).
     "similarity_ivfpq_indexed",
+    "similarity_ivfpq_reranked",
+    "similarity_ivfpq_filtered",
 ]
 
 

@@ -212,3 +212,93 @@ def test_span_gate_warns_on_cap_crossing(spark):
     assert msgs and "crossed" in msgs[0]
     shutil.rmtree(state, ignore_errors=True)
     shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_pq_index_codes_compaction_preserves_search(spark, emb, built_index):
+    """compact_table on codes/ (the documented maintenance path) must
+    not move a single neighbor or distance — and must shrink the file
+    count an append-per-batch regime accumulates."""
+    from interlinked_spark.llm.pq_index import ivfpq_index_search
+    from interlinked_spark.sources.writers import compact_table
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    before_rows = {
+        (r.query_id, r.neighbor_id, r.adc)
+        for r in ivfpq_index_search(spark, built_index, qs, k=5, n_probe=3).collect()
+    }
+    nb, na = compact_table(
+        spark, f"{built_index}/codes", num_files=1, cluster_cols=["list"]
+    )
+    assert na <= nb and na == 1
+    after_rows = {
+        (r.query_id, r.neighbor_id, r.adc)
+        for r in ivfpq_index_search(spark, built_index, qs, k=5, n_probe=3).collect()
+    }
+    assert after_rows == before_rows and len(after_rows) == 25
+
+
+def test_filtered_search_only_allowed_neighbors(spark, emb, built_index):
+    """The allowed semi-join is a PRE-filter: every returned neighbor
+    satisfies the predicate, and the top-k is taken over eligible
+    candidates (full k rows, not a post-filtered short list)."""
+    from interlinked_spark.llm.pq_index import ivfpq_index_search
+
+    allowed = emb.filter(F.col("label") % 2 == 0)
+    qs = emb.filter(F.col("vec_id") < 5)
+    rows = ivfpq_index_search(
+        spark, built_index, qs, k=5, n_probe=3, allowed=allowed
+    ).collect()
+    even_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    assert len(rows) == 25
+    assert all(r.neighbor_id in even_ids for r in rows)
+
+
+def test_reranked_probe_all_big_c_equals_exact_topk(spark, emb):
+    """With probe-all and c >= corpus size the ADC stage is a complete
+    candidate generator, so the exact-L2 re-rank must equal brute-force
+    exact top-k — pinning that approximation lives ONLY in the
+    shortlist, never in the re-rank arithmetic."""
+    from interlinked_spark.llm.pq_index import (
+        build_ivfpq_index,
+        ivfpq_index_search_reranked,
+    )
+    from interlinked_spark.operators.windows import top_k_per_group
+
+    path = tempfile.mkdtemp(prefix="t15_rr_")
+    try:
+        build_ivfpq_index(emb, path, coarse_k=8, m=8, k=16, num_files=1)
+        qs = emb.filter(F.col("vec_id") < 5)
+        n = emb.count()
+        got = {
+            (r.query_id, r.neighbor_id, r.l2)
+            for r in ivfpq_index_search_reranked(
+                spark, path, qs, emb, k=5, c=n, n_probe=8
+            ).collect()
+        }
+        q = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+        v = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"))
+        l2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.col("__nv"),
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        exact = top_k_per_group(
+            v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("l2", l2)
+            .select("query_id", "neighbor_id", "l2"),
+            ["query_id"],
+            [F.col("l2").asc(), F.col("neighbor_id").asc()],
+            5,
+        )
+        want = {(r.query_id, r.neighbor_id, r.l2) for r in exact.collect()}
+        assert got == want and len(got) == 25
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
