@@ -428,6 +428,8 @@ def main() -> None:
         "stream_vector_neardup_pq",
         "similarity_ivfpq_reranked",
         "similarity_ivfpq_filtered",
+        # iterative-ML demo (8 per-subspace Lloyd fits on rotated vectors)
+        "embedding_pq_rotated",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

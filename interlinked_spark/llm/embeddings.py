@@ -546,6 +546,74 @@ def semdedup_keep_assigned(
     return result
 
 
+def hd_rotation_matrix(d: int) -> list[list[float]]:
+    """The deterministic structured rotation ``R = H · D / sqrt(d)``:
+    Sylvester-Hadamard ``H[i][j] = (-1)^popcount(i & j)`` composed with
+    a sign-flip diagonal ``D[j]`` drawn from the md5 lattice
+    (``+1`` iff the first hex char of ``md5('rot-v1' + j)`` < '8') —
+    the FJLT/OPQ-lite preconditioner (Ailon & Chazelle 2006; the
+    random-rotation baseline of Ge et al.'s OPQ, FAISS's OPQ init).
+    Exactly orthogonal by construction, PARAMETER-FREE (no fit, no
+    stored matrix — both engines re-derive it from the formula), and
+    every entry is ``±1/sqrt(d)``, exactly representable for
+    power-of-two ``d``, so rotated coordinates are identical IEEE
+    doubles in any engine that folds the matvec in index order."""
+    if d & (d - 1):
+        raise ValueError(
+            f"hd_rotation_matrix needs a power-of-two dim (got {d}): "
+            "the Sylvester-Hadamard construction does not exist "
+            "otherwise — pad the vectors or use plain PQ."
+        )
+    import hashlib
+    import math
+
+    s = 1.0 / math.sqrt(d)
+    signs = [
+        s
+        if hashlib.md5(f"rot-v1{j}".encode()).hexdigest()[0] in "01234567"
+        else -s
+        for j in range(d)
+    ]
+    return [
+        [
+            (signs[j] if bin(i & j).count("1") % 2 == 0 else -signs[j])
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+
+
+def _matrix_literal(rows: list[list[float]]) -> F.Column:
+    """``array<array<double>>`` literal, one parsed expression (the
+    :func:`_centroid_literal` anti-py4j pattern at matrix size)."""
+    body = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
+def structured_rotation(vec_col, d: int) -> F.Column:
+    """Rotate a vector column by :func:`hd_rotation_matrix` — a
+    row-local matvec against the broadcast matrix literal, folded in
+    index order (engine-portable: the oracle re-derives the identical
+    matrix from bit_count + md5 in SQL).  No shuffle, no fit: at
+    100 TB the rotation is a map job fused into whatever scan follows
+    it."""
+    mat = _matrix_literal(hd_rotation_matrix(d))
+    v = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda i: F.aggregate(
+            F.zip_with(v, F.element_at(mat, i), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def pq_fit(
     df: DataFrame,
     m: int = 8,

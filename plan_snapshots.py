@@ -181,6 +181,7 @@ EXTENDED = [
     "similarity_ivfpq_indexed",
     "similarity_ivfpq_reranked",
     "similarity_ivfpq_filtered",
+    "embedding_pq_rotated",
 ]
 
 

@@ -302,3 +302,44 @@ def test_reranked_probe_all_big_c_equals_exact_topk(spark, emb):
         assert got == want and len(got) == 25
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_hd_rotation_is_orthogonal_and_guarded():
+    """R R^T = I exactly-ish (entries are +-1/8, sums of 64 such
+    products) and the power-of-two guard fires."""
+    import pytest as _pytest
+
+    from interlinked_spark.llm.embeddings import hd_rotation_matrix
+
+    d = 16
+    r = hd_rotation_matrix(d)
+    for i in range(d):
+        for j in range(d):
+            dot = sum(r[i][t] * r[j][t] for t in range(d))
+            assert abs(dot - (1.0 if i == j else 0.0)) < 1e-12
+    with _pytest.raises(ValueError, match="power-of-two"):
+        hd_rotation_matrix(48)
+
+
+def test_structured_rotation_preserves_norms(spark, emb):
+    """Orthogonality on the engine side: rotated L2 norms equal the
+    originals (the reason rotated-space MSE is the true reconstruction
+    MSE)."""
+    from interlinked_spark.llm.embeddings import structured_rotation
+
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        emb.select(
+            F.max(
+                F.abs(
+                    sq(F.col("embedding"))
+                    - sq(structured_rotation("embedding", 64))
+                )
+            ).alias("dmax")
+        ).first()
+    )
+    assert row.dmax < 1e-9
