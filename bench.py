@@ -430,6 +430,8 @@ def main() -> None:
         "similarity_ivfpq_filtered",
         # iterative-ML demo (8 per-subspace Lloyd fits on rotated vectors)
         "embedding_pq_rotated",
+        "hourly_value_interp",
+        "doc_overlap_chunks",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

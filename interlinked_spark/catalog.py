@@ -10319,6 +10319,112 @@ def q_embedding_pq_rotated(e: DataFrame) -> DataFrame:
 
 
 @defq(
+    "hourly_value_interp",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             ROUND(SUM(value), 2) AS sum_v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    st AS (
+      SELECT g.event_type AS event_type,
+             CAST(floor(epoch(g.h)) AS BIGINT) AS t, sum_v
+      FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type
+                                  AND hourly.h = g.h
+    ), w AS (
+      SELECT event_type, t, sum_v,
+             last_value(sum_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN sum_v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(sum_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN sum_v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM st)
+    SELECT event_type, t AS hour_s,
+           CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt != pt
+                THEN ROUND(pv + (nv - pv) * (t - pt) / (nt - pt), 6)
+                ELSE ROUND(COALESCE(pv, nv), 6) END AS sum_v_li
+    FROM w
+    """,
+)
+def q_hourly_value_interp(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Linear-interpolation imputation (§2b-E — the rung above LOCF
+    for continuous signals, `operators/timeseries.linear_interp_fill`):
+    densify the hourly grid with NULL gaps, then each gap takes the
+    straight line between its BRACKETING observations — leading and
+    trailing gaps fall back to the nearest single neighbor, observed
+    cells pass through exactly.  Two window passes over the same
+    per-key shuffle the grid densify paid; the interpolation ratio is
+    a long-over-long double, identical in any engine, so the whole
+    imputed lattice is value-hash-gated (the LOCF query's 2dp-SUM
+    rational trick keeps the inputs tie-free)."""
+    from .operators.timeseries import linear_interp_fill, time_grid_fill
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    grid = time_grid_fill(
+        ev, ["event_type"], "ts", "hour",
+        {"sum_v": F.round(F.sum("value"), 2)}, fill={},
+    ).select(
+        "event_type", F.col("bucket").cast("long").alias("hour_s"), "sum_v"
+    )
+    return linear_interp_fill(
+        grid, ["event_type"], "hour_s", "sum_v"
+    ).select("event_type", "hour_s", "sum_v_li")
+
+
+@defq(
+    "doc_overlap_chunks",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, toks,
+             unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT))) AS chunk_id
+      FROM tk)
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * 48 AS INTEGER) AS start_tok,
+           CAST(len(sl) AS INTEGER) AS n_tokens,
+           md5(array_to_string(sl, ' ')) AS chunk_md5
+    FROM (SELECT doc_id, chunk_id,
+                 toks[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(chunk_id * 48 + 64 AS BIGINT)] AS sl
+          FROM ch)
+    """,
+    d="table.documents",
+)
+def q_doc_overlap_chunks(d: DataFrame) -> DataFrame:
+    """Sliding-window token chunking with overlap (§2b-K corpus prep —
+    the RAG passage builder: 64-token windows at stride 48, so
+    16 tokens of overlap keep boundary-straddling facts findable;
+    `llm/text.sliding_token_chunks`).  The fixed-grid complement of
+    the content-defined CDC chunker (`doc_cdc_chunks`): grid chunks
+    shift wholesale on edits, CDC chunks don't — pick per use.
+    Row-local tokenize -> sequence -> explode, no shuffle: at 100 TB
+    the chunker is a map job whose output IS the retrieval corpus.
+    Chunk text rides as md5 (the CDC convention), so every chunk
+    boundary and every token of content is value-hash-gated."""
+    from .llm.text import sliding_token_chunks
+
+    return sliding_token_chunks(d, window=64, stride=48).select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@defq(
     "orders_price_ks",
     oracle="""
     WITH cells AS (

@@ -105,6 +105,67 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def sliding_token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the RAG/long-
+    context corpus-prep staple (fixed-size retrieval passages whose
+    ``window - stride`` token overlap keeps boundary-straddling facts
+    findable), the fixed-grid complement of the content-defined
+    :func:`~..operators.reshape`-family CDC chunker (grid chunks shift
+    wholesale on edits; CDC chunks don't — pick per use).
+
+    Chunk lattice: starts at ``c * stride`` for ``c in [0, C)`` with
+    ``C = 1 + ceil(max(0, n - window) / stride)`` — every token is
+    covered, the LAST chunk is the only short one, and a document
+    shorter than ``window`` yields exactly one chunk (empty/whitespace
+    docs yield one empty chunk: callers filter, the operator doesn't
+    editorialize).  Whitespace tokens (the engine's pinned
+    tokenization).  Row-local: tokenize -> sequence -> explode, no
+    shuffle, no state — at 100 TB this is a map job whose output is
+    the retrieval corpus.  Returns ``(id, chunk_id, start_tok,
+    n_tokens, chunk_text)``."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError(
+            f"sliding_token_chunks needs 0 < stride <= window "
+            f"(got window={window}, stride={stride}): a stride above "
+            "the window drops the tokens between chunks."
+        )
+    toks = _TOKENS(text_col)
+    n = F.size("__tk")
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - F.lit(window), F.lit(0)) / F.lit(float(stride)))
+    ).cast("int")
+    out = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__tk"))
+        .select(
+            "id",
+            "__tk",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.slice(
+                F.col("__tk"), F.col("chunk_id") * stride + 1, window
+            ).alias("__chunk"),
+        )
+    )
+    return out.select(
+        "id",
+        "chunk_id",
+        "start_tok",
+        F.size("__chunk").alias("n_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -9,7 +9,7 @@ loop, no cross join against a global calendar table.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -74,6 +74,53 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def linear_interp_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    col: str,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Linear interpolation imputation (§2b-E — the rung above LOCF
+    for continuous signals): each NULL takes the straight line between
+    the BRACKETING non-null observations in per-key ``order_col``
+    order; leading/trailing gaps fall back to the nearest single
+    neighbor (back-/forward-fill), and non-null cells pass through
+    EXACTLY (their bracketing window collapses to themselves).
+
+    Shape: two window passes over the same per-key shuffle the grid
+    densify already paid — last/first ``ignorenulls`` for the values
+    plus the same for the observation times; no join, no extra
+    exchange.  ``order_col`` must be numeric (epoch seconds): the
+    ratio ``(t - t_prev) / (t_next - t_prev)`` is a long-over-long
+    double, identical in any engine, and the output rounds 6dp so the
+    interpolated lattice is hash-comparable."""
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{col}_li"
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.col(order_col)
+    obs_t = F.when(F.col(col).isNotNull(), t)
+    prev_v = F.last(col, ignorenulls=True).over(wb)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wb)
+    next_v = F.first(col, ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+    interp = F.when(
+        prev_v.isNotNull() & next_v.isNotNull() & (next_t != prev_t),
+        F.round(prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t), 6),
+    ).otherwise(F.round(F.coalesce(prev_v, next_v), 6))
+    return df.withColumn(out_col, interp)
 
 
 def time_decayed_agg(

@@ -182,6 +182,8 @@ EXTENDED = [
     "similarity_ivfpq_reranked",
     "similarity_ivfpq_filtered",
     "embedding_pq_rotated",
+    "hourly_value_interp",
+    "doc_overlap_chunks",
 ]
 
 

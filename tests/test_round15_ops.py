@@ -343,3 +343,50 @@ def test_structured_rotation_preserves_norms(spark, emb):
         ).first()
     )
     assert row.dmax < 1e-9
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    """Lattice invariants: every token covered, consecutive chunks
+    overlap by window - stride, only the last chunk is short, and a
+    short doc yields exactly one chunk.  Plus the stride guard."""
+    from interlinked_spark.llm.text import sliding_token_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))), (2, "a b c")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        sliding_token_chunks(docs, window=64, stride=48).collect(),
+        key=lambda r: (r.id, r.chunk_id),
+    )
+    d1 = [r for r in rows if r.id == 1]
+    # 150 tokens -> C = 1 + ceil(86/48) = 3 chunks at 0, 48, 96
+    assert [r.start_tok for r in d1] == [0, 48, 96]
+    assert [r.n_tokens for r in d1] == [64, 64, 54]
+    # coverage: last chunk reaches token 149; overlap = 16
+    assert d1[-1].start_tok + d1[-1].n_tokens == 150
+    assert d1[0].start_tok + 64 - d1[1].start_tok == 16
+    # overlapping region text matches between consecutive chunks
+    assert d1[0].chunk_text.split()[48:] == d1[1].chunk_text.split()[:16]
+    d2 = [r for r in rows if r.id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3 and d2[0].chunk_text == "a b c"
+    with pytest.raises(ValueError, match="stride"):
+        sliding_token_chunks(docs, window=8, stride=9)
+
+
+def test_linear_interp_reference(spark):
+    """Hand-checked interpolation: gap between (t=0, 1.0) and (t=4,
+    5.0) fills 2.0/3.0/4.0; leading/trailing gaps take the nearest
+    neighbor; observed cells pass through exactly."""
+    from interlinked_spark.operators.timeseries import linear_interp_fill
+
+    df = spark.createDataFrame(
+        [("k", -1, None), ("k", 0, 1.0), ("k", 1, None), ("k", 2, None),
+         ("k", 3, None), ("k", 4, 5.0), ("k", 5, None)],
+        "k string, t long, v double",
+    )
+    got = {
+        r.t: r.v_li
+        for r in linear_interp_fill(df, ["k"], "t", "v").collect()
+    }
+    assert got == {-1: 1.0, 0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0, 5: 5.0}
