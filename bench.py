@@ -432,6 +432,7 @@ def main() -> None:
         "embedding_pq_rotated",
         "hourly_value_interp",
         "doc_overlap_chunks",
+        "similarity_maxsim_topk",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

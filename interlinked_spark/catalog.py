@@ -10424,6 +10424,61 @@ def q_doc_overlap_chunks(d: DataFrame) -> DataFrame:
     )
 
 
+_MAXSIM_COS = (
+    "round(list_sum(list_transform(range(1, 17), i -> q.tv[i] * c.tv[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 17), i -> q.tv[i] * q.tv[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 17), i -> c.tv[i] * c.tv[i])))), 6)"
+)
+
+
+@defq(
+    "similarity_maxsim_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tv AS (
+      SELECT vec_id, t,
+             v[CAST(t * 16 + 1 AS BIGINT):CAST(t * 16 + 16 AS BIGINT)] AS tv
+      FROM (SELECT vec_id, v, unnest(range(0, 4)) AS t FROM emb)),
+    pertok AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid, q.t AS qt,
+             MAX({_MAXSIM_COS}) AS best
+      FROM (SELECT * FROM tv WHERE vec_id < 5) q
+      JOIN tv c ON c.vec_id != q.vec_id
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT qid, nid, round(SUM(best), 6) AS maxsim
+      FROM pertok GROUP BY 1, 2)
+    SELECT qid AS query_id, nid AS neighbor_id, maxsim
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY maxsim DESC, nid) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+    e="table.embeddings",
+)
+def q_similarity_maxsim_topk(e: DataFrame) -> DataFrame:
+    """Late-interaction MaxSim retrieval (Khattab & Zaharia 2020,
+    ColBERT — §2b-K): score(q, d) = sum over q's token vectors of the
+    max cosine against d's token vectors, so each query aspect finds
+    its best-matching doc token independently — the reason
+    late interaction beats one pooled vector on multi-aspect queries
+    (`llm/similarity.maxsim_top_k`).  Multi-vector fixture: each
+    64-dim embedding slices into 4 x 16-dim "token vectors"
+    (`explode_token_vectors` — the documented stand-in, multimodal-stub
+    convention; the PLUMBING — explode, broadcast token join, max-then-
+    sum aggregates, top-k window — is the real operator).  At
+    production scale the corpus token vectors live PQ-coded in the
+    materialized index with MaxSim as the re-rank over an ANN
+    shortlist; this brute-force form is the correctness baseline, like
+    ``similarity_cosine_topk``.  Per-token cosines round 6dp BEFORE
+    the max, so the whole score lattice is engine-portable and
+    value-hash-gated."""
+    from .llm.similarity import explode_token_vectors, maxsim_top_k
+
+    toks = explode_token_vectors(e, 4)
+    return maxsim_top_k(toks, toks.filter(F.col("id") < 5), k=5)
+
+
 @defq(
     "orders_price_ks",
     oracle="""

@@ -1246,3 +1246,83 @@ def mmr_sql(
         f"{chain}\n    SELECT rank, id AS vec_id, rel AS relevance, "
         f"mmr AS mmr_score FROM sel{int(k)}"
     )
+
+
+def explode_token_vectors(
+    df: DataFrame,
+    n_slices: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, tok, tv)`` — the vector sliced into ``n_slices``
+    contiguous sub-vectors, one row per "token vector".  The honest
+    multi-vector FIXTURE for the late-interaction operators: real
+    ColBERT-style corpora carry one vector per token; this derives a
+    deterministic multi-vector view from the single-vector test table
+    (the multimodal-stub convention — the PLUMBING is real, the token
+    vectors are a documented stand-in).  Row-local explode, no
+    shuffle."""
+    d_expr = F.size(vec_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1))).alias("tok"),
+        F.slice(
+            F.col(vec_col),
+            F.col("tok") * (d_expr / n_slices).cast("int") + 1,
+            (d_expr / n_slices).cast("int"),
+        ).alias("tv"),
+    )
+
+
+def maxsim_top_k(
+    corpus_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Late-interaction MaxSim retrieval (Khattab & Zaharia 2020,
+    ColBERT): both sides are MULTI-VECTOR ``(id, tok, tv)`` frames and
+    ``score(q, d) = sum over q's tokens of max over d's tokens of
+    cosine(qt, dt)`` — each query token finds its best-matching doc
+    token independently, which is why late interaction beats a single
+    pooled vector on multi-aspect queries.
+
+    Shape: the bounded query-token set broadcasts (the cosine_top_k
+    rider contract); per-token cosines 6dp-round BEFORE the max (ties
+    can't flip the max's value) and the per-(query, doc) sum folds over
+    the max aggregate — one broadcast join + two hash aggregates + a
+    top-k window, no shuffle on the corpus beyond the aggregate.  At
+    production scale the corpus token vectors live PQ-coded in the
+    materialized index and MaxSim is the re-rank stage over an ANN
+    shortlist (`pq_index.ivfpq_index_search_reranked`'s pattern); the
+    brute-force form here is the correctness baseline, like
+    ``cosine_top_k``.  Returns ``(query_id, neighbor_id, maxsim)``,
+    descending-score top-k with ascending-id ties."""
+    from ..operators.windows import top_k_per_group
+
+    q = query_tokens.select(
+        F.col("id").alias("query_id"),
+        F.col("tok").alias("__qt"),
+        F.col("tv").alias("__qv"),
+    )
+    c = corpus_tokens.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("tv").alias("__cv"),
+    )
+    pertok = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "__cos", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), round_dp)
+        )
+        .groupBy("query_id", "neighbor_id", "__qt")
+        .agg(F.max("__cos").alias("__best"))
+    )
+    scored = pertok.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum("__best"), round_dp).alias("maxsim")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("maxsim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )

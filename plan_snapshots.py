@@ -184,6 +184,7 @@ EXTENDED = [
     "embedding_pq_rotated",
     "hourly_value_interp",
     "doc_overlap_chunks",
+    "similarity_maxsim_topk",
 ]
 
 

@@ -390,3 +390,46 @@ def test_linear_interp_reference(spark):
         for r in linear_interp_fill(df, ["k"], "t", "v").collect()
     }
     assert got == {-1: 1.0, 0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0, 5: 5.0}
+
+
+def test_maxsim_degenerates_to_cosine_on_one_slice(spark, emb):
+    """With n_slices=1 MaxSim IS plain cosine top-k (one token per
+    side: the max is over one candidate, the sum over one term) — the
+    invariant that pins the aggregate plumbing to a known-green
+    operator."""
+    from interlinked_spark.llm.similarity import (
+        cosine_top_k,
+        explode_token_vectors,
+        maxsim_top_k,
+    )
+
+    toks = explode_token_vectors(emb, 1)
+    got = {
+        (r.query_id, r.neighbor_id, r.maxsim)
+        for r in maxsim_top_k(toks, toks.filter(F.col("id") < 5), k=5).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in cosine_top_k(emb, emb.filter(F.col("vec_id") < 5), k=5).collect()
+    }
+    assert got == want and len(got) == 25
+
+
+def test_maxsim_rewards_covering_every_aspect(spark):
+    """The late-interaction property: each query token matches its best
+    doc token INDEPENDENTLY, so a doc covering both orthogonal query
+    aspects with separate tokens (MaxSim 1+1=2) outranks a doc that
+    doubles down on one aspect (1+0=1) — a single pooled vector cannot
+    see the difference (both docs pool to the same direction-sum
+    geometry)."""
+    from interlinked_spark.llm.similarity import maxsim_top_k
+
+    rows = [
+        (0, 0, [1.0, 0.0]), (0, 1, [0.0, 1.0]),  # query aspects A, B
+        (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),  # covers A and B
+        (2, 0, [1.0, 0.0]), (2, 1, [1.0, 0.0]),  # A twice, B never
+    ]
+    toks = spark.createDataFrame(rows, "id bigint, tok int, tv array<double>")
+    out = maxsim_top_k(toks, toks.filter(F.col("id") == 0), k=2).collect()
+    scores = {r.neighbor_id: r.maxsim for r in out}
+    assert scores[1] == 2.0 and scores[2] == 1.0
