@@ -433,6 +433,7 @@ def main() -> None:
         "hourly_value_interp",
         "doc_overlap_chunks",
         "similarity_maxsim_topk",
+        "hourly_value_stl",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

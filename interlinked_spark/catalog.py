@@ -10480,6 +10480,76 @@ def q_similarity_maxsim_topk(e: DataFrame) -> DataFrame:
 
 
 @defq(
+    "hourly_value_stl",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    st AS (
+      SELECT g.event_type AS event_type,
+             CAST(floor(epoch(g.h)) AS BIGINT) AS t,
+             COALESCE(c, 0) AS c,
+             CAST((CAST(floor(epoch(g.h)) AS BIGINT) / 3600) % 24 AS INTEGER) AS hod
+      FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type
+                                  AND hourly.h = g.h
+    ), w AS (
+      SELECT *,
+             CASE WHEN COUNT(c) OVER fr = 25 THEN SUM(c) OVER fr END AS tsum
+      FROM st
+      WINDOW fr AS (PARTITION BY event_type ORDER BY t
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), d AS (SELECT *, 25 * c - tsum AS dd FROM w),
+    seas AS (
+      SELECT event_type, hod,
+             CAST(SUM(dd) AS BIGINT) AS snum, COUNT(dd) AS scnt
+      FROM d GROUP BY 1, 2 HAVING COUNT(dd) > 0)
+    SELECT d.event_type, t AS hour_s, d.hod,
+           ROUND(c / 100.0, 2) AS v,
+           ROUND(tsum / 2500.0, 6) AS trend,
+           ROUND(snum / (2500.0 * scnt), 6) AS seasonal,
+           CASE WHEN tsum IS NOT NULL AND snum IS NOT NULL
+                THEN ROUND(c / 100.0 - tsum / 2500.0 - snum / (2500.0 * scnt), 6)
+           END AS resid
+    FROM d LEFT JOIN seas ON seas.event_type = d.event_type AND seas.hod = d.hod
+    """,
+)
+def q_hourly_value_stl(spark: SparkSession, base_dir: str) -> DataFrame:
+    """STL-lite seasonal-trend decomposition per event type (§2b-E —
+    the classical decomposition every monitoring pipeline runs before
+    thresholding residuals, `operators/timeseries.seasonal_decompose`):
+    25-hour centered moving-average trend (NULL until the window is
+    full), hour-of-day seasonal means of the detrended series,
+    residual = value − trend − seasonal.  The determinism story is the
+    operator's design: values integer-scale to exact cents, the trend
+    numerator and the detrended series (``25c − Σc``) stay INTEGER, and
+    the seasonal mean is integer-sum over integer-count — every
+    division happens once at the end on exactly-agreed integers, so
+    neither engine's window-aggregation association order can flip a
+    6th decimal.  One window pass on the grid's own shuffle plus one
+    broadcast-sized (type × 24) join back."""
+    from .operators.timeseries import seasonal_decompose, time_grid_fill
+    from .sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{base_dir}/events.parquet"))
+    grid = time_grid_fill(
+        ev, ["event_type"], "ts", "hour",
+        {"c": F.round(F.sum("value") * 100, 0).cast("long")}, fill={"c": 0},
+    ).select(
+        "event_type",
+        F.col("bucket").cast("long").alias("hour_s"),
+        "c",
+        ((F.col("bucket").cast("long") / 3600) % 24).cast("int").alias("hod"),
+    )
+    return seasonal_decompose(
+        grid, ["event_type"], "hour_s", "c", "hod", half_window=12
+    )
+
+
+@defq(
     "orders_price_ks",
     oracle="""
     WITH cells AS (

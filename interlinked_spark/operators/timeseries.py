@@ -123,6 +123,74 @@ def linear_interp_fill(
     return df.withColumn(out_col, interp)
 
 
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    cents_col: str,
+    phase_col: str,
+    half_window: int = 12,
+) -> DataFrame:
+    """STL-lite seasonal-trend decomposition (§2b-E) in EXACT integer
+    arithmetic: trend = centered moving average over ``2*half_window+1``
+    rows (NULL until the window is full — the classical-decomposition
+    edge rule), seasonal = per-``phase_col`` mean of the detrended
+    series, residual = value - trend - seasonal.
+
+    Determinism is the design: ``cents_col`` is the integer-scaled
+    value, the trend numerator is an integer window SUM, the detrended
+    series is ``n*c - trend_sum`` (still integer), and the seasonal
+    mean is an integer-sum over integer-count division — every division
+    happens ONCE at the end on exactly-agreed integers, so no
+    window-aggregation association order (Spark's sort-based frames vs
+    DuckDB's segment trees) can flip a 6th decimal.  Emits ``v`` (2dp),
+    ``trend`` / ``seasonal`` / ``resid`` (6dp).
+
+    Shape: one per-key window pass (the grid's own shuffle) + one
+    bounded per-(keys, phase) aggregate joined back (|keys| x period
+    rows — broadcast-sized by construction)."""
+    from pyspark.sql import Window
+
+    full = 2 * half_window + 1
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    c = F.col(cents_col)
+    t_sum = F.when(
+        F.count(cents_col).over(w) == full, F.sum(cents_col).over(w)
+    )
+    out = df.withColumn("__tsum", t_sum).withColumn(
+        "__d", F.lit(full) * c - F.col("__tsum")
+    )
+    seasonal = (
+        out.groupBy(*keys, phase_col)
+        .agg(
+            F.sum("__d").alias("__snum"),
+            F.count("__d").alias("__scnt"),
+        )
+        .filter(F.col("__scnt") > 0)
+    )
+    scale = float(full * 100)
+    joined = out.join(F.broadcast(seasonal), [*keys, phase_col], "left")
+    s = F.col("__snum") / (F.lit(scale) * F.col("__scnt"))
+    trend = F.col("__tsum") / F.lit(scale)
+    value = c / F.lit(100.0)
+    return joined.select(
+        *keys,
+        order_col,
+        phase_col,
+        F.round(value, 2).alias("v"),
+        F.round(trend, 6).alias("trend"),
+        F.round(s, 6).alias("seasonal"),
+        F.when(
+            trend.isNotNull() & s.isNotNull(),
+            F.round(value - trend - s, 6),
+        ).alias("resid"),
+    )
+
+
 def time_decayed_agg(
     df: DataFrame,
     keys: Sequence[str],

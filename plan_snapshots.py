@@ -185,6 +185,7 @@ EXTENDED = [
     "hourly_value_interp",
     "doc_overlap_chunks",
     "similarity_maxsim_topk",
+    "hourly_value_stl",
 ]
 
 

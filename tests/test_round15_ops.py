@@ -433,3 +433,34 @@ def test_maxsim_rewards_covering_every_aspect(spark):
     out = maxsim_top_k(toks, toks.filter(F.col("id") == 0), k=2).collect()
     scores = {r.neighbor_id: r.maxsim for r in out}
     assert scores[1] == 2.0 and scores[2] == 1.0
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """Plant value = 100 + phase (period 4) on a long series: the
+    moving-average trend (full 5-row windows, half_window=2 with
+    period-4 seasonality... use half_window=2 -> 5-row window over a
+    4-cycle is NOT seasonal-balanced, so use a period that divides the
+    window: period 5, window 5) recovers the level exactly, the
+    seasonal means recover the planted offsets (centered), and
+    residuals vanish."""
+    from interlinked_spark.operators.timeseries import seasonal_decompose
+
+    period, n = 5, 40
+    rows = [
+        ("k", t, (100 + (t % period)) * 100, t % period) for t in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, c long, phase int")
+    out = {r.t: r for r in seasonal_decompose(
+        df, ["k"], "t", "c", "phase", half_window=2
+    ).collect()}
+    # interior rows: trend = mean of one full cycle = 102; seasonal =
+    # phase offset - 2; residual = 0
+    for t in range(2, n - 2):
+        r = out[t]
+        assert r.trend == 102.0, (t, r)
+        assert r.seasonal is not None
+        assert abs(r.v - r.trend - r.seasonal - (r.resid or 0.0)) < 1e-9
+        assert abs((r.resid or 0.0)) < 0.02  # edge rows tilt the means
+    # edge rows: no full window -> NULL trend and resid
+    assert out[0].trend is None and out[0].resid is None
+    assert out[n - 1].trend is None and out[n - 1].resid is None
