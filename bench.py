@@ -434,6 +434,7 @@ def main() -> None:
         "doc_overlap_chunks",
         "similarity_maxsim_topk",
         "hourly_value_stl",
+        "click_position_attribution",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -10549,6 +10549,60 @@ def q_hourly_value_stl(spark: SparkSession, base_dir: str) -> DataFrame:
     )
 
 
+_POS_ATTR_SHARE = (
+    "CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5 "
+    "WHEN r = 1 OR r = n THEN 0.4 ELSE 0.2 / (n - 2) END"
+)
+
+
+@defq(
+    "click_position_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, ts,
+             event_type = 'purchase' AS is_conv, value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), nx AS (
+      SELECT *,
+             first_value(CASE WHEN is_conv THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, is_conv, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pid
+      FROM ev
+    ), ranked AS (
+      SELECT event_id AS click_id, pid,
+             row_number() OVER (PARTITION BY pid ORDER BY ts, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM nx WHERE NOT is_conv AND pid IS NOT NULL)
+    SELECT t.pid AS purchase_id, t.click_id,
+           CAST(t.r AS INTEGER) AS touch_rank,
+           CAST(t.n AS INTEGER) AS n_touches,
+           ROUND({_POS_ATTR_SHARE}, 6) AS credit_share,
+           ROUND(p.value * {_POS_ATTR_SHARE}, 6) AS credited_value
+    FROM ranked t
+    JOIN (SELECT event_id, value FROM ev WHERE is_conv) p
+      ON p.event_id = t.pid
+    """,
+    ev="table.events",
+)
+def q_click_position_attribution(ev: DataFrame) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution (§2b-E event
+    analytics — the marketing-standard middle ground between the
+    last-touch ``click_attribution_asof`` and data-driven Shapley):
+    each purchase's value splits 40% first click / 40% last click /
+    20% across middles (1 touch -> 100%, 2 -> 50/50), touches belong
+    to the FIRST purchase at-or-after them per user so conversion
+    windows partition the timeline
+    (`operators/timeseries.position_attribution`).  One shuffle on the
+    user (union-tag following-frame window assigns touches — no
+    click x purchase join ever forms), rank/count windows per
+    conversion, broadcast-sized value join back.  Shares are exact
+    rational expressions evaluated identically in both engines."""
+    from .operators.timeseries import position_attribution
+
+    return position_attribution(ev)
+
+
 @defq(
     "orders_price_ks",
     oracle="""

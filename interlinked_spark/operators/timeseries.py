@@ -229,6 +229,82 @@ def time_decayed_agg(
     )
 
 
+def position_attribution(
+    events: DataFrame,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution (§2b-E event
+    analytics — the marketing-standard middle ground between the
+    last-touch as-of join and data-driven Shapley): each conversion's
+    credit splits 40% first touch / 40% last touch / 20% across the
+    middles (1 touch -> 100%, 2 -> 50/50).  A touch belongs to the
+    FIRST conversion at-or-after it by the same entity, so conversion
+    windows partition each entity's timeline (the previous conversion
+    closes the window) and every touch credits at most one conversion.
+
+    Shape: ONE shuffle on the entity — the touch->conversion
+    assignment is the union-tag window trick (``first_value`` of the
+    next conversion id over a following frame; at equal timestamps
+    touches order BEFORE conversions, so a same-instant conversion
+    still collects the touch), then rank/count windows per conversion
+    and a broadcast-sized join back for the conversion value.  No
+    touch x conversion join ever forms.  Shares are exact rational
+    expressions evaluated identically in any engine; outputs round
+    6dp.  Returns ``(purchase_id, click_id, touch_rank, n_touches,
+    credit_share, credited_value)``."""
+    from pyspark.sql import Window
+
+    ev = events.filter(
+        F.col("event_type").isin(touch_type, conversion_type)
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(entity_col).alias("__ent"),
+        F.col(ts_col).alias("__ts"),
+        (F.col("event_type") == conversion_type).alias("__is_conv"),
+        F.col(value_col).alias("__v"),
+    )
+    wnext = (
+        Window.partitionBy("__ent")
+        .orderBy("__ts", "__is_conv", "__id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    nx = ev.withColumn(
+        "__pid",
+        F.first(F.when(F.col("__is_conv"), F.col("__id")), ignorenulls=True).over(
+            wnext
+        ),
+    )
+    touches = nx.filter(~F.col("__is_conv") & F.col("__pid").isNotNull())
+    wr = Window.partitionBy("__pid").orderBy("__ts", "__id")
+    wn = Window.partitionBy("__pid")
+    ranked = touches.withColumn("__r", F.row_number().over(wr)).withColumn(
+        "__n", F.count("*").over(wn)
+    )
+    conv = nx.filter(F.col("__is_conv")).select(
+        F.col("__id").alias("__pid"), F.col("__v").alias("__pv")
+    )
+    r, n = F.col("__r"), F.col("__n")
+    share = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((r == 1) | (r == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return ranked.join(conv, "__pid").select(
+        F.col("__pid").alias("purchase_id"),
+        F.col("__id").alias("click_id"),
+        r.cast("int").alias("touch_rank"),
+        n.cast("int").alias("n_touches"),
+        F.round(share, 6).alias("credit_share"),
+        F.round(F.col("__pv") * share, 6).alias("credited_value"),
+    )
+
+
 def rolling_zscore(
     df: DataFrame,
     keys: Sequence[str],

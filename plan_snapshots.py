@@ -186,6 +186,7 @@ EXTENDED = [
     "doc_overlap_chunks",
     "similarity_maxsim_topk",
     "hourly_value_stl",
+    "click_position_attribution",
 ]
 
 

@@ -464,3 +464,39 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     # edge rows: no full window -> NULL trend and resid
     assert out[0].trend is None and out[0].resid is None
     assert out[n - 1].trend is None and out[n - 1].resid is None
+
+
+def test_position_attribution_reference(spark):
+    """Hand-checked U-shape: 3 touches -> 40/20/40; a touch after the
+    last purchase credits nothing; windows partition at the previous
+    purchase; credit always sums to 1 per converted purchase."""
+    from interlinked_spark.operators.timeseries import position_attribution
+
+    rows = [
+        # user 1: c1 c2 c3 -> P(100) ; c4 (after last purchase, dropped)
+        (1, 1, "2024-01-01 00:01:00", "click", 0.0),
+        (2, 1, "2024-01-01 00:02:00", "click", 0.0),
+        (3, 1, "2024-01-01 00:03:00", "click", 0.0),
+        (4, 1, "2024-01-01 00:04:00", "purchase", 100.0),
+        (5, 1, "2024-01-01 00:05:00", "click", 0.0),
+        # user 2: c6 -> P7(50) ; c8 -> P9(80): windows partition
+        (6, 2, "2024-01-01 01:00:00", "click", 0.0),
+        (7, 2, "2024-01-01 01:10:00", "purchase", 50.0),
+        (8, 2, "2024-01-01 01:20:00", "click", 0.0),
+        (9, 2, "2024-01-01 01:30:00", "purchase", 80.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.click_id: r for r in position_attribution(ev).collect()}
+    assert set(out) == {1, 2, 3, 6, 8}
+    assert (out[1].credit_share, out[2].credit_share, out[3].credit_share) == (0.4, 0.2, 0.4)
+    assert out[1].credited_value == 40.0 and out[2].credited_value == 20.0
+    assert out[6].purchase_id == 7 and out[6].credit_share == 1.0 and out[6].credited_value == 50.0
+    assert out[8].purchase_id == 9 and out[8].credited_value == 80.0
+    # per-purchase shares sum to 1
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for r in out.values():
+        sums[r.purchase_id] += r.credit_share
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
