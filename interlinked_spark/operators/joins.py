@@ -203,19 +203,37 @@ def _fuzzy_frames(
     prefix_filter: bool,
     checkpoint_mode: str,
     same_side: bool = False,
+    positional_filter: bool = False,
 ):
     """Shared candidate-generation pipeline for :func:`fuzzy_string_join`
     and :func:`fuzzy_candidate_stats` — returns ``(lg, rg, lpost, rpost,
     cand)`` where ``cand`` is the RAW posting-join output (pre-distinct,
     post ``dedupe_self``): its row count is the candidate MASS the
-    prefix filter exists to cut."""
+    prefix filter exists to cut.
+
+    ``positional_filter`` (PPJoin, Xiao et al. 2008; requires
+    ``prefix_filter``): postings additionally carry the gram's 1-based
+    rank in the canonical order plus the gram-set size, and a candidate
+    occurrence survives only if the overlap still REACHABLE from that
+    rank — ``min(|gl| - pl, |gr| - pr) + 1`` grams including the shared
+    one — meets the Jaccard-equivalent requirement
+    ``ceil(t / (1 + t) * (|gl| + |gr|))``.  EXACT: the pair's first
+    common gram in canonical order always passes the bound when
+    J >= t, so at least one occurrence survives for every true pair
+    (only redundant occurrences and hopeless pairs are cut — measured
+    in SCALING.json ``fuzzy_positional_ab``)."""
+    if positional_filter and not prefix_filter:
+        raise ValueError(
+            "positional_filter requires prefix_filter: positions are "
+            "ranks in the canonical prefix order."
+        )
 
     def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
         return side.select(
             F.col(id_col), *extra, qgram_array(col, q).alias("__gr")
         ).withColumn("__n", F.size("__gr"))
 
-    def postings(gf: DataFrame, id_col: str) -> DataFrame:
+    def postings(gf: DataFrame, id_col: str, tag: str) -> DataFrame:
         if prefix_filter:
             # Global canonical gram order = md5(gram): deterministic,
             # data-independent (df-ascending would be optimal but costs
@@ -237,6 +255,11 @@ def _fuzzy_frames(
             grams = F.slice(ordered, F.lit(1), plen)
         else:
             grams = F.col("__gr")
+        if positional_filter:
+            return gf.select(
+                id_col, *extra, F.col("__n").alias(f"__n{tag}"),
+                F.posexplode(grams).alias(f"__p{tag}", "__g"),
+            )
         return gf.select(id_col, *extra, F.explode(grams).alias("__g"))
 
     # Each gram frame feeds BOTH the posting explode and the exact-
@@ -254,7 +277,7 @@ def _fuzzy_frames(
         if same_side
         else materialize(gram_frame(right, right_col, right_id), checkpoint_mode)
     )
-    lpost, rpost = postings(lg, left_id), postings(rg, right_id)
+    lpost, rpost = postings(lg, left_id, "l"), postings(rg, right_id, "r")
     if max_qgram_df is not None:
         hot = (
             lpost.select("__g")
@@ -267,6 +290,17 @@ def _fuzzy_frames(
         lpost = lpost.join(F.broadcast(hot), "__g", "left_anti")
         rpost = rpost.join(F.broadcast(hot), "__g", "left_anti")
     cand = lpost.join(rpost, ["__g", *extra])
+    if positional_filter:
+        # remaining-overlap bound, counting the shared gram: posexplode
+        # positions are 0-based, so rank i+1 leaves |g| - i grams.
+        reachable = F.least(
+            F.col("__nl") - F.col("__pl"), F.col("__nr") - F.col("__pr")
+        )
+        alpha = F.ceil(
+            F.lit(float(threshold) / (1.0 + float(threshold)))
+            * (F.col("__nl") + F.col("__nr"))
+        )
+        cand = cand.filter(reachable >= alpha)
     if dedupe_self:
         cand = cand.filter(F.col(left_id) < F.col(right_id))
     return lg, rg, lpost, rpost, cand
@@ -287,6 +321,7 @@ def fuzzy_candidate_stats(
     prefix_filter: bool = True,
     same_side: bool = False,
     checkpoint_mode: str = "local",
+    positional_filter: bool = False,
 ) -> dict:
     """Diagnostic twin of :func:`fuzzy_string_join`: instead of the
     verified pairs, return the pipeline's volume counters as driver
@@ -300,7 +335,7 @@ def fuzzy_candidate_stats(
     _lg, _rg, lpost, rpost, cand = _fuzzy_frames(
         left, right, left_col, right_col, left_id, right_id,
         threshold, q, extra, dedupe_self, max_qgram_df, prefix_filter,
-        checkpoint_mode, same_side,
+        checkpoint_mode, same_side, positional_filter,
     )
     return {
         "postings_left": lpost.count(),
@@ -327,6 +362,7 @@ def fuzzy_string_join(
     prefix_filter: bool = True,
     same_side: bool = False,
     checkpoint_mode: str = "local",
+    positional_filter: bool = False,
 ) -> DataFrame:
     """Entity-resolution fuzzy join: pairs of rows whose strings match
     at q-gram Jaccard >= ``threshold`` — duplicate product listings,
@@ -377,6 +413,7 @@ def fuzzy_string_join(
         left, right, left_col, right_col, left_id, right_id,
         threshold, q, list(extra_on or []), dedupe_self,
         max_qgram_df, prefix_filter, checkpoint_mode, same_side,
+        positional_filter,
     )
     extra = list(extra_on or [])
     cand = cand.select(left_id, right_id, *extra).distinct()

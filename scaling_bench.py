@@ -702,6 +702,37 @@ def fuzzy_prefix_ab(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def fuzzy_positional_ab(spark: SparkSession, sf_dir: str) -> dict:
+    """PPJoin positional-filter A/B on the part_name_fuzzy_pairs shape
+    (round 15): on top of the prefix filter, each posting carries its
+    canonical rank + gram-set size and a candidate occurrence survives
+    only if the overlap still reachable from that rank meets the
+    Jaccard-equivalent bound — EXACT (the first common gram always
+    survives for a true pair; unit-pinned), so only the volume counters
+    differ.  Both arms keep the prefix filter on; the measured delta is
+    the positional filter's own cut."""
+    from interlinked_spark.operators.joins import fuzzy_candidate_stats
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    l = p.select(F.col("p_partkey").alias("l_id"), F.col("p_name").alias("l_name"),
+                 F.col("p_brand").alias("brand"))
+    r = p.select(F.col("p_partkey").alias("r_id"), F.col("p_name").alias("r_name"),
+                 F.col("p_brand").alias("brand"))
+    out = {}
+    for arm, flag in (("positional_on", True), ("positional_off", False)):
+        out[arm] = fuzzy_candidate_stats(
+            l, r, "l_name", "r_name", "l_id", "r_id",
+            threshold=0.5, q=3, extra_on=["brand"], dedupe_self=True,
+            prefix_filter=True, positional_filter=flag,
+        )
+    on, off = out["positional_on"], out["positional_off"]
+    out["candidate_mass_ratio"] = round(
+        on["candidate_mass"] / max(off["candidate_mass"], 1), 3)
+    out["candidate_pairs_ratio"] = round(
+        on["candidate_pairs"] / max(off["candidate_pairs"], 1), 3)
+    return out
+
+
 def edit_prefix_ab(spark: SparkSession, sf_dir: str) -> dict:
     """Prefix-filter A/B on the part_name_edit_pairs shape (r12 verdict
     item 2): the Ed-Join t-prefix scheme indexes min(|G|, q*d + t)
@@ -840,6 +871,13 @@ def main() -> None:
     ivf_recall = None
     if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_IVF_RECALL"):
         ivf_recall = ivf_neardup_recall_sweep(spark, dirs, ks)
+    pos_ab = None
+    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_POS_AB"):
+        pos_ab = fuzzy_positional_ab(spark, base)
+        print(
+            json.dumps({"fuzzy_positional_ab": pos_ab}, separators=(",", ":")),
+            flush=True,
+        )
 
     out_file = Path(__file__).resolve().parent / "SCALING.json"
     if only and out_file.exists():
@@ -863,6 +901,8 @@ def main() -> None:
                 payload["edit_prefix_filter_ab"] = edit_ab
             if ivf_recall is not None:
                 payload["ivf_neardup_recall"] = ivf_recall
+            if pos_ab is not None:
+                payload["fuzzy_positional_ab"] = pos_ab
         except (json.JSONDecodeError, OSError, KeyError):
             payload = {
                 "metric": "scaling_exponents",
@@ -887,6 +927,8 @@ def main() -> None:
             payload["edit_prefix_filter_ab"] = edit_ab
         if ivf_recall is not None:
             payload["ivf_neardup_recall"] = ivf_recall
+        if pos_ab is not None:
+            payload["fuzzy_positional_ab"] = pos_ab
     out_file.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
