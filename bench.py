@@ -435,6 +435,7 @@ def main() -> None:
         "similarity_maxsim_topk",
         "hourly_value_stl",
         "click_position_attribution",
+        "customer_balance_quantile_norm",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

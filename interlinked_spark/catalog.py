@@ -10604,6 +10604,36 @@ def q_click_position_attribution(ev: DataFrame) -> DataFrame:
 
 
 @defq(
+    "customer_balance_quantile_norm",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_acctbal AS v, COUNT(*) AS ceq
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, v,
+           CAST(ceq AS BIGINT) AS n_ties,
+           ROUND((2 * (SUM(ceq) OVER (PARTITION BY c_nationkey ORDER BY v) - ceq)
+                  + ceq)
+                 / (2.0 * SUM(ceq) OVER (PARTITION BY c_nationkey)), 6) AS q
+    FROM cells
+    """,
+    c="table.customer",
+)
+def q_customer_balance_quantile_norm(c: DataFrame) -> DataFrame:
+    """Rank-based quantile normalization per nation (§2b-D feature
+    prep — the distribution-free, outlier-immune complement of the
+    z-score/winsorize family, `operators/aggregates.quantile_normalize`):
+    each distinct balance maps to its tie-AVERAGED percentile midpoint
+    ``(2*c_lt + c_eq) / (2n)``, strictly inside (0, 1) and symmetric.
+    The exactness story is the ``ks_two_sample`` cells shape: rows
+    collapse to distinct-value cells in one hash aggregate, the
+    below-count is a cells-frame cumulative window, and q is ONE
+    division of exact integers — no aggregation order can move it."""
+    from .operators.aggregates import quantile_normalize
+
+    return quantile_normalize(c, ["c_nationkey"], "c_acctbal")
+
+
+@defq(
     "orders_price_ks",
     oracle="""
     WITH cells AS (

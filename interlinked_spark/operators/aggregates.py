@@ -343,6 +343,49 @@ def target_encode_kfold(
     )
 
 
+def quantile_normalize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rank-based quantile normalization per group (§2b-D feature
+    prep — the rank complement of the z-score/winsorize family:
+    distribution-free, outlier-immune, the transform behind
+    quantile-uniform feature scaling and rank-IC style metrics).
+    Each distinct value maps to its tie-AVERAGED percentile midpoint
+    ``q = (2*c_lt + c_eq) / (2n)`` — count-below plus half the tied
+    mass, the midpoint convention that keeps q symmetric
+    (q(v) + q(-v) = 1 on a sign-flipped distribution) and strictly
+    inside (0, 1).
+
+    Exactness is the design (the ``ks_two_sample`` cells shape): rows
+    collapse to distinct-value CELLS in one hash aggregate, c_lt is a
+    cumulative window over the cells, and q is ONE division of exact
+    integers — no engine's aggregation order can move it.  Returns one
+    row per (keys, value) cell: ``(keys..., v, n_ties, q)``."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    cells = (
+        df.select(*keys, F.col(value_col).alias("v"))
+        .groupBy(*keys, "v")
+        .agg(F.count("*").alias("__ceq"))
+    )
+    w = Window.partitionBy(*keys).orderBy("v") if keys else Window.partitionBy().orderBy("v")
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    return cells.select(
+        *keys,
+        "v",
+        F.col("__ceq").alias("n_ties"),
+        F.round(
+            (2 * (F.sum("__ceq").over(w) - F.col("__ceq")) + F.col("__ceq"))
+            / (2.0 * F.sum("__ceq").over(wall)),
+            round_dp,
+        ).alias("q"),
+    )
+
+
 def mad_outlier_summary(
     df: DataFrame,
     keys: Sequence[str],

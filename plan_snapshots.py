@@ -187,6 +187,7 @@ EXTENDED = [
     "similarity_maxsim_topk",
     "hourly_value_stl",
     "click_position_attribution",
+    "customer_balance_quantile_norm",
 ]
 
 

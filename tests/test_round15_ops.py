@@ -540,3 +540,15 @@ def test_positional_filter_is_exact_and_cuts_mass(spark):
             l, r, "l_name", "r_name", "l_id", "r_id",
             prefix_filter=False, positional_filter=True,
         )
+
+
+def test_quantile_normalize_reference(spark):
+    """Hand-checked tie-averaged midpoints: values 1,2,2,3 -> q =
+    0.125, 0.5 (both ties), 0.875; symmetric and strictly in (0,1)."""
+    from interlinked_spark.operators.aggregates import quantile_normalize
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", 2.0), ("k", 2.0), ("k", 3.0)], "k string, v double"
+    )
+    got = {r.v: (r.n_ties, r.q) for r in quantile_normalize(df, ["k"], "v").collect()}
+    assert got == {1.0: (1, 0.125), 2.0: (2, 0.5), 3.0: (1, 0.875)}
