@@ -404,6 +404,7 @@ def test_whole_catalog_plan_audit(spark):
         "next_error_asof_fwd",
         "banded_price_match",      # residual-band theta after equi-bucket
         "similarity_cosine_topk",  # documented brute-force: broadcast query side
+        "similarity_maxsim_topk",  # documented brute-force: broadcast query-TOKEN side
         "similarity_ivf_topk",     # probe-list membership against broadcast centroids
         "doc_tfidf_top_terms",     # broadcast ONE-ROW corpus-stats frame
         "doc_bm25_query",          # broadcast ONE-ROW corpus-stats frame
