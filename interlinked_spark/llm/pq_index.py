@@ -433,6 +433,7 @@ def ivfpq_index_matches(
     vec_col: str = "embedding",
     coded_extra: Optional[DataFrame] = None,
     extra_id_lt: bool = False,
+    codebooks=None,
 ) -> DataFrame:
     """Range matches for a batch against the stored index:
     ``(new_id, match_id, adc)`` for every stored vector within
@@ -443,8 +444,16 @@ def ivfpq_index_matches(
     ``coded_extra``: an additional codes frame to match against (the
     gate passes the batch's OWN codes for within-batch pairs); with
     ``extra_id_lt`` the extra side only matches ``match_id < new_id``
-    (first-seen-wins inside one batch)."""
-    coarse, books, meta = load_ivfpq_index(spark, path)
+    (first-seen-wins inside one batch).
+
+    ``codebooks``: the preloaded ``(coarse, books, meta)`` triple from
+    :func:`load_ivfpq_index` — codebooks are IMMUTABLE after build, so
+    a per-batch caller (the streaming gate) loads once and passes them
+    through instead of paying two collects + a meta read per batch."""
+    if codebooks is not None:
+        coarse, books, meta = codebooks
+    else:
+        coarse, books, meta = load_ivfpq_index(spark, path)
     _check_dim(meta, batch, vec_col, "ivfpq_index_matches")
     probed = _probed_queries(batch, coarse, n_probe, id_col, vec_col)
     coded = spark.read.parquet(f"{path}/codes")

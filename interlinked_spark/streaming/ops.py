@@ -784,8 +784,11 @@ def run_vector_neardup_pq_gate_into_parquet(
         coarse_iters=coarse_iters, pq_iters=pq_iters,
         id_col=id_col, vec_col=vec_col, num_files=1,
     )
-    # Codebooks are immutable after build — load ONCE, not per batch.
-    coarse, books, _meta = load_ivfpq_index(spark, index_path)
+    # Codebooks are immutable after build — load ONCE, not per batch
+    # (passed through to the matcher: two collects + a meta read per
+    # batch otherwise).
+    loaded = load_ivfpq_index(spark, index_path)
+    coarse, books, _meta = loaded
 
     def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -800,6 +803,7 @@ def run_vector_neardup_pq_gate_into_parquet(
                 adc_threshold=adc_threshold, n_probe=n_probe,
                 id_col=id_col, vec_col=vec_col,
                 coded_extra=batch_codes, extra_id_lt=True,
+                codebooks=loaded,
             )
             .select(F.col("new_id").alias(id_col))
             .distinct()
