@@ -436,6 +436,7 @@ def main() -> None:
         "hourly_value_stl",
         "click_position_attribution",
         "customer_balance_quantile_norm",
+        "lineitem_month_proration",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

@@ -10634,6 +10634,60 @@ def q_customer_balance_quantile_norm(c: DataFrame) -> DataFrame:
 
 
 @defq(
+    "lineitem_month_proration",
+    oracle="""
+    WITH iv AS (
+      SELECT l_orderkey * 10 + l_linenumber AS line_id,
+             l_extendedprice AS v, l_shipdate AS s,
+             l_shipdate + INTERVAL 1 DAY * (CAST(l_quantity AS INT) % 45 + 5) AS e
+      FROM lineitem
+    ), m AS (
+      SELECT line_id, v, s, e,
+             date_diff('day', s, e) AS total_days,
+             CAST(unnest(generate_series(
+               date_trunc('month', s),
+               date_trunc('month', e - INTERVAL 1 DAY),
+               INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM iv)
+    SELECT line_id, month,
+           CAST(date_diff('day', greatest(s, month),
+                          least(e, month + INTERVAL 1 MONTH)) AS INTEGER)
+             AS days_in_month,
+           CAST(total_days AS INTEGER) AS total_days,
+           FLOOR(v * date_diff('day', greatest(s, month),
+                               least(e, month + INTERVAL 1 MONTH))
+                 / total_days * 1e6 + 0.5) / 1e6 AS prorated
+    FROM m
+    """,
+    li="table.lineitem",
+)
+def q_lineitem_month_proration(li: DataFrame) -> DataFrame:
+    """Calendar-month value proration (§2b-E — the revenue-recognition
+    / cost-allocation staple: a shipment window spanning months
+    recognizes price per month in proportion to overlap days,
+    `operators/timeseries.prorate_by_month`).  Windows are the
+    interval-join family's derived [shipdate, shipdate + (qty%45+5)d)
+    — long enough that most lines cross a month boundary.  The share
+    is one division of exact integer day counts and per-month days sum
+    to the total exactly, so the allocation reconstructs the price to
+    rounding and the whole exploded lattice is value-hash-gated.
+    Row-local month explode: bounded fan-out, no join, no shuffle — a
+    map job at 100 TB."""
+    from .operators.timeseries import prorate_by_month
+
+    iv = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_shipdate").alias("s"),
+        F.date_add(
+            "l_shipdate",
+            F.col("l_quantity").cast("int") % 45 + 5,
+        ).alias("e"),
+    )
+    return prorate_by_month(iv, "s", "e", "v", ["line_id"])
+
+
+@defq(
     "orders_price_ks",
     oracle="""
     WITH cells AS (

@@ -229,6 +229,63 @@ def time_decayed_agg(
     )
 
 
+def prorate_by_month(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    value_col: str,
+    id_cols: Sequence[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Calendar-month proration of an interval-attached value (§2b-E —
+    the revenue-recognition / cost-allocation staple: a contract or
+    shipment spanning months recognizes value per month in proportion
+    to overlap days).  ``end_col`` is EXCLUSIVE, so
+    ``total_days = datediff(end, start)`` and the per-month day counts
+    sum to it exactly; the share is ONE division of exact integer day
+    counts (``days/total``), so the allocation is engine-portable and
+    the per-interval sum reconstructs the value to rounding.
+
+    Shape: row-local month explode (an interval spans
+    ``O(days/30)`` months — bounded fan-out, no join, no shuffle: the
+    100-TB proration is a map job).  Returns ``(id_cols..., month,
+    days_in_month, total_days, prorated)``."""
+    s, e = F.col(start_col), F.col(end_col)
+    total = F.datediff(e, s)
+    months = F.sequence(
+        F.trunc(s, "month"),
+        F.trunc(F.date_sub(e, 1), "month"),
+        F.expr("interval 1 month"),
+    )
+    out = df.select(
+        *id_cols,
+        s.alias("__s"),
+        e.alias("__e"),
+        F.col(value_col).alias("__v"),
+        total.alias("__tot"),
+        F.explode(months).alias("month"),
+    )
+    days = F.datediff(
+        F.least(F.col("__e"), F.add_months(F.col("month"), 1)),
+        F.greatest(F.col("__s"), F.col("month")),
+    )
+    # floor(x*10^dp + 0.5)/10^dp, not round(): the allocation quotient
+    # of a 2dp price lands EXACTLY on 6th-decimal ties (e.g. .4346875)
+    # where the engines' round() implementations split — the portable
+    # floor rule is deterministic on the identical double.
+    scale = float(10**round_dp)
+    return out.select(
+        *id_cols,
+        "month",
+        days.cast("int").alias("days_in_month"),
+        F.col("__tot").cast("int").alias("total_days"),
+        (
+            F.floor(F.col("__v") * days / F.col("__tot") * scale + F.lit(0.5))
+            / scale
+        ).alias("prorated"),
+    )
+
+
 def position_attribution(
     events: DataFrame,
     touch_type: str = "click",

@@ -188,6 +188,7 @@ EXTENDED = [
     "hourly_value_stl",
     "click_position_attribution",
     "customer_balance_quantile_norm",
+    "lineitem_month_proration",
 ]
 
 

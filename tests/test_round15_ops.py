@@ -552,3 +552,29 @@ def test_quantile_normalize_reference(spark):
     )
     got = {r.v: (r.n_ties, r.q) for r in quantile_normalize(df, ["k"], "v").collect()}
     assert got == {1.0: (1, 0.125), 2.0: (2, 0.5), 3.0: (1, 0.875)}
+
+
+def test_proration_days_and_value_reconstruct(spark):
+    """Per-interval invariants: month day-counts sum to total_days
+    exactly, prorated values reconstruct the price to rounding, and a
+    within-month interval yields exactly one full-share row."""
+    from interlinked_spark.operators.timeseries import prorate_by_month
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-20", "2024-03-05", 100.0),   # spans 3 months
+         (2, "2024-02-03", "2024-02-10", 70.0)],   # within one month
+        "id bigint, s string, e string, v double",
+    ).select("id", F.to_date("s").alias("s"), F.to_date("e").alias("e"), "v")
+    rows = prorate_by_month(df, "s", "e", "v", ["id"]).collect()
+    one = [r for r in rows if r.id == 1]
+    assert [str(r.month) for r in sorted(one, key=lambda r: str(r.month))] == [
+        "2024-01-01", "2024-02-01", "2024-03-01"
+    ]
+    assert sum(r.days_in_month for r in one) == one[0].total_days == 45
+    assert abs(sum(r.prorated for r in one) - 100.0) < 1e-4
+    # Jan: 12 days of 45 -> 100*12/45
+    jan = next(r for r in one if str(r.month) == "2024-01-01")
+    assert jan.days_in_month == 12 and abs(jan.prorated - 100 * 12 / 45) < 1e-6
+    two = [r for r in rows if r.id == 2]
+    assert len(two) == 1 and two[0].days_in_month == two[0].total_days == 7
+    assert two[0].prorated == 70.0
