@@ -363,12 +363,21 @@ def quantile_normalize(
     collapse to distinct-value CELLS in one hash aggregate, c_lt is a
     cumulative window over the cells, and q is ONE division of exact
     integers — no engine's aggregation order can move it.  Returns one
-    row per (keys, value) cell: ``(keys..., v, n_ties, q)``."""
+    row per (keys, value) cell: ``(keys..., v, n_ties, q)``.
+
+    NULL values ABSTAIN (ADVICE r15, the ``ks_two_sample`` policy): a
+    NULL has no rank — it would form its own cell whose position
+    depends on the engine's NULL ordering (Spark windows sort NULLs
+    FIRST, the SQL-twin convention LAST), silently shifting EVERY
+    cell's q between engines.  Filtered before the aggregate, so n
+    counts non-NULL rows only; count NULLs upstream if the gap
+    matters."""
     from pyspark.sql import Window
 
     keys = list(keys)
     cells = (
         df.select(*keys, F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .groupBy(*keys, "v")
         .agg(F.count("*").alias("__ceq"))
     )

@@ -221,11 +221,33 @@ def _fuzzy_frames(
     common gram in canonical order always passes the bound when
     J >= t, so at least one occurrence survives for every true pair
     (only redundant occurrences and hopeless pairs are cut — measured
-    in SCALING.json ``fuzzy_positional_ab``)."""
+    in SCALING.json ``fuzzy_positional_ab``).
+
+    Exactness caveat (ADVICE r15): the first-common-gram argument
+    assumes no posting is dropped, so it holds WITHOUT
+    ``max_qgram_df``.  Combining both is lossier than either alone:
+    when the hot-gram cap removes a pair's first common prefix gram,
+    the remaining occurrences carry ranks past it (reachable <= O-1),
+    which can fall below alpha for pairs whose overlap is exactly at
+    the bound — pairs the plain prefix path under the same cap still
+    kept.  Both remain APPROXIMATE under a df cap either way; the
+    combination is allowed (it is the standard recall-for-cost trade)
+    but warns, so the loss is a decision, not a surprise."""
     if positional_filter and not prefix_filter:
         raise ValueError(
             "positional_filter requires prefix_filter: positions are "
             "ranks in the canonical prefix order."
+        )
+    if positional_filter and max_qgram_df is not None:
+        import warnings
+
+        warnings.warn(
+            "positional_filter + max_qgram_df: dropping hot grams can "
+            "push a boundary pair's surviving occurrences past the "
+            "positional bound — recall can dip below the plain "
+            "prefix-filter path under the same cap (see docstring). "
+            "Exactness holds only without max_qgram_df.",
+            stacklevel=3,
         )
 
     def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:

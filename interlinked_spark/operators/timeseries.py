@@ -249,8 +249,19 @@ def prorate_by_month(
     Shape: row-local month explode (an interval spans
     ``O(days/30)`` months — bounded fan-out, no join, no shuffle: the
     100-TB proration is a map job).  Returns ``(id_cols..., month,
-    days_in_month, total_days, prorated)``."""
+    days_in_month, total_days, prorated)``.
+
+    Precondition ``end > start``, enforced by DROPPING violating rows
+    deterministically (ADVICE r15): an inverted or zero-length
+    interval has no days to prorate over — left in, it would make the
+    month ``sequence`` throw an illegal-boundaries runtime error (one
+    bad row killing the whole job) and ``total_days = 0`` divide by
+    zero.  Filter-don't-raise matches the engine's NULL-abstain
+    convention (``ks_two_sample``): malformed intervals are a data
+    quality fact for a dq check to count, not a reason to crash a
+    100-TB allocation run."""
     s, e = F.col(start_col), F.col(end_col)
+    df = df.filter(e > s)
     total = F.datediff(e, s)
     months = F.sequence(
         F.trunc(s, "month"),

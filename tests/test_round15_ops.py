@@ -121,23 +121,28 @@ def test_index_matches_within_batch_id_order(spark, emb, built_index):
     )
 
     coarse, books, _ = load_ivfpq_index(spark, built_index)
-    batch = emb.filter(F.col("vec_id") % 97 == 0)
+    # Shift the batch ids DISJOINT from the stored corpus (ADVICE r15:
+    # with overlapping ids the extra-side matches were masked by the
+    # stored-index matches and the order rule was never asserted) —
+    # any match whose match_id is in the shifted range can only have
+    # come from coded_extra, so extra_id_lt is directly observable.
+    shift = 1_000_000
+    batch = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+    )
     codes = ivfpq_index_codes(batch, coarse, books)
     m = ivfpq_index_matches(
         spark, built_index, batch, adc_threshold=10.0, n_probe=8,
         coded_extra=codes, extra_id_lt=True,
     )
-    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
     rows = m.collect()
     assert rows, "radius 10 with probe-all must match something"
+    extra_side = [r for r in rows if r.match_id >= shift]
+    assert extra_side, "within-batch pairs must surface at radius 10"
+    for r in extra_side:
+        assert r.match_id < r.new_id, "extra_id_lt: smaller id wins"
     for r in rows:
         assert r.new_id != r.match_id
-        if r.match_id in batch_ids and r.new_id in batch_ids:
-            # pairs can also arrive via the stored index (the batch ids
-            # are a subset of the corpus) — those carry both orders;
-            # the within-batch EXTRA side alone is what's order-gated,
-            # so only assert no self and the threshold.
-            pass
         assert r.adc <= 10.0
 
 
