@@ -10240,6 +10240,116 @@ def q_similarity_ivfpq_filtered(
     )
 
 
+@WKF.depend(e="table.embeddings")
+@WKF.provide("ivfpq_index_takedown")
+def _ivfpq_index_takedown(e: DataFrame) -> str:
+    """Routed index state exercising the FULL maintenance lifecycle:
+    build on the base subset (vec_id % 5 != 0, same codebooks as
+    ``ivfpq_index``), DELETE the takedown set (vec_id % 7 == 0) from
+    the stored codes with a compaction ride-along (coarse/books/meta
+    frozen — `llm/pq_index.delete_from_ivfpq_index`), then APPEND the
+    held-out fifth minus the takedown set against the untouched
+    codebooks — proving the append path survives a delete+compact.
+    Final searchable corpus: every vector with vec_id % 7 != 0."""
+    import tempfile
+
+    from .llm.pq_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfpq_takedown_")
+    build_ivfpq_index(
+        e.filter(F.col("vec_id") % 5 != 0), path,
+        coarse_k=KMEANS_K, m=8, k=16,
+        coarse_iters=KMEANS_ITERS, pq_iters=2, num_files=2,
+    )
+    delete_from_ivfpq_index(
+        e.sparkSession, path, e.filter(F.col("vec_id") % 7 == 0),
+        compact=True, num_files=2,
+    )
+    append_ivfpq_index(
+        e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 7 != 0)),
+        path, num_files=1,
+    )
+    return path
+
+
+@defq(
+    "similarity_ivfpq_takedown",
+    oracle=_materialize_ctes(
+        _ivfpq_index_base_sql()
+        + _IVFPQ_IDX_PROBE
+        + f""",
+    fil AS (SELECT * FROM hall WHERE vec_id % 7 != 0),
+    {_ivfpq_idx_dsubs("fil")},
+    adc AS (
+      SELECT d0.qid, d0.nid, round({_ADC_TERMS}, 6) AS adc
+      FROM d0 {_ADC_JOINS}),
+    top AS (
+      SELECT qid, nid, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        FROM adc)
+      WHERE rk <= 5)
+    SELECT qid AS query_id,
+           string_agg(CAST(nid AS VARCHAR), '-' ORDER BY adc, nid) AS neighbors,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN nid % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted_neighbors,
+           FLOOR((SUM(CAST(round(adc * 1e6) AS BIGINT)) + 5000) / 10000.0) / 100.0
+             AS adc_sum
+    FROM top
+    GROUP BY qid
+    """,
+        _IVFPQ_IDX_MAT + ["fil"],
+    ),
+    idx="ivfpq_index_takedown",
+    e="table.embeddings",
+)
+def q_similarity_ivfpq_takedown(
+    idx: str, e: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """Index TAKEDOWN deletion, demonstrated end to end (§2b-K, r15
+    verdict item 5 — the GDPR-shaped operation every persisted index
+    needs): vectors with vec_id % 7 == 0 were DELETED from the stored
+    codes (anti-join rewrite through the crash-safe staged swap, with
+    compaction riding the same batch; codebooks/meta frozen), the
+    held-out fifth was appended AFTER the delete+compact against the
+    untouched codebooks, and the search below runs the standard probed
+    ADC top-5 over what remains.  ``n_deleted_neighbors`` is the
+    structural assertion — a deleted vector appearing in ANY result
+    row would make it nonzero; the neighbor string + integer-scaled
+    ADC mass value-hash-gate the rest.  Oracle = the shared base-fit
+    recurrence with the corpus restricted to the surviving ids, i.e.
+    deletion's exact semantics: the rows are simply gone."""
+    from .llm.pq_index import ivfpq_index_search
+
+    qs = e.filter(F.col("vec_id") < 5)
+    top = ivfpq_index_search(spark, idx, qs, k=5, n_probe=IVF_N_PROBE)
+    return top.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("adc"), F.col("neighbor_id")))
+                ),
+                lambda s: s["neighbor_id"].cast("string"),
+            ),
+            "-",
+        ).alias("neighbors"),
+        F.count("*").cast("bigint").alias("n_returned"),
+        F.sum(
+            F.when(F.col("neighbor_id") % 7 == 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_deleted_neighbors"),
+        (
+            F.floor(
+                (F.sum(F.round(F.col("adc") * 1e6).cast("long")) + 5000) / 10000.0
+            )
+            / 100.0
+        ).alias("adc_sum"),
+    )
+
+
 # Sylvester-Hadamard x md5-sign rotation, re-derived in SQL from the
 # same formula the Spark literal is built from (hd_rotation_matrix):
 # H[i][j] = (-1)^popcount(i & j), D[j] = +-1 off the md5 lattice,
@@ -10477,6 +10587,150 @@ def q_similarity_maxsim_topk(e: DataFrame) -> DataFrame:
 
     toks = explode_token_vectors(e, 4)
     return maxsim_top_k(toks, toks.filter(F.col("id") < 5), k=5)
+
+
+@WKF.depend(e="table.embeddings")
+@WKF.provide("maxsim_token_index")
+def _maxsim_token_index(e: DataFrame) -> str:
+    """Routed MULTI-VECTOR index state: every 16-dim token slice of
+    every embedding coded into the coarse/books/codes/meta layout,
+    keyed by the flat token id ``vec_id * 4 + tok`` with the slicing
+    pinned in ``meta_tokens/`` — built once per run and memoized, the
+    late-interaction counterpart of ``ivfpq_index``
+    (`llm/pq_index.build_ivfpq_token_index`)."""
+    import tempfile
+
+    from .llm.pq_index import build_ivfpq_token_index
+    from .llm.similarity import explode_token_vectors
+
+    path = tempfile.mkdtemp(prefix="maxsim_tok_idx_")
+    build_ivfpq_token_index(
+        explode_token_vectors(e, 4), path, n_slices=4,
+        coarse_k=KMEANS_K, m=2, k=16,
+        coarse_iters=KMEANS_ITERS, pq_iters=2, num_files=2,
+    )
+    return path
+
+
+# Flat token table for the token-index oracle: one 16-dim row per
+# (vector, slice), keyed by the same flat id the Spark index stores.
+_MAXSIM_IDX_SRC = """(SELECT e.vec_id * 4 + t.t AS vec_id,
+           (e.embedding::DOUBLE[])[CAST(t.t * 16 + 1 AS BIGINT):CAST(t.t * 16 + 16 AS BIGINT)] AS embedding
+    FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 4)) AS t) t)"""
+
+# Per-subspace ADC terms over the token codes (m=2, dsub=8): the
+# fit corpus IS the encode corpus, so the final PQ assignment
+# mts{s}af doubles as the stored code — no separate enc CTE.
+_MAXSIM_IDX_DSUBS = ",\n".join(
+    f"""md{s} AS (
+      SELECT q.qid, h.vec_id AS nid,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (q.rv[i + {s * 8}] - c.c[i]) * (q.rv[i + {s * 8}] - c.c[i]))), 6) AS t
+      FROM qres q
+      JOIN afinal h ON h.cid = q.cid AND (h.vec_id // 4) != (q.qid // 4)
+      JOIN mts{s}af a ON a.vec_id = h.vec_id
+      JOIN mts{s}c2 c ON c.cid = a.cid)"""
+    for s in range(2)
+)
+
+_MAXSIM_IDX_MAT = ["a1", "a2", "a3", "afinal", "rall", "qres", "probe",
+                   "md0", "md1", "cand", "pairs", "tv"] + [
+    f"mts{s}{x}" for s in range(2) for x in ("af", "c2", "a1", "a2")
+]
+
+
+@defq(
+    "similarity_maxsim_reranked",
+    oracle=_materialize_ctes(
+        _kmeans_assign_sql(d=16, src=_MAXSIM_IDX_SRC)
+        + f"""
+    , rall AS (
+      SELECT a.vec_id, list_transform(range(1, 17), i -> a.v[i] - c.c[i]) AS v
+      FROM afinal a JOIN c{KMEANS_ITERS} c ON a.cid = c.cid),
+    {",".join(_pq_parts(2, 16, 2, 16, vec_cte="rall", tag="mt"))},
+    probe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 17),
+                   i -> (e.v[i]-s.c[i])*(e.v[i]-s.c[i]))), 6), s.cid) AS rk
+        FROM (SELECT * FROM emb WHERE vec_id < 20) e
+        CROSS JOIN c{KMEANS_ITERS} s)
+      WHERE rk <= {IVF_N_PROBE}),
+    qres AS (
+      SELECT p.qid, p.cid,
+             list_transform(range(1, 17), i -> e.v[i] - c.c[i]) AS rv
+      FROM probe p
+      JOIN emb e ON e.vec_id = p.qid
+      JOIN c{KMEANS_ITERS} c ON c.cid = p.cid),
+    {_MAXSIM_IDX_DSUBS},
+    adc AS (
+      SELECT md0.qid, md0.nid, round(md0.t + md1.t, 6) AS adc
+      FROM md0 JOIN md1 ON md1.qid = md0.qid AND md1.nid = md0.nid),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+        FROM adc)
+      WHERE rk <= 8),
+    pairs AS (SELECT DISTINCT qid // 4 AS qdoc, nid // 4 AS ndoc FROM cand),
+    tv AS (
+      SELECT vec_id, t,
+             v0[CAST(t * 16 + 1 AS BIGINT):CAST(t * 16 + 16 AS BIGINT)] AS tv
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v0, unnest(range(0, 4)) AS t
+            FROM embeddings)),
+    pertok AS (
+      SELECT p.qdoc, p.ndoc, q.t AS qt, MAX({_MAXSIM_COS}) AS best
+      FROM pairs p
+      JOIN tv q ON q.vec_id = p.qdoc
+      JOIN tv c ON c.vec_id = p.ndoc
+      GROUP BY 1, 2, 3),
+    rescored AS (
+      SELECT qdoc, ndoc, round(SUM(best), 6) AS maxsim
+      FROM pertok GROUP BY 1, 2)
+    SELECT CAST(qdoc AS INTEGER) AS query_id,
+           CAST(ndoc AS INTEGER) AS neighbor_id, maxsim
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY qdoc ORDER BY maxsim DESC, ndoc) AS rk
+          FROM rescored)
+    WHERE rk <= 5
+    """,
+        _MAXSIM_IDX_MAT,
+    ),
+    idx="maxsim_token_index",
+    e="table.embeddings",
+)
+def q_similarity_maxsim_reranked(
+    idx: str, e: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """MaxSim's PRODUCTION composition (§2b-K, r15 verdict item 4 —
+    the shape ``similarity_maxsim_topk``'s docstring promised): stage
+    1 generates candidates from the stored MULTI-VECTOR index — each
+    query token probes 3 coarse lists and ADC-scores only
+    those lists' stored token codes (2 bytes per candidate token, raw
+    vectors never touched), keeping its 8 best token matches; the
+    candidate docs are the union of decoded doc ids (ColBERT's
+    candidate generation over a FAISS token index).  Stage 2 re-ranks
+    ONLY those (query, candidate) pairs by EXACT MaxSim over raw token
+    vectors (`llm/pq_index.maxsim_index_search_reranked`).  This
+    retires ``similarity_maxsim_topk``'s brute-force broadcast to
+    correctness-baseline status: at 100 TB the corpus-token scan stays
+    quantized and list-pruned, and the exact reads are
+    shortlist-sized.  Self-matches are excluded at DOC granularity.
+    Oracle unrolls the token-index fit + encode + probe + ADC top-8 +
+    exact MaxSim re-rank, so BOTH stages are value-hash-gated."""
+    from .llm.pq_index import maxsim_index_search_reranked
+    from .llm.similarity import explode_token_vectors
+
+    toks = explode_token_vectors(e, 4)
+    top = maxsim_index_search_reranked(
+        spark, idx, toks.filter(F.col("id") < 5), toks,
+        k=5, cand_per_token=8, n_probe=IVF_N_PROBE,
+    )
+    return top.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").cast("int").alias("neighbor_id"),
+        "maxsim",
+    )
 
 
 @defq(

@@ -57,6 +57,9 @@ __all__ = [
     "ivfpq_index_search",
     "ivfpq_index_search_reranked",
     "ivfpq_index_matches",
+    "build_ivfpq_token_index",
+    "maxsim_index_search_reranked",
+    "delete_from_ivfpq_index",
 ]
 
 
@@ -205,6 +208,38 @@ def _check_dim(meta, batch: DataFrame, vec_col: str, caller: str) -> None:
         )
 
 
+def _recon_err_col(
+    vec_col,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+) -> tuple[F.Column, F.Column]:
+    """``(home_list, reconstruction_error)`` for one vector column —
+    the squared-L2 distance between the vector and its IVF-PQ decode
+    (coarse centroid + per-subspace book centroids), 6dp-rounded.
+    Row-local like the encode itself; this is the quantity ADC
+    approximates, measured on the vector's OWN codes."""
+    dsub = len(books[0][0][1])
+    home, codes = _encode_cols(vec_col, coarse, books)
+    coarse_c = F.element_at(_centroid_literal(coarse), home + 1)["c"]
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    resid = F.zip_with(v, coarse_c, lambda x, c: x.cast("double") - c)
+    terms = []
+    for s, book in enumerate(books):
+        sub = F.slice(resid, s * dsub + 1, dsub)
+        decoded = F.element_at(_centroid_literal(book), codes[s] + 1)["c"]
+        terms.append(
+            F.aggregate(
+                F.zip_with(sub, decoded, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    err = terms[0]
+    for t in terms[1:]:
+        err = err + t
+    return home, F.round(err, 6)
+
+
 def append_ivfpq_index(
     new_vectors: DataFrame,
     path: str,
@@ -212,7 +247,9 @@ def append_ivfpq_index(
     vec_col: str = "embedding",
     num_files: int = 4,
     codes: Optional[DataFrame] = None,
-) -> None:
+    codebooks=None,
+    stats: bool = True,
+) -> Optional[dict]:
     """Encode a batch against the FROZEN stored codebooks and append
     its codes — no refit, ever: refitting would re-key every stored
     code (the whole index would need re-encoding), so the stored
@@ -224,13 +261,31 @@ def append_ivfpq_index(
     this exact batch — pass it to skip re-encoding when the batch was
     already coded for matching (the streaming gate's shape).  It MUST
     come from this index's stored codebooks; producing it any other
-    way re-introduces the parameter drift the meta exists to prevent."""
+    way re-introduces the parameter drift the meta exists to prevent.
+
+    ``stats`` (the DRIFT MONITOR — frozen codebooks go stale as the
+    data distribution moves, and nothing else in the lifecycle would
+    ever say so): each append aggregates its batch's reconstruction
+    error (mean + exact p95 of the vector-vs-decode squared L2) and
+    coarse-list occupancy concentration (largest list's share of the
+    batch, lists hit), appends ONE row to ``{path}/append_stats/``
+    keyed by a monotone ``batch_seq``, and returns that row as a dict
+    — the PSI-for-indexes analog: a rising error trend or occupancy
+    collapsing into few lists is the retrain signal.  One tiny
+    aggregate over a batch the append already scans; pass
+    ``stats=False`` to skip, or ``codebooks`` (the preloaded triple)
+    to avoid re-collecting them per batch (the streaming gate's
+    shape)."""
     from ..sources.writers import write_table
 
     spark = new_vectors.sparkSession
-    if codes is None:
-        coarse, books, meta = load_ivfpq_index(spark, path)
+    need_books = codes is None or stats
+    if need_books and codebooks is None:
+        codebooks = load_ivfpq_index(spark, path)
+    if codebooks is not None:
+        coarse, books, meta = codebooks
         _check_dim(meta, new_vectors, vec_col, "append_ivfpq_index")
+    if codes is None:
         codes = ivfpq_index_codes(
             new_vectors, coarse, books, id_col=id_col, vec_col=vec_col
         )
@@ -239,6 +294,51 @@ def append_ivfpq_index(
         f"{path}/codes",
         mode="append",
     )
+    if not stats:
+        return None
+    home, err = _recon_err_col(vec_col, coarse, books)
+    agg = (
+        new_vectors.select(home.alias("__list"), err.alias("__err"))
+        .groupBy("__list")
+        .agg(F.count("*").alias("__n"), F.sum("__err").alias("__se"))
+        .agg(
+            F.sum("__n").alias("n"),
+            F.round(F.sum("__se") / F.sum("__n"), 6).alias("mean_err"),
+            # exact p95 needs the ungrouped values; recompute below —
+            # this pass only carries counts for the occupancy share
+            F.round(F.max("__n") / F.sum("__n"), 6).alias("max_list_frac"),
+            F.count("*").cast("int").alias("n_lists_hit"),
+        )
+        .first()
+    )
+    p95 = (
+        new_vectors.select(err.alias("__err"))
+        .agg(F.round(F.expr("percentile(__err, 0.95)"), 6).alias("p"))
+        .first()["p"]
+    )
+    try:
+        prev = spark.read.parquet(f"{path}/append_stats")
+        seq = int(prev.agg(F.max("batch_seq")).first()[0]) + 1
+    except Exception:  # noqa: BLE001 - first append: no stats table yet
+        seq = 0
+    row = {
+        "batch_seq": seq,
+        "n": int(agg["n"]),
+        "mean_err": float(agg["mean_err"]),
+        "p95_err": float(p95),
+        "max_list_frac": float(agg["max_list_frac"]),
+        "n_lists_hit": int(agg["n_lists_hit"]),
+    }
+    write_table(
+        spark.createDataFrame(
+            [tuple(row.values())],
+            "batch_seq int, n bigint, mean_err double, p95_err double, "
+            "max_list_frac double, n_lists_hit int",
+        ),
+        f"{path}/append_stats",
+        mode="append",
+    )
+    return row
 
 
 def _probed_queries(
@@ -468,3 +568,176 @@ def ivfpq_index_matches(
         F.col("neighbor_id").alias("match_id"),
         "adc",
     )
+
+
+def build_ivfpq_token_index(
+    corpus_tokens: DataFrame,
+    path: str,
+    n_slices: int,
+    coarse_k: int = 8,
+    m: int = 2,
+    k: int = 16,
+    coarse_iters: int = 3,
+    pq_iters: int = 2,
+    num_files: int = 8,
+) -> None:
+    """MULTI-VECTOR variant of the stored index for late-interaction
+    retrieval: the corpus is a token frame ``(id, tok, tv)`` (one row
+    per token vector, ``similarity.explode_token_vectors``'s contract)
+    and every TOKEN vector is coded into the same
+    ``coarse/books/codes/meta`` layout, keyed by the flat token id
+    ``id * n_slices + tok`` — exactly how ColBERT deployments store
+    token vectors in a FAISS index with an embedding->passage id
+    mapping, except here the mapping is arithmetic (``doc = tid //
+    n_slices``) so no side table is needed.  ``meta_tokens/`` pins
+    ``n_slices`` next to the geometry meta so search can NEVER decode
+    doc ids against a different slicing than the stored corpus.
+
+    Reuses :func:`build_ivfpq_index` wholesale: fit, encode, and the
+    list-clustered codes parquet are identical machinery — the token
+    index IS an IVF-PQ index whose "vectors" happen to be tokens."""
+    from ..sources.writers import write_single_file
+
+    flat = corpus_tokens.select(
+        (F.col("id").cast("long") * n_slices + F.col("tok")).alias("vec_id"),
+        F.col("tv").alias("embedding"),
+    )
+    build_ivfpq_index(
+        flat, path, coarse_k=coarse_k, m=m, k=k,
+        coarse_iters=coarse_iters, pq_iters=pq_iters, num_files=num_files,
+    )
+    write_single_file(
+        corpus_tokens.sparkSession.createDataFrame(
+            [(int(n_slices),)], "n_slices int"
+        ),
+        f"{path}/meta_tokens",
+    )
+
+
+def maxsim_index_search_reranked(
+    spark: SparkSession,
+    path: str,
+    query_tokens: DataFrame,
+    corpus_tokens: DataFrame,
+    k: int = 5,
+    cand_per_token: int = 8,
+    n_probe: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """MaxSim's production composition (the shape
+    ``similarity.maxsim_top_k``'s docstring promises): stage 1 runs
+    ANN over the STORED token codes — each query token probes its
+    ``n_probe`` coarse lists, ADC-scores only those lists' stored
+    token codes (m bytes per candidate token, raw vectors never
+    touched), and keeps its ``cand_per_token`` best token matches;
+    the candidate DOC set per query is the union of those matches'
+    decoded doc ids (ColBERT's candidate generation).  Stage 2
+    re-ranks ONLY the ``(query, candidate_doc)`` pairs by EXACT
+    MaxSim over raw token vectors — sum over query tokens of the max
+    6dp-rounded cosine, ``maxsim_top_k``'s arithmetic verbatim.
+
+    At 100 TB the stage-1 scan prunes to the probed lists' files of
+    the list-clustered codes parquet and the stage-2 exact reads are
+    shortlist-sized (|queries| * n_slices * cand_per_token pairs,
+    broadcastable at any corpus size).  Self-matches are excluded at
+    DOC granularity (``tid // n_slices``), not token granularity —
+    a query must never retrieve its own document through a different
+    token.  Returns ``(query_id, neighbor_id, maxsim)``,
+    descending-score top-k with ascending-id ties."""
+    from ..operators.windows import top_k_per_group
+    from .similarity import cosine_similarity
+
+    coarse, books, meta = load_ivfpq_index(spark, path)
+    n_slices = int(
+        spark.read.parquet(f"{path}/meta_tokens").first()["n_slices"]
+    )
+    qflat = query_tokens.select(
+        (F.col("id").cast("long") * n_slices + F.col("tok")).alias("vec_id"),
+        F.col("tv").alias("embedding"),
+    )
+    _check_dim(meta, qflat, "embedding", "maxsim_index_search_reranked")
+    probed = _probed_queries(qflat, coarse, n_probe, "vec_id", "embedding")
+    coded = spark.read.parquet(f"{path}/codes")
+    scored = _adc_scored(coded, probed, coarse, books)
+    cands = scored.filter(
+        F.floor(F.col("query_id") / n_slices)
+        != F.floor(F.col("neighbor_id") / n_slices)
+    )
+    shortlist = top_k_per_group(
+        cands,
+        ["query_id"],
+        [F.col("adc").asc(), F.col("neighbor_id").asc()],
+        cand_per_token,
+    )
+    pairs = shortlist.select(
+        F.floor(F.col("query_id") / n_slices).cast("long").alias("__qdoc"),
+        F.floor(F.col("neighbor_id") / n_slices).cast("long").alias("__ndoc"),
+    ).distinct()
+    q = query_tokens.select(
+        F.col("id").cast("long").alias("__qdoc"),
+        F.col("tok").alias("__qt"),
+        F.col("tv").alias("__qv"),
+    )
+    c = corpus_tokens.select(
+        F.col("id").cast("long").alias("__ndoc"),
+        F.col("tv").alias("__cv"),
+    )
+    pertok = (
+        c.join(F.broadcast(pairs), "__ndoc")
+        .join(F.broadcast(q), "__qdoc")
+        .withColumn(
+            "__cos",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), round_dp),
+        )
+        .groupBy("__qdoc", "__ndoc", "__qt")
+        .agg(F.max("__cos").alias("__best"))
+    )
+    rescored = pertok.groupBy("__qdoc", "__ndoc").agg(
+        F.round(F.sum("__best"), round_dp).alias("maxsim")
+    )
+    return top_k_per_group(
+        rescored.select(
+            F.col("__qdoc").alias("query_id"),
+            F.col("__ndoc").alias("neighbor_id"),
+            "maxsim",
+        ),
+        ["query_id"],
+        [F.col("maxsim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def delete_from_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    compact: bool = False,
+    num_files: int = 8,
+) -> None:
+    """Takedown / right-to-erasure over the stored index: remove the
+    listed vectors' rows from ``{path}/codes`` — the GDPR-shaped
+    operation every persisted 100-TB index needs.  ``coarse/books/
+    meta`` stay FROZEN: codebooks are statistics over the historical
+    fit sample, not per-row data, so deletion never touches them (the
+    same reason append never refits) — a deleted vector's influence on
+    a centroid is not personal data retention any more than a dropped
+    row's influence on a historical AVG is.  Composition of the
+    generic lifecycle primitives: ``sources.writers.delete_rows``
+    (anti-join rewrite through the crash-safe staged swap) plus an
+    optional ``compact_table`` ride-along (``compact=True``) so a
+    takedown batch can fold the file-count maintenance into its
+    rewrite instead of paying two swaps.  Search needs no code change
+    to respect deletion — it reads ``codes/``, and the rows are gone;
+    append keeps working against the untouched codebooks."""
+    from ..sources.writers import compact_table, delete_rows
+
+    delete_rows(
+        spark, f"{path}/codes",
+        ids.select(F.col(id_col).alias("id")), ["id"],
+    )
+    if compact:
+        compact_table(
+            spark, f"{path}/codes", num_files=num_files,
+            cluster_cols=["list"],
+        )

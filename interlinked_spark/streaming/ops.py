@@ -810,7 +810,14 @@ def run_vector_neardup_pq_gate_into_parquet(
         )
         accepted = batch_df.join(rejected, id_col, "left_anti")
         accepted.write.mode("append").parquet(accepted_path)
-        append_ivfpq_index(batch_df, index_path, codes=batch_codes)
+        # codebooks passed through (immutable, loaded once at build —
+        # the stats rider would otherwise re-collect them per batch);
+        # the drift monitor runs per micro-batch, so append_stats IS
+        # the stream's codebook-staleness trend.
+        append_ivfpq_index(
+            batch_df, index_path, id_col=id_col, vec_col=vec_col,
+            codes=batch_codes, codebooks=loaded,
+        )
 
     foreach_batch_into(vec_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
     return accepted_path, index_path

@@ -189,6 +189,11 @@ EXTENDED = [
     "click_position_attribution",
     "customer_balance_quantile_norm",
     "lineitem_month_proration",
+    # round-16 additions: the token-index MaxSim re-rank and the
+    # takedown search (both build their routed index per run; the
+    # plan under gate is the stored-codes probed join + re-rank).
+    "similarity_maxsim_reranked",
+    "similarity_ivfpq_takedown",
 ]
 
 
