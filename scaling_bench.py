@@ -318,6 +318,38 @@ HEAVY = [
     ("similarity_pq_adc", None),
     ("similarity_ivfpq_probed", None),
     ("similarity_ivfpq_indexed", None),
+    # round 16 (r15 verdict item 3): the round-15 surface that shipped
+    # without exponents.  similarity_maxsim_topk is the brute-force
+    # late-interaction broadcast: corpus tokens grow k-fold (4 per
+    # scaled embedding) against a FIXED 20-token query side, so the
+    # candidate mass |q_toks| x |c_toks| grows exactly k-fold and the
+    # claim is ~linear — the row exists to price that mass honestly
+    # against the indexed twin below.  similarity_maxsim_reranked
+    # rebuilds its token index per run (the per-run-build harness
+    # caveat of similarity_ivfpq_indexed applies) and then pays probed
+    # token-ADC + a shortlist-sized exact re-rank.  embedding_pq_rotated
+    # is the rotated fit+encode (~linear like embedding_pq_codes; the
+    # rotation itself is a row-local matvec).  doc_overlap_chunks /
+    # lineitem_month_proration are the map-job confirmations (expect
+    # output exponent ~1.0, runtime ≪ shuffle-bound rows).
+    # hourly_value_stl / hourly_value_interp / click_position_attribution
+    # scale off id-shifted events: k-fold rows over the SAME time range,
+    # so the STL/interp grid is constant-size per event_type and the
+    # cost beyond the scan is the (keys x hours) window frame;
+    # attribution's per-user windows grow with k-fold distinct users.
+    # customer_balance_quantile_norm scales off id-shifted customers
+    # with UNCHANGED balances: rows grow k-fold while the distinct-value
+    # CELLS frame stays ~constant — the row exists to show the cells
+    # shape absorbing row growth (the ks_two_sample design argument).
+    ("similarity_maxsim_topk", None),
+    ("similarity_maxsim_reranked", None),
+    ("embedding_pq_rotated", None),
+    ("doc_overlap_chunks", None),
+    ("lineitem_month_proration", None),
+    ("hourly_value_stl", None),
+    ("hourly_value_interp", None),
+    ("click_position_attribution", None),
+    ("customer_balance_quantile_norm", None),
 ]
 
 
@@ -477,6 +509,12 @@ SHIFTED = {
     # graph (k^2 pairs per part) instead of growing it as k disjoint
     # subgraphs.  Nothing in the heavy set joins lineitem to part.
     "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    # round 16: key-shifted customers with UNCHANGED balances — rows
+    # grow k-fold while the distinct-balance CELLS frame stays put,
+    # which is exactly the claim customer_balance_quantile_norm's row
+    # exists to measure.  (No heavy-set query joins customer to the
+    # shifted orders' o_custkey, so the dangling keys are inert.)
+    "customer": ["c_custkey"],
 }
 
 
@@ -492,7 +530,7 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
         out = os.path.join(cache, f"x{k}")
         # versioned marker: bumping it invalidates cache dirs built
         # under an older SHIFTED/perturbation layout
-        if os.path.exists(os.path.join(out, "_DONE_v5")):
+        if os.path.exists(os.path.join(out, "_DONE_v6")):
             return out
         if os.path.exists(out):  # stale (old-layout or partial) build
             shutil.rmtree(out)
@@ -517,7 +555,7 @@ def build_scaled_dir(spark: SparkSession, base: str, k: int) -> str:
             continue
         os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     if cache:
-        Path(out, "_DONE_v5").touch()
+        Path(out, "_DONE_v6").touch()
     return out
 
 
@@ -763,6 +801,149 @@ def edit_prefix_ab(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+def _rerank_index(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """One stored IVF-PQ index over the base embeddings (catalog
+    geometry: base-subset fit, held-out fifth appended) shared by the
+    two round-16 stored-index sweeps."""
+    from interlinked_spark.llm.pq_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="scale_rrk_idx_")
+    build_ivfpq_index(
+        e.filter(F.col("vec_id") % 5 != 0), path,
+        coarse_k=8, m=8, k=16, num_files=2,
+    )
+    append_ivfpq_index(
+        e.filter(F.col("vec_id") % 5 == 0), path, num_files=1, stats=False
+    )
+    return path, e
+
+
+def ivfpq_rerank_c_sweep(spark: SparkSession, sf_dir: str) -> dict:
+    """Shortlist-width dial for the two-stage re-rank (r15 verdict
+    items 3/7): for c in {5, 20, 50}, time the stored-index re-ranked
+    search and measure in-run recall@5 against the EXACT squared-L2
+    top-5 (computed brute-force over the full corpus, self excluded).
+    What c buys: the re-rank recovers ADC-ordering error INSIDE the
+    probed lists — a neighbor whose home list was never probed is a
+    stage-0 miss no shortlist width recovers (that dial is n_probe,
+    measured by the recall sweep's probe axis).  So recall should rise
+    with c and saturate at the probe ceiling, while cost grows with
+    the |q| x c exact reads."""
+    from pyspark.sql import Window
+
+    from interlinked_spark.llm.pq_index import ivfpq_index_search_reranked
+
+    path, e = _rerank_index(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < 5)
+    q = qs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("__q"))
+    c_ = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("__n"))
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "__q", "__n",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    exact = (
+        c_.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .withColumn("__l2", l2)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("__l2").asc(), F.col("nid").asc())
+            ),
+        )
+        .filter(F.col("__rk") <= 5)
+        .select("qid", "nid")
+        .collect()
+    )
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.nid)
+    out: dict[str, dict] = {}
+    for c in (5, 20, 50):
+        start = time.perf_counter()
+        got = ivfpq_index_search_reranked(
+            spark, path, qs, e, k=5, c=c, n_probe=3
+        ).collect()
+        sec = round(time.perf_counter() - start, 3)
+        by_q: dict[int, set] = {}
+        for r in got:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recall = round(
+            sum(len(by_q.get(qid, set()) & t) / len(t) for qid, t in truth.items())
+            / max(len(truth), 1),
+            3,
+        )
+        out[str(c)] = {"sec": sec, "recall_at_5": recall}
+        print(
+            json.dumps(
+                {"rerank_c": c, "sec": sec, "recall_at_5": recall},
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def ivfpq_filter_selectivity_sweep(spark: SparkSession, sf_dir: str) -> dict:
+    """Selectivity dial for filtered ANN (r15 verdict item 3): the
+    ``allowed`` predicate semi-joins the CODES side BEFORE scoring, so
+    the ADC candidate mass — counted directly from the scored frame,
+    pre-top-k — should track the filter's selectivity ~proportionally
+    (the design claim: excluded vectors never cost an ADC fold).
+    Sweeps label % m == 0 for m in {1, 2, 10} (~100/50/10% of the
+    corpus) and records selectivity, candidate mass, and search time."""
+    from interlinked_spark.llm.pq_index import (
+        _adc_scored,
+        _probed_queries,
+        ivfpq_index_search,
+        load_ivfpq_index,
+    )
+
+    path, e = _rerank_index(spark, sf_dir)
+    n_corpus = e.count()
+    qs = e.filter(F.col("vec_id") < 5)
+    coarse, books, _meta = load_ivfpq_index(spark, path)
+    out: dict[str, dict] = {}
+    for m in (1, 2, 10):
+        allowed = e.filter(F.col("label") % m == 0)
+        sel = round(allowed.count() / n_corpus, 3)
+        coded = spark.read.parquet(f"{path}/codes").join(
+            allowed.select(F.col("vec_id").alias("id")), "id", "semi"
+        )
+        probed = _probed_queries(qs, coarse, 3, "vec_id", "embedding")
+        mass = _adc_scored(coded, probed, coarse, books).count()
+        start = time.perf_counter()
+        ivfpq_index_search(
+            spark, path, qs, k=5, n_probe=3, allowed=allowed
+        ).write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - start, 3)
+        out[str(m)] = {
+            "selectivity": sel, "adc_candidates": mass, "sec": sec
+        }
+        print(
+            json.dumps(
+                {"filter_mod": m, "selectivity": sel,
+                 "adc_candidates": mass, "sec": sec},
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def fit_exponent(points: list[tuple[float, float]]) -> float:
     """Least-squares slope of log(y) on log(x)."""
     import math
@@ -878,6 +1059,12 @@ def main() -> None:
             json.dumps({"fuzzy_positional_ab": pos_ab}, separators=(",", ":")),
             flush=True,
         )
+    rerank_c = None
+    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_RERANK_C"):
+        rerank_c = ivfpq_rerank_c_sweep(spark, base)
+    filter_sel = None
+    if not os.environ.get("SPARK_GRAFT_SCALE_SKIP_FILTER_SEL"):
+        filter_sel = ivfpq_filter_selectivity_sweep(spark, base)
 
     out_file = Path(__file__).resolve().parent / "SCALING.json"
     if only and out_file.exists():
@@ -903,6 +1090,10 @@ def main() -> None:
                 payload["ivf_neardup_recall"] = ivf_recall
             if pos_ab is not None:
                 payload["fuzzy_positional_ab"] = pos_ab
+            if rerank_c is not None:
+                payload["ivfpq_rerank_c"] = rerank_c
+            if filter_sel is not None:
+                payload["ivfpq_filter_selectivity"] = filter_sel
         except (json.JSONDecodeError, OSError, KeyError):
             payload = {
                 "metric": "scaling_exponents",
@@ -929,6 +1120,10 @@ def main() -> None:
             payload["ivf_neardup_recall"] = ivf_recall
         if pos_ab is not None:
             payload["fuzzy_positional_ab"] = pos_ab
+        if rerank_c is not None:
+            payload["ivfpq_rerank_c"] = rerank_c
+        if filter_sel is not None:
+            payload["ivfpq_filter_selectivity"] = filter_sel
     out_file.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
