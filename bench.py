@@ -442,6 +442,8 @@ def main() -> None:
         # production loop amortizes)
         "similarity_maxsim_reranked",
         "similarity_ivfpq_takedown",
+        "orders_price_ddsketch",
+        "stream_price_ddsketch",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

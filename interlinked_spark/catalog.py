@@ -7113,6 +7113,153 @@ def q_events_qhist_state_quantiles(spark: SparkSession, base_dir: str) -> DataFr
     )
 
 
+DD_ALPHA = 0.01
+_DD_GAMMA = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
+_DD_LOG_GAMMA = __import__("math").log(_DD_GAMMA)
+
+
+@defq(
+    "orders_price_ddsketch",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    b AS (
+      SELECT g, CAST(ceil(round(ln(v) / {_DD_LOG_GAMMA!r}, 6)) AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM src GROUP BY 1, 2),
+    n AS (SELECT g, SUM(cnt) AS total FROM b GROUP BY 1),
+    c AS (SELECT g, bucket,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum
+          FROM b),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    pick AS (
+      SELECT c.g, qs.q, MIN(c.bucket) AS bucket
+      FROM c JOIN n USING (g) CROSS JOIN qs
+      WHERE c.cum >= GREATEST(CAST(ceil(qs.q * n.total) AS BIGINT), 1)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+      FROM src),
+    exact AS (
+      SELECT r.g, qs.q, ROUND(r.v, 6) AS exact_disc
+      FROM ranked r JOIN n ON n.g = r.g CROSS JOIN qs
+      WHERE r.rn = GREATEST(CAST(ceil(qs.q * n.total) AS BIGINT), 1))
+    SELECT p.g AS o_orderpriority, p.q, p.bucket,
+           ROUND(2 * pow({_DD_GAMMA!r}, p.bucket) / ({_DD_GAMMA!r} + 1), 6) AS est,
+           CAST(n.total AS BIGINT) AS n,
+           e.exact_disc,
+           abs(ROUND(2 * pow({_DD_GAMMA!r}, p.bucket) / ({_DD_GAMMA!r} + 1), 6)
+               - e.exact_disc) / e.exact_disc <= {DD_ALPHA!r} + 1e-6 AS within_bound,
+           TRUE AS merge_exact
+    FROM pick p
+    JOIN n ON n.g = p.g
+    JOIN exact e ON e.g = p.g AND e.q = p.q
+    """,
+)
+def q_orders_price_ddsketch(spark: SparkSession, base_dir: str) -> DataFrame:
+    """DDSketch relative-error quantile state (§2b-D approx family —
+    Masson, Rim & Lee 2019, the DataDog sketch): completes the
+    persisted mergeable-sketch trilogy (HLL distinct, CMS frequency,
+    and now RELATIVE-error quantiles) and complements the fixed-grid
+    histogram state: qhist gives absolute error but needs a sized
+    ``[lo, hi)`` domain; DDSketch's log-width buckets guarantee
+    ``|est - true| / true <= alpha`` at EVERY magnitude with no bounds
+    to size — the production choice for long-tailed positive metrics
+    (latencies, prices).  Lifecycle mirrors qhist: build on even
+    orderkeys, append odd under the alpha pinned in meta, answer from
+    the tiny state (bucket-cumsum, ~1040 occupied buckets max at
+    alpha=0.01 across nine decades).  Three derived assertions ride:
+    ``within_bound`` (the alpha guarantee checked against the exact
+    rank statistic), ``merge_exact`` (appended state equals the
+    one-shot sketch bucket-by-bucket — integer sums are
+    batching-invariant, the property HLL only has register-wise), and
+    the bucket index itself.  Engine-portability: ln(gamma) rides as a
+    Python literal and the log-ratio rounds 6dp before ceil
+    (`operators/sketches.py::ddsketch_buckets`)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .operators.sketches import (
+        ddsketch_buckets,
+        ddsketch_build,
+        ddsketch_quantiles,
+        ddsketch_update,
+    )
+
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    path = tempfile.mkdtemp(prefix="ddsketch_state_")
+    ddsketch_build(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        ["o_orderpriority"], "o_totalprice", path, alpha=DD_ALPHA,
+    )
+    ddsketch_update(
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        ["o_orderpriority"], "o_totalprice", path,
+    )
+    est = ddsketch_quantiles(
+        spark, path, ["o_orderpriority"], [0.5, 0.9, 0.99]
+    )
+
+    state_sum = (
+        spark.read.parquet(f"{path}/state")
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.sum("cnt").alias("__sc"))
+    )
+    oneshot = ddsketch_buckets(
+        orders, ["o_orderpriority"], "o_totalprice", alpha=DD_ALPHA
+    ).withColumnRenamed("cnt", "__oc")
+    merge_flag = (
+        state_sum.join(oneshot, ["o_orderpriority", "bucket"], "full")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(
+                F.coalesce(F.col("__sc") == F.col("__oc"), F.lit(False))
+            ).alias("merge_exact")
+        )
+    )
+
+    v = F.col("o_totalprice").cast("double")
+    base = orders.filter(v.isNotNull() & (v > 0)).select(
+        "o_orderpriority", v.alias("__v")
+    )
+    ranked = base.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy("__v")
+        ),
+    ).withColumn(
+        "total", F.count("*").over(Window.partitionBy("o_orderpriority"))
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    exact = (
+        ranked.join(F.broadcast(qs))
+        .filter(
+            F.col("rn")
+            == F.greatest(F.ceil(F.col("q") * F.col("total")), F.lit(1))
+        )
+        .select("o_orderpriority", "q", F.round("__v", 6).alias("exact_disc"))
+    )
+    return (
+        est.join(exact, ["o_orderpriority", "q"])
+        .join(merge_flag, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "q",
+            "bucket",
+            "est",
+            "n",
+            "exact_disc",
+            (
+                F.abs(F.col("est") - F.col("exact_disc")) / F.col("exact_disc")
+                <= F.lit(DD_ALPHA) + F.lit(1e-6)
+            ).alias("within_bound"),
+            "merge_exact",
+        )
+    )
+
+
 NB_V = 512  # vocab cap shared by the Spark trainer and the oracle
 
 
@@ -7299,6 +7446,59 @@ def q_stream_qhist_quantiles(spark: SparkSession, base_dir: str) -> DataFrame:
     return qhist_quantiles(spark, state, ["event_type"], [0.5, 0.9]).select(
         "event_type", "q", "est"
     )
+
+
+@defq(
+    "stream_price_ddsketch",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    b AS (
+      SELECT g, CAST(ceil(round(ln(v) / {_DD_LOG_GAMMA!r}, 6)) AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM src GROUP BY 1, 2),
+    cum AS (SELECT g, bucket,
+            SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+            SUM(cnt) OVER (PARTITION BY g) AS total FROM b),
+    qs AS (SELECT CAST(unnest([0.5, 0.99]) AS DOUBLE) AS q),
+    hit AS (SELECT g, q, MIN(bucket) AS bucket
+            FROM cum CROSS JOIN qs
+            WHERE cum >= GREATEST(CAST(ceil(q * total) AS BIGINT), 1)
+            GROUP BY 1, 2)
+    SELECT g AS o_orderpriority, q,
+           ROUND(2 * pow({_DD_GAMMA!r}, bucket) / ({_DD_GAMMA!r} + 1), 6) AS est
+    FROM hit
+    """,
+)
+def q_stream_price_ddsketch(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Streaming DDSketch state (§2b-J x §2b-D): orders replay as 4
+    id-ordered micro-batches; each batch's log-bucket counts land in
+    their own ``batch=<id>`` state partition (overwrite-by-batch-dir =
+    replay idempotency) under the alpha pinned in meta, and the
+    quantile answer reads only the tiny state.  Bucket-wise integer
+    sums are EXACTLY batching-invariant, so the streamed estimates
+    equal the one-shot oracle recompute for ANY micro-batch
+    boundaries — the relative-error twin of ``stream_qhist_quantiles``
+    for metrics with no sizable domain
+    (`streaming/ops.run_ddsketch_into_state`)."""
+    from .operators.sketches import ddsketch_quantiles
+    from .streaming import replay_shuffle_partitions
+    from .streaming.ops import run_ddsketch_into_state, stream_from_parquet
+
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    staged = _stage_id_ordered_files(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderkey", 4,
+    )
+    stream = stream_from_parquet(spark, staged)
+    with replay_shuffle_partitions(spark, 8):
+        state = run_ddsketch_into_state(
+            stream, ["o_orderpriority"], "o_totalprice", alpha=DD_ALPHA
+        )
+    return ddsketch_quantiles(
+        spark, state, ["o_orderpriority"], [0.5, 0.99]
+    ).select("o_orderpriority", "q", "est")
 
 
 @defq(

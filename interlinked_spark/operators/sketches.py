@@ -489,3 +489,155 @@ def hll_set_overlap(
         F.col("n_intersection").cast("bigint").alias("n_intersection"),
         (F.abs(est_int - F.col("n_intersection")) <= tol).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------
+# DDSketch: relative-error quantiles over log-width buckets
+# ---------------------------------------------------------------------
+
+
+def ddsketch_gamma(alpha: float) -> float:
+    """``gamma = (1 + alpha) / (1 - alpha)`` — the bucket growth ratio
+    that makes every bucket's midpoint estimate alpha-relatively
+    accurate for every value inside it (Masson, Rim & Lee 2019)."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + float(alpha)) / (1.0 - float(alpha))
+
+
+def ddsketch_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Per-group DDSketch bucket counts: ``(keys..., bucket, cnt)``
+    with ``bucket = ceil(round(ln(v) / ln(gamma), 6))`` — LOG-width
+    buckets, so the guarantee is RELATIVE error <= alpha at every
+    magnitude with NO domain bounds to size (the production choice for
+    long-tailed positive metrics: latencies, prices, sizes — and the
+    complement of :func:`qhist_bins`, whose fixed grid gives absolute
+    error but needs known ``[lo, hi)``).  Like the histogram state:
+    at most ``groups x occupied_buckets`` rows cross the exchange
+    (map-side combine), and states are EXACTLY mergeable and
+    batching-invariant by bucket-wise integer sum — no
+    collapsing-bucket variant here, the full-fidelity sketch is
+    already tiny (ln(1e9)/ln(gamma) ~ 1040 buckets at alpha=0.01).
+
+    Engine-portability: ``ln(gamma)`` rides as a PYTHON-computed
+    literal (both engines divide by the identical double) and the
+    ratio rounds 6dp before ``ceil`` — the repo convention that
+    absorbs last-ulp ``ln``/``pow`` differences between libms.
+
+    Positive values only, by the sketch's nature (log of a
+    non-positive value is undefined); NULL and v <= 0 ABSTAIN
+    (filtered — the ``quantile_normalize`` NULL policy), so callers
+    with signed data route the sign out first (two sketches + a zero
+    count, the paper's own composition)."""
+    log_gamma = __import__("math").log(ddsketch_gamma(alpha))
+    v = F.col(value_col).cast("double")
+    bucket = F.ceil(F.round(F.log(v) / F.lit(log_gamma), 6)).cast("int")
+    return (
+        df.filter(v.isNotNull() & (v > 0))
+        .select(*keys, bucket.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def ddsketch_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    path: str,
+    alpha: float = 0.01,
+    num_files: int = 8,
+) -> None:
+    """Materialize the initial DDSketch state + its alpha meta pin
+    (alpha travels with the state so appends can never drift the
+    bucket base — the qhist grid-pin / HLL lg_k-pin contract)."""
+    from ..sources.writers import write_single_file, write_table
+
+    keys = list(keys)
+    state = ddsketch_buckets(df, keys, value_col, alpha=alpha)
+    write_table(
+        state.repartition(num_files, *[F.col(k) for k in keys]), f"{path}/state"
+    )
+    meta = df.sparkSession.createDataFrame([(float(alpha),)], "alpha double")
+    write_single_file(meta, f"{path}/meta")
+
+
+def ddsketch_update(
+    new_batch: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    path: str,
+    num_files: int = 4,
+) -> None:
+    """Append the batch's buckets under the STORED alpha.  Append-only
+    (duplicate (group, bucket) rows are fine — the reader sums);
+    compact with ``sources/writers.compact_table`` when rows grow."""
+    from ..sources.writers import write_table
+
+    spark = new_batch.sparkSession
+    alpha = float(spark.read.parquet(f"{path}/meta").first().alpha)
+    keys = list(keys)
+    state = ddsketch_buckets(new_batch, keys, value_col, alpha=alpha)
+    write_table(
+        state.repartition(num_files, *[F.col(k) for k in keys]),
+        f"{path}/state",
+        mode="append",
+    )
+
+
+def ddsketch_quantiles(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    qs: Sequence[float],
+) -> DataFrame:
+    """Per-group quantile estimates from the persisted state:
+    ``(keys..., q, bucket, est, n)`` where ``est = round(2 * gamma^b /
+    (gamma + 1), 6)`` — the bucket's midpoint in log space, within
+    relative alpha of EVERY value the bucket holds, hence of the true
+    rank-``ceil(q * n)`` statistic (the DDSketch guarantee, checkable
+    deterministically against the exact rank value).  One scan of the
+    tiny state: sum duplicate bucket rows, running-total window per
+    group ordered by bucket, first bucket reaching each target rank."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    alpha = float(spark.read.parquet(f"{path}/meta").first().alpha)
+    gamma = ddsketch_gamma(alpha)
+    state = (
+        spark.read.parquet(f"{path}/state")
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    cum = state.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*keys))
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(float(q),) for q in qs], "q double")
+        )
+    )
+    hit = qdf.filter(
+        F.col("cum") >= F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+    )
+    return (
+        hit.groupBy(*keys, "q", "n")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            *keys,
+            "q",
+            "bucket",
+            F.round(
+                F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket"))
+                / F.lit(gamma + 1.0),
+                6,
+            ).alias("est"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -915,6 +915,51 @@ def run_qhist_into_state(
     return state_path
 
 
+def run_ddsketch_into_state(
+    event_stream: DataFrame,
+    keys,
+    value_col: str,
+    alpha: float = 0.01,
+    state_path: Optional[str] = None,
+    timeout_s: int = 300,
+) -> str:
+    """Streaming DDSketch maintainer (§2b-J x §2b-D): each
+    micro-batch's log-bucket counts land under the alpha pinned in
+    meta — the relative-error twin of :func:`run_qhist_into_state`
+    for long-tailed positive metrics with no domain to size.  Answer
+    with :func:`~interlinked_spark.operators.sketches.
+    ddsketch_quantiles`.
+
+    Same exactly-once form as the histogram gate: overwrite-by-
+    ``batch=<id>`` directory turns foreachBatch replays into identical
+    rewrites instead of double counts, and bucket-wise integer sums
+    are EXACTLY batching-invariant, so the final state equals the
+    one-shot sketch for ANY micro-batch boundaries — the property
+    that lets the streamed quantiles be value-hash-gated."""
+    from ..operators.sketches import ddsketch_buckets
+    from ..sources.writers import write_single_file, write_table
+
+    state_path = state_path or tempfile.mkdtemp(prefix="ddsketch_state_stream_")
+    spark = event_stream.sparkSession
+    keys = list(keys)
+    write_single_file(
+        spark.createDataFrame([(float(alpha),)], "alpha double"),
+        f"{state_path}/meta",
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        a = float(spark.read.parquet(f"{state_path}/meta").first().alpha)
+        sk = ddsketch_buckets(batch_df, keys, value_col, alpha=a)
+        write_table(
+            sk.coalesce(1),
+            f"{state_path}/state/batch={batch_id}",
+            mode="overwrite",
+        )
+
+    foreach_batch_into(event_stream, update, timeout_s=timeout_s, output_mode="append")
+    return state_path
+
+
 def run_hll_into_state(
     event_stream: DataFrame,
     keys,

@@ -194,6 +194,8 @@ EXTENDED = [
     # plan under gate is the stored-codes probed join + re-rank).
     "similarity_maxsim_reranked",
     "similarity_ivfpq_takedown",
+    "orders_price_ddsketch",
+    "stream_price_ddsketch",
 ]
 
 

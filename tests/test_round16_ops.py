@@ -257,3 +257,92 @@ def test_positional_filter_warns_with_hot_gram_cap(spark):
             positional_filter=True, max_qgram_df=100,
         )
     assert any("max_qgram_df" in str(w.message) for w in caught)
+
+
+# ---------- DDSketch relative-error quantile state ----------
+
+
+def test_ddsketch_merge_is_batching_invariant(spark):
+    """Bucket-wise integer sums: build + 2 appends == one-shot, exactly."""
+    import tempfile
+
+    from interlinked_spark.operators.sketches import (
+        ddsketch_buckets,
+        ddsketch_build,
+        ddsketch_update,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    path = tempfile.mkdtemp(prefix="t16_dd_")
+    ddsketch_build(
+        o.filter(F.col("o_orderkey") % 3 == 0),
+        ["o_orderpriority"], "o_totalprice", path,
+    )
+    for r in (1, 2):
+        ddsketch_update(
+            o.filter(F.col("o_orderkey") % 3 == r),
+            ["o_orderpriority"], "o_totalprice", path,
+        )
+    merged = {
+        (r.o_orderpriority, r.bucket): r.cnt
+        for r in spark.read.parquet(f"{path}/state")
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    oneshot = {
+        (r.o_orderpriority, r.bucket): r.cnt
+        for r in ddsketch_buckets(
+            o, ["o_orderpriority"], "o_totalprice"
+        ).collect()
+    }
+    assert merged == oneshot
+
+
+def test_ddsketch_alpha_guarantee_long_tail(spark):
+    """The relative-error contract on a nine-decade long tail — the
+    regime the fixed-grid qhist cannot cover without huge bins."""
+    import math
+    import tempfile
+
+    from interlinked_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    alpha = 0.02
+    vals = [(0, 10 ** (i / 40.0)) for i in range(361)]  # 1 .. 1e9
+    df = spark.createDataFrame(vals, "g int, v double")
+    path = tempfile.mkdtemp(prefix="t16_ddlt_")
+    ddsketch_build(df, ["g"], "v", path, alpha=alpha)
+    qs = [0.01, 0.5, 0.99]
+    out = {r.q: r for r in ddsketch_quantiles(spark, path, ["g"], qs).collect()}
+    svals = sorted(v for _, v in vals)
+    for q in qs:
+        exact = svals[max(math.ceil(q * len(svals)), 1) - 1]
+        got = out[q].est
+        assert abs(got - exact) / exact <= alpha + 1e-6, (q, got, exact)
+        assert out[q].n == len(svals)
+
+
+def test_ddsketch_abstains_on_null_and_nonpositive(spark):
+    from interlinked_spark.operators.sketches import ddsketch_buckets
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (0, None), (0, 0.0), (0, -3.0), (0, 7.0)],
+        "g int, v double",
+    )
+    total = (
+        ddsketch_buckets(df, ["g"], "v").agg(F.sum("cnt")).first()[0]
+    )
+    assert total == 2  # only the two positive values count
+
+
+def test_ddsketch_alpha_validation():
+    import pytest as _pytest
+
+    from interlinked_spark.operators.sketches import ddsketch_gamma
+
+    for bad in (0.0, 1.0, -0.1, 2.0):
+        with _pytest.raises(ValueError):
+            ddsketch_gamma(bad)

@@ -422,6 +422,7 @@ def test_whole_catalog_plan_audit(spark):
         "user_engagement_stickiness",   # range join vs broadcast ~30-row day grid
         "similarity_ivf_probed",   # exact-recall reference rider: broadcast 5-query brute force
         "events_qhist_state_quantiles",  # cross join of the broadcast TWO-ROW quantile frame
+        "orders_price_ddsketch",   # cross join of the broadcast THREE-ROW quantile frame
         "doc_nb_lang_predictions",  # labels x vocab model grid + broadcast |labels|-row prior frame
         "orders_lineitem_join_size",  # cross join of ONE-ROW total/count frames
         "source_scorecard",        # broadcast ONE-ROW corpus token total
