@@ -444,6 +444,7 @@ def main() -> None:
         "similarity_ivfpq_takedown",
         "orders_price_ddsketch",
         "stream_price_ddsketch",
+        "doc_epoch_shuffle",
     ]
     secondary: dict[str, float] = {}
     for name in secondary_names:

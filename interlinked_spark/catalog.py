@@ -7502,6 +7502,51 @@ def q_stream_price_ddsketch(spark: SparkSession, base_dir: str) -> DataFrame:
 
 
 @defq(
+    "doc_epoch_shuffle",
+    oracle="""
+    WITH e0 AS (
+      SELECT doc_id, 0 AS epoch,
+             row_number() OVER (
+               ORDER BY md5('shuffle-e0:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS shuffle_rank
+      FROM documents),
+    e1 AS (
+      SELECT doc_id, 1 AS epoch,
+             row_number() OVER (
+               ORDER BY md5('shuffle-e1:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS shuffle_rank
+      FROM documents)
+    SELECT doc_id, epoch, CAST(shuffle_rank AS BIGINT) AS shuffle_rank FROM e0
+    UNION ALL
+    SELECT doc_id, epoch, CAST(shuffle_rank AS BIGINT) AS shuffle_rank FROM e1
+    """,
+    d="table.documents",
+)
+def q_doc_epoch_shuffle(d: DataFrame) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle (§2b-K training pipeline
+    — the data-order half of reproducible training: the exact global
+    permutation a run consumed is recoverable from (salt, epoch)
+    alone, and epoch 1 is a fresh independent permutation of the same
+    corpus with zero re-materialization).  The engine runs
+    `operators/sampling.epoch_shuffle`'s bucketed two-phase rank
+    (bucket counts + offset cumsum on a 256-row frame, broadcast join
+    back, within-bucket windows — no global sort ever executes, the
+    `budget_select` shape applied to counts); the oracle is the
+    collapsed single-window form, identical ranks because the bucket
+    is a prefix of the order hash.  Both epochs' full permutations are
+    value-hash-gated row by row."""
+    from .operators.sampling import epoch_shuffle
+
+    parts = [
+        epoch_shuffle(d.select("doc_id"), "doc_id", e).select(
+            "doc_id", F.lit(e).cast("int").alias("epoch"), "shuffle_rank"
+        )
+        for e in (0, 1)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+@defq(
     "corpus_budget_prefix",
     oracle=f"""
     WITH sel AS ({sampling.budget_select_sql(

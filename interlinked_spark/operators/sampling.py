@@ -730,3 +730,56 @@ def bootstrap_weight_sql(key_col: str, rep_col: str, salt: str = "boot") -> str:
         f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CUM)
     )
     return f"(CASE {branches} ELSE {len(_POISSON1_CUM)} END)"
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    salt: str = "shuffle",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle rank (§2b-K training
+    pipeline — the data-order half of reproducible training: the
+    examples a run saw, in the order it saw them, recoverable from
+    (salt, epoch) alone; epoch N+1 is a fresh independent permutation
+    without re-materializing the corpus).  Order is ``md5(salt ||
+    '-e' || epoch || ':' || key)`` with key ties broken by the key —
+    the same hash family as every sampler/splitter here, so the
+    permutation is stable across runs/engines/partitionings and
+    SQL-portable for the oracle.
+
+    Scale shape — :func:`budget_select`'s two-phase prefix sum applied
+    to COUNTS: a naive global rank is one ORDER BY over the corpus
+    (single-task sort at 100 TB).  Instead rows bucket by the first
+    ``bucket_chars`` hex chars of the order hash (the bucket is a
+    PREFIX of the order key, so bucket-major order == hash order),
+    phase 1 counts per bucket and cumsums bucket OFFSETS on the
+    16^bucket_chars-row frame, phase 2 broadcast-joins offsets back
+    and ranks within buckets — 16^bucket_chars-way parallel.  A
+    trainer reading shards in ``(bucket, within-bucket order)``
+    replays the exact global permutation with no global sort ever
+    executed.  Returns ``(df.*, shuffle_rank)``, ranks 1..n dense."""
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(
+            F.lit(f"{salt}-e{int(epoch)}:"), F.col(key_col).cast("string")
+        )
+    )
+    tagged = df.withColumn("__h", h).withColumn(
+        "__b", F.substring(F.col("__h"), 1, bucket_chars)
+    )
+    counts = tagged.groupBy("__b").agg(F.count("*").alias("__bn"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).cast("long")
+    ).select("__b", "__off")
+    w_in = Window.partitionBy("__b").orderBy("__h", key_col)
+    return (
+        tagged.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "shuffle_rank", (F.col("__off") + F.row_number().over(w_in)).cast("long")
+        )
+        .drop("__h", "__b", "__off")
+    )

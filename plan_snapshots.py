@@ -196,6 +196,7 @@ EXTENDED = [
     "similarity_ivfpq_takedown",
     "orders_price_ddsketch",
     "stream_price_ddsketch",
+    "doc_epoch_shuffle",
 ]
 
 

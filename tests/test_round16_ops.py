@@ -346,3 +346,37 @@ def test_ddsketch_alpha_validation():
     for bad in (0.0, 1.0, -0.1, 2.0):
         with _pytest.raises(ValueError):
             ddsketch_gamma(bad)
+
+
+# ---------- deterministic epoch shuffle ----------
+
+
+def test_epoch_shuffle_matches_global_sort(spark):
+    """Two-phase bucketed rank == the naive single global sort."""
+    import hashlib
+
+    from interlinked_spark.operators.sampling import epoch_shuffle
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    got = {
+        r.doc_id: r.shuffle_rank
+        for r in epoch_shuffle(d, "doc_id", 3).collect()
+    }
+    ids = sorted(got)
+    expected_order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"shuffle-e3:{i}".encode()).hexdigest(), i)
+    )
+    expected = {i: rank for rank, i in enumerate(expected_order, 1)}
+    assert got == expected
+    assert sorted(got.values()) == list(range(1, len(ids) + 1))  # dense 1..n
+
+
+def test_epoch_shuffle_epochs_are_independent_permutations(spark):
+    from interlinked_spark.operators.sampling import epoch_shuffle
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    e0 = {r.doc_id: r.shuffle_rank for r in epoch_shuffle(d, "doc_id", 0).collect()}
+    e1 = {r.doc_id: r.shuffle_rank for r in epoch_shuffle(d, "doc_id", 1).collect()}
+    assert set(e0) == set(e1)
+    assert sorted(e0.values()) == sorted(e1.values())
+    assert e0 != e1, "different epochs must yield different permutations"
