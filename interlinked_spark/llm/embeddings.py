@@ -197,6 +197,235 @@ def _assign_cols(vec_col, centroids) -> tuple[F.Column, F.Column]:
     return best["cid"], best["d"]
 
 
+# --- Arrow-vectorized twin of ``_assign_cols`` ----------------------
+#
+# The Column argmin above evaluates INTERPRETED: higher-order functions
+# never enter whole-stage codegen, so every row pays a k x d fold of
+# boxed lambda dispatch — and composed encoders (coarse argmin feeding
+# residual slices feeding per-subspace argmins) re-evaluate embedded
+# subtrees per reference.  Measured 23.8s for a 1600-vector x 64-dim
+# IVF-PQ encode at sf0.1 — pure expression-interpretation overhead.
+# The kernel below replays the SAME arithmetic in the same IEEE order
+# (sequential per-dim accumulation, HALF_UP 6dp rounding, lowest-cid
+# ties) on float64 numpy, so assignments are bit-identical while the
+# per-row cost drops to a vectorized flop.
+
+
+def _centroid_matrix(centroids):
+    """``(cids, C)`` with rows sorted ascending by cid so that
+    ``np.argmin``'s first-minimum semantics reproduce the struct
+    ordering tiebreak (lowest cid wins) exactly."""
+    import numpy as np
+
+    cs = sorted(centroids, key=lambda t: int(t[0]))
+    return [int(c) for c, _ in cs], np.array(
+        [v for _, v in cs], dtype=np.float64
+    )
+
+
+def _round6_np(a):
+    """Elementwise HALF_UP rounding to 6dp of a float64 array, equal to
+    Spark's ``round(x, 6)`` (scala ``BigDecimal(x)`` = shortest-repr
+    decimal, ``setScale(6, HALF_UP)``).  Fast path: scaled floor/ceil,
+    valid whenever the scaled value is provably not on a rounding
+    boundary; boundary-adjacent values (where the float64 ``x * 1e6``
+    error could flip the decision) fall back to exact decimal
+    arithmetic on ``repr(x)`` — the same shortest round-trip decimal
+    ``BigDecimal.valueOf`` starts from."""
+    import numpy as np
+
+    y = a * 1e6
+    with np.errstate(invalid="ignore"):
+        out = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / 1e6
+        near = np.abs(y - np.floor(y) - 0.5) <= (np.abs(y) * 1e-13 + 1e-7)
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+        flat, oflat = a.ravel(), out.ravel()
+        for i in np.nonzero(near.ravel())[0]:
+            oflat[i] = float(
+                Decimal(repr(float(flat[i]))).quantize(six, ROUND_HALF_UP)
+            )
+        out = oflat.reshape(a.shape)
+    return out
+
+
+def _sqdist_np(X, C):
+    """(n, k) squared distances accumulated dim-by-dim — the identical
+    IEEE add order as the Column fold (``acc + (a-b)^2`` in index
+    order, acc starting 0.0), so results match bit-for-bit."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for j in range(X.shape[1]):
+        diff = X[:, j, None] - C[None, :, j]
+        acc += diff * diff
+    return acc
+
+
+def _assign_np(X, cids, C):
+    """``(cid_idx_array, rounded_min_dist)`` for a dense float64 batch:
+    round the per-centroid distances to 6dp, argmin (first minimum =
+    lowest cid after ``_centroid_matrix`` sorting)."""
+    import numpy as np
+
+    d6 = _round6_np(_sqdist_np(X, C))
+    idx = np.argmin(d6, axis=1)
+    return idx, d6[np.arange(len(idx)), idx]
+
+
+def _assign_series(vs: pd.Series, cids, C):
+    """Per-batch assignment over a pandas Series of vectors; returns
+    (cid list, dist list) with None propagated for NULL vectors (the
+    Column twin yields NULL through the fold for those rows)."""
+    import numpy as np
+
+    mask = vs.notna()
+    cid_out = [None] * len(vs)
+    d_out = [None] * len(vs)
+    if mask.any():
+        X = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in vs[mask.to_numpy()]]
+        )
+        idx, dist = _assign_np(X, cids, C)
+        for pos, i, dd in zip(np.nonzero(mask.to_numpy())[0], idx, dist):
+            cid_out[pos] = int(cids[i])
+            d_out[pos] = float(dd)
+    return cid_out, d_out
+
+
+def _assign_struct_col(vec_col, centroids) -> F.Column:
+    """``struct<cid:int, d:double>`` column — the vectorized drop-in
+    for :func:`_assign_cols` on per-row hot paths (fit scans, corpus
+    encodes).  ``vec_col`` may be a name or an array Column (subspace
+    slices); query-side one-row frames can keep the Column twin."""
+    cids, C = _centroid_matrix(centroids)
+
+    @F.pandas_udf("struct<cid:int,d:double>")
+    def _assign_udf(vs: pd.Series) -> pd.DataFrame:
+        cid_out, d_out = _assign_series(vs, cids, C)
+        return pd.DataFrame(
+            {"cid": pd.array(cid_out, dtype="Int32"), "d": d_out}
+        )
+
+    return _assign_udf(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def _pq_codes_np(X, book_mats, offset=0, with_err=False):
+    """Per-subspace argmin codes for a dense batch ``X`` (raw vectors
+    or residuals), slicing ``dsub`` dims per book starting at
+    ``offset``.  With ``with_err`` also returns the squared-L2
+    reconstruction error accumulated subspace-by-subspace, dim order
+    within a subspace — the exact fold order of the Column twins."""
+    import numpy as np
+
+    dsub = book_mats[0][1].shape[1]
+    codes, err = [], None
+    for s, (bcids, B) in enumerate(book_mats):
+        lo = offset + s * dsub
+        sub = X[:, lo : lo + dsub]
+        idx, _ = _assign_np(sub, bcids, B)
+        codes.append(np.asarray(bcids, dtype=np.int64)[idx])
+        if with_err:
+            dec = B[idx]
+            acc = np.zeros(len(X))
+            for j in range(dsub):
+                diff = sub[:, j] - dec[:, j]
+                acc += diff * diff
+            err = acc if err is None else err + acc
+    return codes, err
+
+
+def ivfpq_encode_struct_col(
+    vec_col,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    with_err: bool = False,
+) -> F.Column:
+    """Fused IVF-PQ encode as ONE Arrow pass: ``struct<list:int,
+    c0..c{m-1}:int[, err:double]>`` — coarse argmin, residual, and all
+    ``m`` subspace argmins (plus, optionally, the vector-vs-decode
+    squared L2 of ``_recon_err_col``) in a single Python batch kernel.
+    The Column composition embedded the coarse argmin subtree in every
+    subspace expression (m + 1 interpreted re-evaluations per row on
+    top of the per-fold lambda dispatch); here each quantity is
+    computed once per batch with the identical IEEE order and rounding,
+    so the output is bit-identical."""
+    import numpy as np
+
+    ccids, C = _centroid_matrix(coarse)
+    book_mats = [_centroid_matrix(b) for b in books]
+    m = len(books)
+    fields = "list:int," + ",".join(f"c{s}:int" for s in range(m))
+    if with_err:
+        fields += ",err:double"
+
+    @F.pandas_udf(f"struct<{fields}>")
+    def _encode_udf(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        out = {"list": [None] * n}
+        for s in range(m):
+            out[f"c{s}"] = [None] * n
+        if with_err:
+            out["err"] = [None] * n
+        mask = vs.notna().to_numpy()
+        if mask.any():
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in vs[mask]])
+            hidx, _ = _assign_np(X, ccids, C)
+            R = X - C[hidx]
+            codes, err = _pq_codes_np(R, book_mats, with_err=with_err)
+            pos = np.nonzero(mask)[0]
+            for p, i in zip(pos, range(len(X))):
+                out["list"][p] = int(ccids[hidx[i]])
+                for s in range(m):
+                    out[f"c{s}"][p] = int(codes[s][i])
+            if with_err:
+                err6 = _round6_np(err)
+                for p, i in zip(pos, range(len(X))):
+                    out["err"][p] = float(err6[i])
+        frame = {
+            k: pd.array(v, dtype="Int32") if k != "err" else v
+            for k, v in out.items()
+        }
+        return pd.DataFrame(frame)
+
+    return _encode_udf(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def pq_codes_struct_col(
+    vec_col, codebooks: list[list[tuple[int, list[float]]]]
+) -> F.Column:
+    """Fused plain-PQ encode (raw-vector subspaces, no coarse stage):
+    ``struct<c0..c{m-1}:int>`` — the vectorized twin of the per-
+    subspace ``_assign_cols`` loop in :func:`pq_adc_top_k` /
+    :func:`pq_fit` scans.  Bit-identical by the same argument as
+    :func:`ivfpq_encode_struct_col`."""
+    import numpy as np
+
+    book_mats = [_centroid_matrix(b) for b in codebooks]
+    m = len(codebooks)
+    fields = ",".join(f"c{s}:int" for s in range(m))
+
+    @F.pandas_udf(f"struct<{fields}>")
+    def _codes_udf(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        out = {f"c{s}": [None] * n for s in range(m)}
+        mask = vs.notna().to_numpy()
+        if mask.any():
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in vs[mask]])
+            codes, _ = _pq_codes_np(X, book_mats)
+            pos = np.nonzero(mask)[0]
+            for p, i in zip(pos, range(len(X))):
+                for s in range(m):
+                    out[f"c{s}"][p] = int(codes[s][i])
+        return pd.DataFrame(
+            {k: pd.array(v, dtype="Int32") for k, v in out.items()}
+        )
+
+    return _codes_udf(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -241,7 +470,7 @@ def kmeans_fit(
     centroids = [(i, list(r.v)) for i, r in enumerate(seeds)]
     base = df.select(F.col(vec_col).alias("__v"))
     for _ in range(iters):
-        cid_col, _d = _assign_cols("__v", centroids)
+        cid_col = _assign_struct_col("__v", centroids)["cid"]
         # Assignment in its OWN projection BELOW the explode: inlined
         # into the posexplode select, the k*d argmin expression re-
         # evaluates per EXPLODED row (d times per vector) — measured
@@ -269,11 +498,11 @@ def kmeans_assign(
     """Tag each row with its nearest centroid: ``(id, cluster_id,
     sq_dist)`` — a narrow projection (no join/shuffle), suitable for a
     100-TB scoring pass."""
-    cid_col, d_col = _assign_cols(vec_col, centroids)
+    a = _assign_struct_col(vec_col, centroids)
     return df.select(
         F.col(id_col).alias("id"),
-        cid_col.alias("cluster_id"),
-        d_col.alias("sq_dist"),
+        a["cid"].alias("cluster_id"),
+        a["d"].alias("sq_dist"),
     )
 
 
@@ -309,11 +538,10 @@ def ivf_probed_top_k(
     from ..operators.windows import top_k_per_group
     from .similarity import cosine_similarity_vec
 
-    cid_col, _ = _assign_cols(vec_col, centroids)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        cid_col.alias("__cid"),
+        _assign_struct_col(vec_col, centroids)["cid"].alias("__cid"),
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scored = F.transform(
@@ -455,7 +683,7 @@ def semdedup_keep(
     tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
-        _assign_cols(vec_col, centroids)[0].alias("cluster_id"),
+        _assign_struct_col(vec_col, centroids)["cid"].alias("cluster_id"),
     )
     return semdedup_keep_assigned(
         tagged,
@@ -661,17 +889,23 @@ def pq_fit(
         for s in range(m)
     ]
     for _ in range(iters):
-        # Assignments in their OWN projection below the explode (the
-        # kmeans_fit lesson: inlined into the posexplode select, each
-        # k*dsub argmin re-evaluates per exploded row).
-        structs = []
-        for s in range(m):
-            sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-            cid, _d = _assign_cols(sub, books[s])
-            structs.append(
-                F.struct(F.lit(s).alias("s"), cid.alias("cid"), sub.alias("sv"))
+        # All m subspace assignments in ONE Arrow batch kernel, in its
+        # OWN projection below the explode (the kmeans_fit lesson: an
+        # argmin inlined into the explode select re-evaluates per
+        # exploded row).
+        coded = df.select(
+            F.col(vec_col).alias("__v"),
+            pq_codes_struct_col(vec_col, books).alias("__codes"),
+        )
+        structs = [
+            F.struct(
+                F.lit(s).alias("s"),
+                F.col("__codes")[f"c{s}"].alias("cid"),
+                F.slice(F.col("__v"), s * dsub + 1, dsub).alias("sv"),
             )
-        assigned = df.select(F.explode(F.array(*structs)).alias("a")).select(
+            for s in range(m)
+        ]
+        assigned = coded.select(F.explode(F.array(*structs)).alias("a")).select(
             F.col("a.s").alias("s"), F.col("a.cid").alias("cid"), F.col("a.sv").alias("sv")
         )
         means = (
@@ -709,13 +943,23 @@ def pq_encode(
     if not codebooks:
         raise ValueError("pq_encode needs at least one codebook")
     dsub = len(codebooks[0][0][1])
+    n_dims = dsub * len(codebooks)
+    # Codes from the Arrow kernel (the k*dsub-per-subspace argmin was
+    # the per-row hot spot); staged in its own projection so the error
+    # expressions below read plain int columns.  The O(d) decode-diff
+    # folds stay as Column expressions — they are linear per row, not
+    # the k-fold the kernel removes.
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        pq_codes_struct_col(vec_col, codebooks).alias("__codes"),
+    )
     code_cols = []
     err_maxes = []
     sq_sums = []
-    n_dims = dsub * len(codebooks)
     for s, book in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        cid, _dist = _assign_cols(sub, book)
+        sub = F.slice(F.col("__v"), s * dsub + 1, dsub)
+        cid = F.col("__codes")[f"c{s}"]
         code_cols.append(cid)
         decoded = F.element_at(_centroid_literal(book), cid + 1)["c"]
         diffs = F.zip_with(sub, decoded, lambda x, c: F.abs(x.cast("double") - c))
@@ -726,8 +970,8 @@ def pq_encode(
     mse = sq_sums[0]
     for t in sq_sums[1:]:
         mse = mse + t
-    return df.select(
-        F.col(id_col).alias("id"),
+    return staged.select(
+        "id",
         F.array(*code_cols).alias("codes"),
         F.round(F.greatest(*err_maxes), 6).alias("max_abs_err"),
         F.round(mse / F.lit(float(n_dims)), 6).alias("mse"),
@@ -762,12 +1006,11 @@ def pq_adc_top_k(
     if not codebooks:
         raise ValueError("pq_adc_top_k needs codebooks")
     dsub = len(codebooks[0][0][1])
-    code_cols = []
-    for s, book in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        cid, _ = _assign_cols(sub, book)
-        code_cols.append(cid.alias(f"__c{s}"))
-    coded = corpus.select(F.col(id_col).alias("neighbor_id"), *code_cols)
+    cs = pq_codes_struct_col(vec_col, codebooks)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[cs[f"c{s}"].alias(f"__c{s}") for s in range(len(codebooks))],
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     joined = coded.join(F.broadcast(q))
     terms = []
@@ -829,19 +1072,12 @@ def ivfpq_probed_top_k(
     if not codebooks:
         raise ValueError("ivfpq_probed_top_k needs codebooks")
     dsub = len(codebooks[0][0][1])
-    # corpus side: home list + residual codes, all row-local
-    home_cid, _ = _assign_cols(vec_col, coarse_centroids)
-    coarse = F.element_at(
-        _centroid_literal(coarse_centroids), home_cid + 1
-    )["c"]
-    resid = F.zip_with(F.col(vec_col), coarse, lambda x, c: x.cast("double") - c)
-    code_cols = []
-    for s, book in enumerate(codebooks):
-        sub = F.slice(resid, s * dsub + 1, dsub)
-        cid, _ = _assign_cols(sub, book)
-        code_cols.append(cid.alias(f"__c{s}"))
+    # corpus side: home list + residual codes in ONE Arrow batch kernel
+    enc = ivfpq_encode_struct_col(vec_col, coarse_centroids, codebooks)
     coded = corpus.select(
-        F.col(id_col).alias("neighbor_id"), home_cid.alias("__list"), *code_cols
+        F.col(id_col).alias("neighbor_id"),
+        enc["list"].alias("__list"),
+        *[enc[f"c{s}"].alias(f"__c{s}") for s in range(len(codebooks))],
     )
     # query side: n_probe nearest coarse lists, row-local sort
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -919,7 +1155,7 @@ def ivfpq_fit(
     its centroids best (the reason FAISS encodes residuals, not raw
     vectors).  Returns ``(coarse_centroids, codebooks)``."""
     coarse = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=coarse_k, iters=coarse_iters)
-    home_cid, _ = _assign_cols(vec_col, coarse)
+    home_cid = _assign_struct_col(vec_col, coarse)["cid"]
     resid = F.zip_with(
         F.col(vec_col),
         F.element_at(_centroid_literal(coarse), home_cid + 1)["c"],

@@ -47,7 +47,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .embeddings import _assign_cols, _centroid_literal
+from .embeddings import _centroid_literal, ivfpq_encode_struct_col
 
 __all__ = [
     "build_ivfpq_index",
@@ -71,20 +71,13 @@ def _encode_cols(
     """``(home_list, [code_0 .. code_{m-1}])`` for one vector column —
     the row-local IVF-PQ encode: coarse argmin for the home list, then
     per-subspace argmin of the RESIDUAL slice against that subspace's
-    codebook.  Centroids and codebooks ride as broadcast literals; the
-    encode is a narrow projection with no join and no shuffle (the
-    100-TB append is a map job)."""
-    dsub = len(books[0][0][1])
-    home_cid, _ = _assign_cols(vec_col, coarse)
-    coarse_c = F.element_at(_centroid_literal(coarse), home_cid + 1)["c"]
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    resid = F.zip_with(v, coarse_c, lambda x, c: x.cast("double") - c)
-    codes = []
-    for s, book in enumerate(books):
-        sub = F.slice(resid, s * dsub + 1, dsub)
-        cid, _ = _assign_cols(sub, book)
-        codes.append(cid)
-    return home_cid, codes
+    codebook — all fused into ONE Arrow batch kernel
+    (``embeddings.ivfpq_encode_struct_col``, bit-identical to the
+    Column-expression composition it replaced).  Codebooks ride inside
+    the kernel closure; the encode stays a narrow projection with no
+    join and no shuffle (the 100-TB append is a map job)."""
+    enc = ivfpq_encode_struct_col(vec_col, coarse, books)
+    return enc["list"], [enc[f"c{s}"] for s in range(len(books))]
 
 
 def _books_rows(books: list[list[tuple[int, list[float]]]]):
@@ -217,27 +210,12 @@ def _recon_err_col(
     the squared-L2 distance between the vector and its IVF-PQ decode
     (coarse centroid + per-subspace book centroids), 6dp-rounded.
     Row-local like the encode itself; this is the quantity ADC
-    approximates, measured on the vector's OWN codes."""
-    dsub = len(books[0][0][1])
-    home, codes = _encode_cols(vec_col, coarse, books)
-    coarse_c = F.element_at(_centroid_literal(coarse), home + 1)["c"]
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    resid = F.zip_with(v, coarse_c, lambda x, c: x.cast("double") - c)
-    terms = []
-    for s, book in enumerate(books):
-        sub = F.slice(resid, s * dsub + 1, dsub)
-        decoded = F.element_at(_centroid_literal(book), codes[s] + 1)["c"]
-        terms.append(
-            F.aggregate(
-                F.zip_with(sub, decoded, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-    err = terms[0]
-    for t in terms[1:]:
-        err = err + t
-    return home, F.round(err, 6)
+    approximates, measured on the vector's OWN codes.  Fused into the
+    same Arrow batch kernel as the encode (``with_err=True``): the
+    Column composition embedded the full encode subtree into every
+    decoded term, re-evaluating it m+1 times per row."""
+    enc = ivfpq_encode_struct_col(vec_col, coarse, books, with_err=True)
+    return enc["list"], enc["err"]
 
 
 def append_ivfpq_index(
