@@ -239,7 +239,17 @@ def bigram_logprob(
     aggregate.  The LM joins carry NO broadcast hint for the same
     reason as the unigram LM: |bigram vocab| is unbounded at 100 TB;
     AQE broadcasts when the counts are actually small."""
-    toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
+    # Token array staged in its OWN projection: ``element_at(toks, i)``
+    # inside the pair lambda re-evaluates the whole tokenize subtree
+    # per window position when ``toks`` is an expression (HOF lambdas
+    # run interpreted and do not hoist free subexpressions), turning
+    # the row-local build O(len^2).  Over a plain column attribute each
+    # access is one array index.
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(_TOKENS(text_col), lambda t: F.lower(t)).alias("__tk"),
+    )
+    toks = F.col("__tk")
     n = F.size(toks)
     pairs = F.when(
         n >= 2,
@@ -251,9 +261,9 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    posted = df.select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("bg")
-    ).select("id", "bg.w1", "bg.w2")
+    posted = staged.select("id", F.explode(pairs).alias("bg")).select(
+        "id", "bg.w1", "bg.w2"
+    )
     c2 = posted.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
     c1 = posted.groupBy("w1").agg(F.count("*").alias("__c1"))
     vocab = (
@@ -543,7 +553,13 @@ def bigram_pmi(
     tiebreak so both engines cut the same list.
 
     Returns ``(w1, w2, n, pmi)``."""
-    toks = F.transform(_TOKENS(text_col), lambda t: F.lower(t))
+    # Same staged-token-array shape as :func:`bigram_logprob` — the
+    # pair lambda's ``element_at`` must index a plain column, not
+    # re-evaluate the tokenize subtree per position.
+    staged = df.select(
+        F.transform(_TOKENS(text_col), lambda t: F.lower(t)).alias("__tk")
+    )
+    toks = F.col("__tk")
     n = F.size(toks)
     pairs = F.when(
         n >= 2,
@@ -555,8 +571,8 @@ def bigram_pmi(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    posted = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
-    uni = df.select(F.explode(toks).alias("w"))
+    posted = staged.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    uni = staged.select(F.explode(toks).alias("w"))
     c2 = posted.groupBy("w1", "w2").agg(F.count("*").alias("n")).filter(
         F.col("n") >= int(min_count)
     )
