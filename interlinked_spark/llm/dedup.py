@@ -34,14 +34,13 @@ def _normalized(col: str) -> F.Column:
 
 
 def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition compute-heavy narrow pipelines when the scan gave too
-    few partitions (a single small parquet file -> 1 partition -> 1 core
-    does all the shingling).  At real scale scans already arrive with
-    hundreds of partitions and this is a no-op."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Fan-out stage parallelism — shared engine-wide helper (see
+    ``operators/partitioning.spread``; this module measured the pattern
+    first: a single small parquet file -> 1 partition -> 1 core does
+    all the shingling)."""
+    from ..operators.partitioning import spread
+
+    return spread(df, min_partitions)
 
 
 def exact_text_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -245,6 +245,11 @@ def bigram_logprob(
     # run interpreted and do not hoist free subexpressions), turning
     # the row-local build O(len^2).  Over a plain column attribute each
     # access is one array index.
+    # (No ``spread`` here, deliberately: the vocab-sized aggregates
+    # below emit one partial per key PER PARTITION, so widening the
+    # tiny staged frame multiplies the shuffled partial-state rows —
+    # measured 1.5s -> 2.4s at sf0.1.  The quadratic was the lambda
+    # re-evaluation, fixed by the staging alone.)
     staged = df.select(
         F.col(id_col).alias("id"),
         F.transform(_TOKENS(text_col), lambda t: F.lower(t)).alias("__tk"),
@@ -556,6 +561,8 @@ def bigram_pmi(
     # Same staged-token-array shape as :func:`bigram_logprob` — the
     # pair lambda's ``element_at`` must index a plain column, not
     # re-evaluate the tokenize subtree per position.
+    # No ``spread`` — same partial-state reasoning as
+    # :func:`bigram_logprob`.
     staged = df.select(
         F.transform(_TOKENS(text_col), lambda t: F.lower(t)).alias("__tk")
     )

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checkpointing import materialize
+from .partitioning import spread
 
 OnType = Union[str, Sequence[str], Column]
 
@@ -168,14 +169,27 @@ def norm_string(col: Union[str, Column]) -> Column:
     )
 
 
+def _qgrams_of_norm(col: Union[str, Column], q: int) -> Column:
+    """Distinct character q-grams of an ALREADY-normalized string
+    column.  The hot paths stage :func:`norm_string` into its own
+    projection first and shingle from the staged column: inside the
+    transform lambda a free subexpression re-evaluates per gram
+    position (HOFs run interpreted), so shingling straight off the
+    ``norm_string`` expression is O(len^2) per string."""
+    s = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(q - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(q))))
+
+
 def qgram_array(col: Union[str, Column], q: int = 3) -> Column:
     """Distinct character q-grams of a normalized string (lowercased,
     trimmed, whitespace collapsed); strings shorter than ``q`` yield
     one gram — the whole string.  Shared by :func:`fuzzy_string_join`
-    and its SQL oracle twin (the two must stay expression-identical)."""
-    s = norm_string(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(q - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(q))))
+    and its SQL oracle twin (the two must stay expression-identical).
+    Single-expression form (normalize re-evaluates per gram position);
+    pipelines stage ``norm_string`` first and use
+    :func:`_qgrams_of_norm`."""
+    return _qgrams_of_norm(norm_string(col), q)
 
 
 def qgram_array_sql(expr: str, q: int = 3) -> str:
@@ -251,8 +265,14 @@ def _fuzzy_frames(
         )
 
     def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
-        return side.select(
-            F.col(id_col), *extra, qgram_array(col, q).alias("__gr")
+        # Normalize staged + spread BEFORE shingling: the q-gram build
+        # is the compute-heavy narrow stage, and a single-file scan
+        # would run it all on one task (operators/partitioning.spread).
+        staged = spread(
+            side.select(F.col(id_col), *extra, norm_string(col).alias("__qs"))
+        )
+        return staged.select(
+            F.col(id_col), *extra, _qgrams_of_norm("__qs", q).alias("__gr")
         ).withColumn("__n", F.size("__gr"))
 
     def postings(gf: DataFrame, id_col: str, tag: str) -> DataFrame:
@@ -480,13 +500,17 @@ def _edit_frames(
     short-string band's id pairs."""
 
     def gram_frame(side: DataFrame, col: str, id_col: str) -> DataFrame:
-        s = norm_string(col)
+        # Staged normalize + spread before the q-gram build (see
+        # _fuzzy_frames.gram_frame).
+        staged = spread(
+            side.select(F.col(id_col), *extra, norm_string(col).alias("__s"))
+        )
         return materialize(
-            side.select(
+            staged.select(
                 F.col(id_col), *extra,
-                s.alias("__s"),
-                F.length(s).alias("__len"),
-                qgram_array(col, q).alias("__gr"),
+                F.col("__s"),
+                F.length("__s").alias("__len"),
+                _qgrams_of_norm("__s", q).alias("__gr"),
             ).withColumn("__n", F.size("__gr")),
             checkpoint_mode,
         )
@@ -1110,11 +1134,12 @@ def sorted_neighborhood_join(
     compare, ``round_dp`` output)."""
     w = int(window)
     ranked = materialize(
-        df.select(
-            F.col(id_col).alias("__id"),
-            norm_string(col).alias("__s"),
-            qgram_array(col, q).alias("__gr"),
+        spread(
+            df.select(
+                F.col(id_col).alias("__id"), norm_string(col).alias("__s")
+            )
         )
+        .select("__id", "__s", _qgrams_of_norm("__s", q).alias("__gr"))
         .withColumn("__n", F.size("__gr"))
         .withColumn("__bkt", F.substring("__s", 1, int(bucket_chars))),
         checkpoint_mode,

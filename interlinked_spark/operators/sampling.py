@@ -687,7 +687,13 @@ def bootstrap_mean_ci(
 
     Returns keys + ``n``, ``mean``, ``ci_lo``, ``ci_hi``,
     ``n_boot_effective``."""
-    reps = df.select(*keys, key_col, value_col).withColumn(
+    from .partitioning import spread
+
+    # The B-fold explode multiplies per-row work (one md5 + inverse-CDF
+    # CASE per (row, replicate)); spread the pre-explode input so a
+    # narrow scan does not serialize the whole fan-out on one task
+    # (measured 19.1s -> 4.0s at sf0.1/B=100 on the single-file corpus).
+    reps = spread(df.select(*keys, key_col, value_col)).withColumn(
         "__r", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
     )
     w = _poisson1(_bootstrap_u(key_col, "__r", salt)).cast("double")
