@@ -1905,17 +1905,31 @@ def _stage_id_ordered_files(df: DataFrame, key_col: str, n_files: int) -> str:
     lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
     step = (int(hi) - int(lo)) // n_files + 1
     t0 = time.time() - 2 * n_files
+    # ONE write job for all n_files (was one filter+coalesce+write job
+    # PER file): bucket by key range, hash-repartition so each bucket
+    # lands wholly in one task (=> exactly one part file per bucket
+    # directory), sort within partitions so file contents are
+    # deterministic id-ascending regardless of shuffle fetch order.
+    tmp = tempfile.mkdtemp(prefix="stage_part_")
+    (
+        df.withColumn(
+            "__b",
+            F.expr(
+                f"CAST((CAST({key_col} AS BIGINT) - {int(lo)}) DIV {step} AS INT)"
+            ),
+        )
+        .repartition(n_files, "__b")
+        .sortWithinPartitions("__b", key_col)
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
     for i in range(n_files):
-        a, b = int(lo) + i * step, int(lo) + (i + 1) * step
-        tmp = tempfile.mkdtemp(prefix="stage_part_")
-        df.filter((F.col(key_col) >= a) & (F.col(key_col) < b)).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        part = glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))[0]
         dest = os.path.join(staged, f"{i:04d}.parquet")
         shutil.move(part, dest)
         os.utime(dest, (t0 + 2 * i, t0 + 2 * i))
-        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     return staged
 
 

@@ -1012,23 +1012,48 @@ def pq_adc_top_k(
         *[cs[f"c{s}"].alias(f"__c{s}") for s in range(len(codebooks))],
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    joined = coded.join(F.broadcast(q))
-    terms = []
-    for s, book in enumerate(codebooks):
-        qsub = F.slice(F.col("__qv"), s * dsub + 1, dsub)
-        decoded = F.element_at(_centroid_literal(book), F.col(f"__c{s}") + 1)["c"]
-        terms.append(
-            F.round(
+    # Per-QUERY ADC lookup tables (no residual here, so the key is the
+    # query alone — see pq_index._adc_scored for the probed-list twin):
+    # each rounded subspace term computes ONCE per query via the
+    # identical expression the per-candidate fold evaluated, so
+    # looked-up sums are bit-identical; candidates pay m array lookups
+    # instead of m interpreted folds.
+    m = len(codebooks)
+    staged = q.select(
+        "query_id",
+        *[F.slice(F.col("__qv"), s * dsub + 1, dsub).alias(f"__qs{s}") for s in range(m)],
+    )
+    def lut_col(book, qs_col):
+        # named def => the transform lambda stays unary; the raw float
+        # slice casts inside the zip_with, exactly as the per-candidate
+        # fold did.
+        return F.transform(
+            _centroid_literal(book),
+            lambda e: F.round(
                 F.aggregate(
                     F.zip_with(
-                        qsub, decoded, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                        F.col(qs_col),
+                        e["c"],
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ),
                 6,
-            )
+            ),
         )
+
+    luts = staged.select(
+        "query_id",
+        *[
+            lut_col(book, f"__qs{s}").alias(f"__lut{s}")
+            for s, book in enumerate(codebooks)
+        ],
+    )
+    joined = coded.join(F.broadcast(luts))
+    terms = [
+        F.element_at(F.col(f"__lut{s}"), F.col(f"__c{s}") + 1) for s in range(m)
+    ]
     adc = terms[0]
     for t in terms[1:]:
         adc = adc + t
@@ -1105,28 +1130,40 @@ def ivfpq_probed_top_k(
             )
         ).alias("__list"),
     )
-    joined = coded.join(F.broadcast(probed), "__list").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    # ADC against the residual codebooks: query residual vs decoded code
+    # ADC against the residual codebooks via per-(query, list) lookup
+    # tables (see pq_index._adc_scored): every rounded subspace term is
+    # computed ONCE on the probed frame — the identical expression the
+    # per-candidate fold evaluated, so looked-up sums are bit-identical
+    # — and each candidate pays m array lookups instead of m
+    # interpreted folds.
     qresid = F.zip_with(
         F.col("__qv"),
         F.element_at(_centroid_literal(coarse_centroids), F.col("__list") + 1)["c"],
         lambda x, c: x.cast("double") - c,
     )
+    m = len(codebooks)
+    staged = probed.select("query_id", "__list", qresid.alias("__qr")).select(
+        "query_id",
+        "__list",
+        *[F.slice("__qr", s * dsub + 1, dsub).alias(f"__qs{s}") for s in range(m)],
+    )
+    from .pq_index import _adc_lut_col
+
+    luts = staged.select(
+        "query_id",
+        "__list",
+        *[
+            _adc_lut_col(book, f"__qs{s}").alias(f"__lut{s}")
+            for s, book in enumerate(codebooks)
+        ],
+    )
+    joined = coded.join(F.broadcast(luts), "__list").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     terms = []
-    for s, book in enumerate(codebooks):
-        qsub = F.slice(qresid, s * dsub + 1, dsub)
-        decoded = F.element_at(_centroid_literal(book), F.col(f"__c{s}") + 1)["c"]
+    for s in range(m):
         terms.append(
-            F.round(
-                F.aggregate(
-                    F.zip_with(qsub, decoded, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
+            F.element_at(F.col(f"__lut{s}"), F.col(f"__c{s}") + 1)
         )
     adc = terms[0]
     for t in terms[1:]:

@@ -156,18 +156,28 @@ def ivfpq_index_codes(
     books: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_err: bool = False,
 ) -> DataFrame:
     """The stored-codes frame ``(id, list, c0..c{m-1})`` for a batch —
     the row-local encode against FROZEN codebooks, exposed so callers
     that already need the coded batch (the streaming gate's
     within-batch compare) can encode once and hand the frame to
-    :func:`append_ivfpq_index`."""
-    home, codes = _encode_cols(vec_col, coarse, books)
-    return df.select(
+    :func:`append_ivfpq_index`.
+
+    ``with_err=True`` rides the reconstruction error out of the SAME
+    Arrow pass as an ``err`` column — the streaming gate's shape: the
+    drift monitor's aggregate then reads the already-checkpointed
+    codes frame instead of re-encoding the batch, and
+    :func:`append_ivfpq_index` drops the column before writing."""
+    enc = ivfpq_encode_struct_col(vec_col, coarse, books, with_err=with_err)
+    cols = [
         F.col(id_col).alias("id"),
-        home.alias("list"),
-        *[c.alias(f"c{s}") for s, c in enumerate(codes)],
-    )
+        enc["list"].alias("list"),
+        *[enc[f"c{s}"].alias(f"c{s}") for s in range(len(books))],
+    ]
+    if with_err:
+        cols.append(enc["err"].alias("err"))
+    return df.select(*cols)
 
 
 def load_ivfpq_index(spark: SparkSession, path: str):
@@ -227,6 +237,8 @@ def append_ivfpq_index(
     codes: Optional[DataFrame] = None,
     codebooks=None,
     stats: bool = True,
+    batch_seq: Optional[int] = None,
+    check_dim: bool = True,
 ) -> Optional[dict]:
     """Encode a batch against the FROZEN stored codebooks and append
     its codes — no refit, ever: refitting would re-key every stored
@@ -253,57 +265,89 @@ def append_ivfpq_index(
     aggregate over a batch the append already scans; pass
     ``stats=False`` to skip, or ``codebooks`` (the preloaded triple)
     to avoid re-collecting them per batch (the streaming gate's
-    shape)."""
+    shape).
+
+    Per-batch job economics (the gate's wall clock is job count, not
+    bytes): pass ``batch_seq`` (e.g. the foreachBatch batch id) to
+    skip the stored-max read, ``check_dim=False`` when the SAME batch
+    was already dim-checked this micro-batch (the matcher checks), and
+    a ``codes`` frame carrying the encoder's ``err`` column
+    (:func:`ivfpq_index_codes` ``with_err=True``) so the drift monitor
+    aggregates the already-materialized frame instead of re-encoding
+    the batch twice."""
     from ..sources.writers import write_table
 
     spark = new_vectors.sparkSession
-    need_books = codes is None or stats
+    codes_have_err = codes is not None and "err" in codes.columns
+    need_books = codes is None or (stats and not codes_have_err)
     if need_books and codebooks is None:
         codebooks = load_ivfpq_index(spark, path)
     if codebooks is not None:
         coarse, books, meta = codebooks
-        _check_dim(meta, new_vectors, vec_col, "append_ivfpq_index")
+        if check_dim:
+            _check_dim(meta, new_vectors, vec_col, "append_ivfpq_index")
     if codes is None:
         codes = ivfpq_index_codes(
             new_vectors, coarse, books, id_col=id_col, vec_col=vec_col
         )
     write_table(
-        codes.repartition(num_files, F.col("list")),
+        (codes.drop("err") if codes_have_err else codes).repartition(
+            num_files, F.col("list")
+        ),
         f"{path}/codes",
         mode="append",
     )
     if not stats:
         return None
-    home, err = _recon_err_col(vec_col, coarse, books)
+    if codes_have_err:
+        errs = codes.select(F.col("list").alias("__list"), F.col("err").alias("__err"))
+    else:
+        home, err = _recon_err_col(vec_col, coarse, books)
+        errs = new_vectors.select(home.alias("__list"), err.alias("__err"))
+    # ONE aggregation job for the whole stats row (was two passes each
+    # re-encoding the batch): rollup gives per-list rows (occupancy)
+    # plus the grand-total row (n, mean, exact p95) in a single action;
+    # every 6dp round stays a Spark HALF_UP round, same as before.
     agg = (
-        new_vectors.select(home.alias("__list"), err.alias("__err"))
-        .groupBy("__list")
-        .agg(F.count("*").alias("__n"), F.sum("__err").alias("__se"))
+        errs.rollup("__list")
         .agg(
-            F.sum("__n").alias("n"),
-            F.round(F.sum("__se") / F.sum("__n"), 6).alias("mean_err"),
-            # exact p95 needs the ungrouped values; recompute below —
-            # this pass only carries counts for the occupancy share
-            F.round(F.max("__n") / F.sum("__n"), 6).alias("max_list_frac"),
-            F.count("*").cast("int").alias("n_lists_hit"),
+            F.count("*").alias("__n"),
+            F.sum("__err").alias("__se"),
+            F.expr("percentile(__err, 0.95)").alias("__p95"),
+            F.grouping("__list").alias("__g"),
+        )
+        .agg(
+            F.max(F.when(F.col("__g") == 1, F.col("__n"))).alias("n"),
+            F.round(
+                F.max(F.when(F.col("__g") == 1, F.col("__se")))
+                / F.max(F.when(F.col("__g") == 1, F.col("__n"))),
+                6,
+            ).alias("mean_err"),
+            F.round(F.max(F.when(F.col("__g") == 1, F.col("__p95"))), 6).alias(
+                "p95_err"
+            ),
+            F.round(
+                F.max(F.when(F.col("__g") == 0, F.col("__n")))
+                / F.max(F.when(F.col("__g") == 1, F.col("__n"))),
+                6,
+            ).alias("max_list_frac"),
+            F.sum(F.when(F.col("__g") == 0, 1)).cast("int").alias("n_lists_hit"),
         )
         .first()
     )
-    p95 = (
-        new_vectors.select(err.alias("__err"))
-        .agg(F.round(F.expr("percentile(__err, 0.95)"), 6).alias("p"))
-        .first()["p"]
-    )
-    try:
-        prev = spark.read.parquet(f"{path}/append_stats")
-        seq = int(prev.agg(F.max("batch_seq")).first()[0]) + 1
-    except Exception:  # noqa: BLE001 - first append: no stats table yet
-        seq = 0
+    if batch_seq is not None:
+        seq = int(batch_seq)
+    else:
+        try:
+            prev = spark.read.parquet(f"{path}/append_stats")
+            seq = int(prev.agg(F.max("batch_seq")).first()[0]) + 1
+        except Exception:  # noqa: BLE001 - first append: no stats table yet
+            seq = 0
     row = {
         "batch_seq": seq,
         "n": int(agg["n"]),
         "mean_err": float(agg["mean_err"]),
-        "p95_err": float(p95),
+        "p95_err": float(agg["p95_err"]),
         "max_list_frac": float(agg["max_list_frac"]),
         "n_lists_hit": int(agg["n_lists_hit"]),
     }
@@ -355,6 +399,28 @@ def _probed_queries(
     )
 
 
+def _adc_lut_col(book: list[tuple[int, list[float]]], qs_col: str) -> F.Column:
+    """The ADC lookup-table column for ONE subspace: per book centroid
+    (cid-ascending, matching ``element_at(lut, code + 1)``), the
+    6dp-rounded squared-L2 distance to the staged query slice — the
+    IDENTICAL zip_with/0.0-seeded-aggregate/round expression the
+    per-candidate fold evaluated, so lookups are bit-identical.  A
+    named def so the transform lambda stays UNARY (a two-parameter
+    lambda would make ``transform`` pass the element index as the
+    second argument)."""
+    return F.transform(
+        _centroid_literal(book),
+        lambda e: F.round(
+            F.aggregate(
+                F.zip_with(F.col(qs_col), e["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+
+
 def _adc_scored(
     coded: DataFrame,
     probed: DataFrame,
@@ -369,28 +435,44 @@ def _adc_scored(
     ``ivfpq_probed_top_k``).  The broadcast side is the bounded probed
     query set; the codes side stays list-clustered parquet."""
     dsub = len(books[0][0][1])
-    joined = coded.withColumnRenamed("id", "neighbor_id").join(
-        F.broadcast(probed), "list"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    m = len(books)
+    # Classic ADC lookup tables (Jégou et al. 2011 Alg. "ADC"): each
+    # rounded per-subspace term depends only on (query, list, code), so
+    # compute all m*k of them ONCE per probed (query, list) row and let
+    # every candidate pay m array lookups instead of m interpreted
+    # zip_with/aggregate folds over dsub floats (the folds run
+    # interpreted, outside codegen, and dominated the matcher at
+    # thousands of candidates per probed list).  Each LUT entry is the
+    # IDENTICAL expression the per-candidate fold evaluated — same
+    # zip_with element order, same 0.0-seeded add chain, same 6dp round
+    # — so looked-up sums are bit-identical to the old per-row folds.
+    # The residual and its subspace slices stage into plain columns
+    # first: a free subexpression inside a transform lambda re-evaluates
+    # per element.
     qresid = F.zip_with(
         F.col("__qv"),
         F.element_at(_centroid_literal(coarse), F.col("list") + 1)["c"],
         lambda x, c: x.cast("double") - c,
     )
-    terms = []
-    for s, book in enumerate(books):
-        qsub = F.slice(qresid, s * dsub + 1, dsub)
-        decoded = F.element_at(_centroid_literal(book), F.col(f"c{s}") + 1)["c"]
-        terms.append(
-            F.round(
-                F.aggregate(
-                    F.zip_with(qsub, decoded, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-        )
+    staged = probed.select("query_id", "list", qresid.alias("__qr")).select(
+        "query_id",
+        "list",
+        *[F.slice("__qr", s * dsub + 1, dsub).alias(f"__qs{s}") for s in range(m)],
+    )
+    luts = staged.select(
+        "query_id",
+        "list",
+        *[
+            _adc_lut_col(book, f"__qs{s}").alias(f"__lut{s}")
+            for s, book in enumerate(books)
+        ],
+    )
+    joined = coded.withColumnRenamed("id", "neighbor_id").join(
+        F.broadcast(luts), "list"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    terms = [
+        F.element_at(F.col(f"__lut{s}"), F.col(f"c{s}") + 1) for s in range(m)
+    ]
     adc = terms[0]
     for t in terms[1:]:
         adc = adc + t

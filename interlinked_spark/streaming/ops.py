@@ -790,12 +790,17 @@ def run_vector_neardup_pq_gate_into_parquet(
     loaded = load_ivfpq_index(spark, index_path)
     coarse, books, _meta = loaded
 
-    def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
-        # Encode the batch ONCE against the frozen codebooks: the
-        # within-batch compare and the index append share the frame.
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Encode the batch ONCE against the frozen codebooks — WITH the
+        # reconstruction error riding the same Arrow pass: the
+        # within-batch compare, the index append AND the drift monitor
+        # all share this one checkpointed frame (the batch_df itself is
+        # NOT checkpointed: every consumer is one scan of a small
+        # single-file micro-batch, cheaper than its own checkpoint job
+        # — per-batch wall clock here is job count, not bytes).
         batch_codes = ivfpq_index_codes(
-            batch_df, coarse, books, id_col=id_col, vec_col=vec_col
+            batch_df, coarse, books, id_col=id_col, vec_col=vec_col,
+            with_err=True,
         ).localCheckpoint(eager=True)
         rejected = (
             ivfpq_index_matches(
@@ -810,13 +815,15 @@ def run_vector_neardup_pq_gate_into_parquet(
         )
         accepted = batch_df.join(rejected, id_col, "left_anti")
         accepted.write.mode("append").parquet(accepted_path)
-        # codebooks passed through (immutable, loaded once at build —
-        # the stats rider would otherwise re-collect them per batch);
+        # codebooks passed through (immutable, loaded once at build);
         # the drift monitor runs per micro-batch, so append_stats IS
-        # the stream's codebook-staleness trend.
+        # the stream's codebook-staleness trend.  batch_seq = the
+        # foreachBatch batch id (monotone, replay-stable) skips the
+        # stored-max read; the matcher already dim-checked this batch.
         append_ivfpq_index(
             batch_df, index_path, id_col=id_col, vec_col=vec_col,
             codes=batch_codes, codebooks=loaded,
+            batch_seq=batch_id, check_dim=False,
         )
 
     foreach_batch_into(vec_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
