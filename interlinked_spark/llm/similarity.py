@@ -821,6 +821,12 @@ def build_vector_index(
     write_single_file(meta, f"{path}/meta")
 
 
+# "Caller has not probed the batch dim" sentinel for the gate-shape
+# fast paths below: None is a legitimate probe result (empty batch), so
+# the skip flag must be a distinct object.
+_UNPROBED = object()
+
+
 def _check_index_dim(meta, batch: DataFrame, vec_col: str, caller: str):
     """Enforce the stored index dim against a batch (one limit(1) probe):
     a dim-mismatched batch would band with DIFFERENT random projections
@@ -847,23 +853,35 @@ def update_vector_index(
     vec_col: str = "embedding",
     num_files: int = 8,
     assignments: DataFrame | None = None,
-) -> None:
+    meta=None,
+    batch_dim=_UNPROBED,
+):
     """Append a processed batch's vectors + band assignments to the
     materialized index (parameters come from the stored meta — callers
     cannot drift them).  Append-only, like the shingle index: the
-    caller owns acceptance policy.
+    caller owns acceptance policy.  Returns the EFFECTIVE meta row
+    (the freshly-pinned one when this append pinned the dim), so a
+    per-batch caller can carry it instead of re-reading ``meta/``.
 
     ``assignments``: pre-banded ``(id, entry, bucket)`` rows for this
     exact batch, as returned by :func:`vector_gate_rejections` — pass
     them to skip re-banding when the batch was already banded for
     matching (the streaming gate's shape).  They MUST come from this
     index's stored meta parameters; producing them any other way
-    re-introduces the parameter drift the meta exists to prevent."""
+    re-introduces the parameter drift the meta exists to prevent.
+
+    ``meta`` / ``batch_dim``: per-batch job economics for the gate
+    (its wall clock is job count, not bytes) — pass the preloaded meta
+    row to skip the per-batch ``meta/`` read, and the dim already
+    probed by the matcher's check to skip the second limit(1) probe of
+    the SAME batch."""
     from ..sources.writers import write_single_file, write_table
 
     spark = accepted_new.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").first()
-    batch_dim = _check_index_dim(meta, accepted_new, vec_col, "update_vector_index")
+    if meta is None:
+        meta = spark.read.parquet(f"{path}/meta").first()
+    if batch_dim is _UNPROBED:
+        batch_dim = _check_index_dim(meta, accepted_new, vec_col, "update_vector_index")
     if meta.dim is None and batch_dim is not None:
         # First non-empty append into an empty-seeded index: pin the dim
         # so every later batch is validated against it.
@@ -880,6 +898,7 @@ def update_vector_index(
             "projections_per_band int, dim int",
         )
         write_single_file(meta_df, f"{path}/meta")
+        meta = meta_df.first()
     assigns = (
         assignments
         if assignments is not None
@@ -903,6 +922,7 @@ def update_vector_index(
         f"{path}/vectors",
         mode="append",
     )
+    return meta
 
 
 def lsh_incremental_matches(
@@ -981,6 +1001,8 @@ def vector_gate_rejections(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     checkpoint_mode: str = "local",
+    meta=None,
+    batch_dim=_UNPROBED,
 ) -> tuple[DataFrame, DataFrame]:
     """First-seen-wins rejection set for one gate batch, banding the
     batch ONCE: returns ``(rejected_ids, batch_assignments)`` where
@@ -1003,8 +1025,13 @@ def vector_gate_rejections(
     contract as every LSH path in this module)."""
     from ..operators.checkpointing import materialize
 
-    meta = spark.read.parquet(f"{index_path}/meta").first()
-    _check_index_dim(meta, batch, vec_col, "vector_gate_rejections")
+    # Gate-shape fast path: the caller may hold the (immutable once
+    # dim-pinned) meta row and may have probed this batch's dim already
+    # — skip the per-batch meta read / second limit(1) probe then.
+    if meta is None:
+        meta = spark.read.parquet(f"{index_path}/meta").first()
+    if batch_dim is _UNPROBED:
+        _check_index_dim(meta, batch, vec_col, "vector_gate_rejections")
     assigns = materialize(
         _lsh_assignments(
             batch,

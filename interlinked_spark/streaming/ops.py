@@ -622,9 +622,11 @@ def run_neardup_gate_into_parquet(
     )
 
     def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        # The batch feeds two jobs (match, index update) and the match
-        # result feeds two more (reject set, append) — pin it once.
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # The batch is NOT checkpointed: it is a single-file micro-batch
+        # and each consumer (postings build, accepted anti-join) is one
+        # cheap scan — cheaper than a dedicated checkpoint job (per-batch
+        # wall clock here is job count, not bytes).  The EXPENSIVE
+        # per-batch work (the pandas-UDF shingling) is pinned below.
         # Shingle the batch ONCE (pandas-UDF pass over the text) and
         # share the postings between matching and the index append —
         # at 100 TB the shingling scan is the per-batch cost.
@@ -688,6 +690,7 @@ def run_vector_neardup_gate_into_parquet(
     sized for measured-total recall at the threshold (the catalog pins
     12 tables x 0.5 at cos >= 0.3) or the gate under-rejects."""
     from ..llm.similarity import (
+        _check_index_dim,
         build_vector_index,
         update_vector_index,
         vector_gate_rejections,
@@ -702,9 +705,20 @@ def run_vector_neardup_gate_into_parquet(
         bucket_length=bucket_length, projections_per_band=projections_per_band,
         id_col=id_col, vec_col=vec_col, num_files=1,
     )
+    # Meta is read ONCE at build and carried across batches (the PQ
+    # gate's codebook shape): the first non-empty append pins the dim
+    # and hands back the refreshed row, so no batch re-reads ``meta/``.
+    meta_holder = {"m": spark.read.parquet(f"{index_path}/meta").first()}
 
     def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # Per-batch wall clock here is job count, not bytes: the batch
+        # is a single-file micro-batch, so every consumer below is one
+        # cheap scan — cheaper than its own checkpoint job.  The dim
+        # probe runs ONCE per batch (was twice: matcher + append).
+        meta = meta_holder["m"]
+        batch_dim = _check_index_dim(
+            meta, batch_df, vec_col, "run_vector_neardup_gate_into_parquet"
+        )
         # Band the batch ONCE: vs-corpus candidates, within-batch pairs
         # (smaller id wins — kept or not, matching the oracle's "any
         # smaller id" anti-join) and the index append all share the same
@@ -712,14 +726,15 @@ def run_vector_neardup_gate_into_parquet(
         rejected, assigns = vector_gate_rejections(
             spark, index_path, batch_df, cosine_threshold=cosine_threshold,
             id_col=id_col, vec_col=vec_col, max_bucket_size=max_bucket_size,
+            meta=meta, batch_dim=batch_dim,
         )
         accepted = batch_df.join(
             rejected.withColumnRenamed("new_id", id_col), id_col, "left_anti"
         )
         accepted.write.mode("append").parquet(accepted_path)
-        update_vector_index(
+        meta_holder["m"] = update_vector_index(
             batch_df, index_path, id_col=id_col, vec_col=vec_col,
-            assignments=assigns,
+            assignments=assigns, meta=meta, batch_dim=batch_dim,
         )
 
     foreach_batch_into(vec_stream, gate_batch, timeout_s=timeout_s, output_mode="append")
@@ -1354,7 +1369,10 @@ def run_span_dedup_into_state(
     def update(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # batch_df is NOT checkpointed: each consumer (gram build, the
+        # span-removal text scan) is one scan of a single-file
+        # micro-batch — cheaper than a dedicated checkpoint job.  The
+        # expensive positional-gram pass IS pinned below.
         grams_new = positional_kgram_postings(
             batch_df, text_col=text_col, id_col=id_col, k=k
         ).localCheckpoint(eager=True)

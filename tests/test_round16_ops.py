@@ -380,3 +380,79 @@ def test_epoch_shuffle_epochs_are_independent_permutations(spark):
     assert set(e0) == set(e1)
     assert sorted(e0.values()) == sorted(e1.values())
     assert e0 != e1, "different epochs must yield different permutations"
+
+
+# ---- gate job-economy fast paths (optimization round 16) -------------
+
+
+def test_update_vector_index_returns_pinned_meta_and_fast_path_matches(
+    spark, tmp_path
+):
+    """The per-batch gate economics contract: (a) ``update_vector_index``
+    RETURNS the effective meta row, and the first non-empty append into
+    an empty-seeded index returns the freshly dim-PINNED row (so a gate
+    can carry meta across batches instead of re-reading ``meta/``);
+    (b) the ``meta=``/``batch_dim=`` fast path stores byte-identical
+    state to the probe path; (c) ``vector_gate_rejections`` with the
+    carried meta + pre-probed dim returns the same rejection set."""
+    from interlinked_spark.llm.similarity import (
+        _check_index_dim,
+        build_vector_index,
+        update_vector_index,
+        vector_gate_rejections,
+    )
+
+    def vecs(ids_and_seeds):
+        rows = []
+        for vid, seed in ids_and_seeds:
+            rows.append(
+                (vid, [float((seed * 31 + i * 7) % 13 - 6) for i in range(8)])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    batch0 = vecs([(1, 3), (2, 5)])
+    empty = spark.createDataFrame([], batch0.schema)
+
+    # Probe path (reference).
+    idx_a = str(tmp_path / "a")
+    build_vector_index(empty, idx_a, num_hash_tables=4, num_files=1)
+    meta_a0 = spark.read.parquet(f"{idx_a}/meta").first()
+    assert meta_a0.dim is None
+    meta_a1 = update_vector_index(batch0, idx_a)
+    assert int(meta_a1.dim) == 8, "first append must return the PINNED meta"
+    assert int(spark.read.parquet(f"{idx_a}/meta").first().dim) == 8
+
+    # Fast path: carried meta + caller-probed dim; same stored state.
+    idx_b = str(tmp_path / "b")
+    build_vector_index(empty, idx_b, num_hash_tables=4, num_files=1)
+    meta_b0 = spark.read.parquet(f"{idx_b}/meta").first()
+    dim = _check_index_dim(meta_b0, batch0, "embedding", "test")
+    meta_b1 = update_vector_index(
+        batch0, idx_b, meta=meta_b0, batch_dim=dim
+    )
+    assert int(meta_b1.dim) == 8
+    for sub in ("assignments", "vectors", "meta"):
+        ra = sorted(map(tuple, spark.read.parquet(f"{idx_a}/{sub}").collect()))
+        rb = sorted(map(tuple, spark.read.parquet(f"{idx_b}/{sub}").collect()))
+        assert ra == rb, f"fast-path {sub} diverged from probe path"
+
+    # Rejections: carried meta + pre-probed dim == per-call reads.
+    batch1 = vecs([(10, 3), (11, 777)])  # 10 duplicates vec 1
+    dim1 = _check_index_dim(meta_a1, batch1, "embedding", "test")
+    slow, _ = vector_gate_rejections(
+        spark, idx_a, batch1, cosine_threshold=0.999
+    )
+    fast, _ = vector_gate_rejections(
+        spark, idx_b, batch1, cosine_threshold=0.999,
+        meta=meta_b1, batch_dim=dim1,
+    )
+    assert sorted(r.new_id for r in slow.collect()) == sorted(
+        r.new_id for r in fast.collect()
+    )
+
+    # Dim mismatch still fails loudly through the fast path's probe.
+    bad = spark.createDataFrame(
+        [(99, [1.0] * 5)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        _check_index_dim(meta_a1, bad, "embedding", "test")
