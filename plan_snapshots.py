@@ -61,6 +61,15 @@ _NORMALIZERS = [
     # (lambda x_543, _common_expr_7) — mask the counter, keep the name
     (re.compile(r"\b([a-z]+)_\d+#N"), r"\1_K#N"),
     (re.compile(r"_common_expr_\d+"), "_common_expr_K"),
+    # Float literals derived from driver-side fits (PCA eigenvalues,
+    # centroid coordinates) carry the full float64 repr; LAPACK/BLAS
+    # kernels differ in the last ULPs across CPU generations, so the
+    # identical code prints literals that differ at the 16th-17th
+    # significant digit on a different host (r16: embedding_pca's
+    # eigh-derived ortho denominators).  Truncate mantissas beyond 9
+    # fractional digits — a REAL constant change (different fit, new
+    # expression) still shows, host-ULP noise does not.
+    (re.compile(r"(\d\.\d{9})\d+"), r"\1~"),
 ]
 
 
