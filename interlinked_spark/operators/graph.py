@@ -62,8 +62,22 @@ def connected_components(
     (diameter bound; near-dup graphs converge in a handful)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = materialize(e.distinct(), checkpoint_mode)
-    n_edges = e.count()  # one scalar over the checkpointed frame
+    # The edge count rides the distinct-materialization job itself on
+    # the local path (same Observation pattern as the per-round
+    # checksum below — one fewer action; under AQE every action is
+    # 2-4 stage-batch jobs, so fused scalars are worth more than one
+    # job each).  The reliable path keeps the explicit count.
+    if checkpoint_mode == "local":
+        obs_e = Observation("cc_edge_count")
+        e = materialize(
+            e.distinct().observe(obs_e, F.count(F.lit(1)).alias("n")),
+            checkpoint_mode,
+            eager=True,
+        )
+        n_edges = int(obs_e.get["n"])
+    else:
+        e = materialize(e.distinct(), checkpoint_mode)
+        n_edges = e.count()  # one scalar over the checkpointed frame
     n_parts = _adaptive_parts(e, n_edges, rows_per_partition)
     if n_parts < e.rdd.getNumPartitions():
         # Re-lay the edge frame once so every round's join scans
@@ -72,12 +86,15 @@ def connected_components(
         # the 32-task per-stage scheduling dominated end-to-end time).
         e = materialize(e.repartition(n_parts, "a"), checkpoint_mode)
 
-    labels = materialize(
+    # repartition BEFORE the distinct: hashpartitioning(vertex, n_parts)
+    # satisfies the aggregate's clustering, so the label frame pays ONE
+    # exchange instead of distinct-then-repartition's two (r16: one
+    # fewer AQE stage-batch job in setup, same rows).
+    labels_plan = (
         e.select(F.col("a").alias("vertex"))
+        .repartition(n_parts, "vertex")
         .distinct()
         .withColumn("component", F.col("vertex"))
-        .repartition(n_parts, "vertex"),
-        checkpoint_mode,
     )
     # Convergence detection is ONE aggregate over the freshly-
     # checkpointed labels — never a self-join + filter + count (one
@@ -92,7 +109,7 @@ def connected_components(
     # equal sum always; a changed round is missed only if the 64-bit
     # hash deltas cancel exactly (~2^-64/round) — the same cheap-path
     # cost for string-id graphs instead of a per-round join (r8 note).
-    numeric = labels.schema["component"].dataType.typeName() in (
+    numeric = labels_plan.schema["component"].dataType.typeName() in (
         "byte", "short", "integer", "long"
     )
 
@@ -127,7 +144,20 @@ def connected_components(
         if numeric
         else F.xxhash64("vertex", "component").cast("decimal(38,0)")
     )
-    prev_sum = _checksum(labels) if use_checksum else None
+    # The INITIAL checksum rides the label materialization the same way
+    # each round's rides its own (one fused action instead of
+    # materialize + collect).
+    if observe_checksum:
+        obs0 = Observation("cc_round_init")
+        labels = materialize(
+            labels_plan.observe(obs0, F.sum(checksum_col).alias("s")),
+            checkpoint_mode,
+            eager=True,
+        )
+        prev_sum = obs0.get["s"]
+    else:
+        labels = materialize(labels_plan, checkpoint_mode)
+        prev_sum = _checksum(labels) if use_checksum else None
     for rnd in range(max_iterations):
         nbr_min = (
             e.join(labels.select(F.col("vertex").alias("a"), "component"), "a")
@@ -196,24 +226,35 @@ def greedy_first_fit(
     # mean "3 gates 7", and a pair present in both orientations must
     # not deadlock the rounds.  Self-loops are dropped (a vertex cannot
     # gate itself).
-    earlier = materialize(
-        edges.select(
-            F.greatest(F.col(left), F.col(right)).alias("d"),
-            F.least(F.col(left), F.col(right)).alias("e"),
-        ).filter(F.col("d") != F.col("e")),
-        checkpoint_mode,
-    )
-    n_edges = earlier.count()
+    earlier_plan = edges.select(
+        F.greatest(F.col(left), F.col(right)).alias("d"),
+        F.least(F.col(left), F.col(right)).alias("e"),
+    ).filter(F.col("d") != F.col("e"))
+    # Edge count rides the materialization job on the local path (see
+    # connected_components — one fused action instead of two).
+    if checkpoint_mode == "local":
+        obs_e = Observation("mis_edge_count")
+        earlier = materialize(
+            earlier_plan.observe(obs_e, F.count(F.lit(1)).alias("n")),
+            checkpoint_mode,
+            eager=True,
+        )
+        n_edges = int(obs_e.get["n"])
+    else:
+        earlier = materialize(earlier_plan, checkpoint_mode)
+        n_edges = earlier.count()
     n_parts = _adaptive_parts(earlier, n_edges, rows_per_partition)
     if n_parts < earlier.rdd.getNumPartitions():
         # One-time re-lay so per-round stages run n_parts tasks (the
         # rounds are the cost; see connected_components).
         earlier = materialize(earlier.repartition(n_parts, "e"), checkpoint_mode)
-    # st: 0 unknown, 1 kept, -1 rejected
+    # st: 0 unknown, 1 kept, -1 rejected.  repartition BEFORE the
+    # distinct (one exchange, not two — see connected_components).
     status = materialize(
-        vertices.select(F.col(v_col).alias("v")).distinct().withColumn(
-            "st", F.lit(0)
-        ).repartition(n_parts, "v"),
+        vertices.select(F.col(v_col).alias("v"))
+        .repartition(n_parts, "v")
+        .distinct()
+        .withColumn("st", F.lit(0)),
         checkpoint_mode,
     )
     # The unresolved count rides the materialization action itself
