@@ -377,6 +377,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
     checkpoint_mode: str = "local",
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
     (inverted-index self-join — never all-pairs).  Optional ``group_col``
@@ -391,31 +392,106 @@ def ngram_jaccard_pairs(
     missed, and ``common`` (hence jaccard) is a lower bound for pairs
     that share a capped shingle.  ``None`` disables the cap (exact).
     The default (1000) is far above any df in a normal corpus shard and
-    never triggers on the test data (max df 25 at sf0.1)."""
+    never triggers on the test data (max df 25 at sf0.1).
+
+    ``prefix_filter`` (PPJoin prefix pruning, Xiao et al. 2008; same
+    canonical md5 gram order as ``operators/joins._fuzzy_frames``):
+    each document posts only the first ``|C| - ceil(t*nsh) + 1``
+    shingles of its (capped) set in a global data-independent order;
+    candidates come from the pruned posting self-join and the exact
+    jaccard is verified per candidate with ``array_intersect`` over the
+    capped shingle arrays.  EXACT, cap included: a qualifying pair
+    needs overlap ``o >= ceil(t*nsh)`` on EACH side (``o/(nl+nr-o) >=
+    t`` and ``o <= nr`` give ``o >= t*nl``; nsh is the FULL size even
+    when the df cap shrinks the posted set, so the bound only gets
+    stronger), hence its canonically-first common shingle sits inside
+    both prefixes — pairs sharing only suffix shingles cannot reach the
+    threshold.  ``None`` = auto: on when the threshold prunes at least
+    a third of the posting mass (t >= 0.35); at dedup-screen thresholds
+    like 0.05 the prefix keeps ~95% of postings and the verify join is
+    pure overhead, so the counting path stays."""
+    use_prefix = prefix_filter if prefix_filter is not None else threshold >= 0.35
     base = _with_shingles(df, text_col, id_col, n)
     if group_col:
         base = base.join(df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp")), "id")
-    sizes = base.select("id", *( ["grp"] if group_col else [] ), F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
-    on = ["s"] + (["grp"] if group_col else [])
+    grp_cols = ["grp"] if group_col else []
+    sizes = base.select("id", *grp_cols, F.size("sh").alias("nsh"), F.explode("sh").alias("s"))
+    on = ["s"] + grp_cols
     if max_shingle_df is not None:
         # Hot-shingle cap: drop viral postings before the self-join.
         from ..operators.diagnostics import drop_hot_buckets
 
         sizes = drop_hot_buckets(sizes, list(on), max_shingle_df)
-    # Self-joined below: checkpoint the exploded (capped) index so the
-    # shingle pipeline + df-cap materialize ONCE (A/B-tested vs plain
-    # recompute / repartition-reuse / persist: 8-9s -> 1.3s at sf0.1).
-    # Lineage truncation trades executor-failure recovery of this
-    # intermediate for not running the pipeline per join side.
-    sizes = materialize(sizes, checkpoint_mode)
-    l = sizes.select(*on, F.col("id").alias("left_id"), F.col("nsh").alias("lns"))
-    r = sizes.select(*on, F.col("id").alias("right_id"), F.col("nsh").alias("rns"))
-    pair_common = (
-        l.join(r, on=on)
-        .filter(F.col("left_id") < F.col("right_id"))
-        .groupBy("left_id", "right_id", "lns", "rns")
-        .agg(F.count("*").alias("common"))
-    )
+    if use_prefix:
+        # Regroup the capped postings into one canonically-ordered array
+        # per doc: the SAME frame feeds the prefix posting explode and
+        # the per-candidate verify, so it is the one materialization
+        # point (the shingle UDF + df-cap window run once).
+        docs = (
+            sizes.groupBy(*grp_cols, "id", "nsh")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.md5("s").alias("h"), F.col("s").alias("g"))
+                    )
+                ).alias("oa")
+            )
+            .select(
+                *grp_cols, "id", "nsh",
+                # array-of-struct field pluck (GetArrayStructFields):
+                # native, no per-element lambda
+                F.col("oa.g").alias("cs"),
+            )
+        )
+        docs = materialize(docs, checkpoint_mode)
+        plen = (
+            F.size("cs")
+            - F.ceil(F.lit(float(threshold)) * F.col("nsh")).cast("int")
+            + F.lit(1)
+        )
+        pref = F.slice("cs", F.lit(1), F.greatest(plen, F.lit(0)))
+        lp = docs.select(*grp_cols, F.col("id").alias("left_id"), F.explode(pref).alias("s"))
+        rp = docs.select(*grp_cols, F.col("id").alias("right_id"), F.explode(pref).alias("s"))
+        cand = (
+            lp.join(rp, on=on)
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id")
+            .distinct()
+        )
+        verified = cand.join(
+            docs.select(
+                F.col("id").alias("left_id"),
+                F.col("nsh").alias("lns"),
+                F.col("cs").alias("lcs"),
+            ),
+            "left_id",
+        ).join(
+            docs.select(
+                F.col("id").alias("right_id"),
+                F.col("nsh").alias("rns"),
+                F.col("cs").alias("rcs"),
+            ),
+            "right_id",
+        )
+        pair_common = verified.select(
+            "left_id", "right_id", "lns", "rns",
+            F.size(F.array_intersect("lcs", "rcs")).alias("common"),
+        )
+    else:
+        # Self-joined below: checkpoint the exploded (capped) index so the
+        # shingle pipeline + df-cap materialize ONCE (A/B-tested vs plain
+        # recompute / repartition-reuse / persist: 8-9s -> 1.3s at sf0.1).
+        # Lineage truncation trades executor-failure recovery of this
+        # intermediate for not running the pipeline per join side.
+        sizes = materialize(sizes, checkpoint_mode)
+        l = sizes.select(*on, F.col("id").alias("left_id"), F.col("nsh").alias("lns"))
+        r = sizes.select(*on, F.col("id").alias("right_id"), F.col("nsh").alias("rns"))
+        pair_common = (
+            l.join(r, on=on)
+            .filter(F.col("left_id") < F.col("right_id"))
+            .groupBy("left_id", "right_id", "lns", "rns")
+            .agg(F.count("*").alias("common"))
+        )
     jac = F.col("common") / (F.col("lns") + F.col("rns") - F.col("common"))
     return (
         pair_common.withColumn("jaccard", F.round(jac, 6))
@@ -580,6 +656,20 @@ def _incremental_match(
     )
 
 
+def _sized_file_count(source: DataFrame, cap: int) -> int:
+    """File count for an index write, derived from the SOURCE frame's
+    Catalyst size estimate (driver-side, no job): one file per ~16 MB of
+    source bytes (postings run ~2x the text they index, landing files in
+    the §6-recommended range), clamped to ``[1, cap]``.  Unknown
+    estimates keep the cap."""
+    from ..operators.partitioning import _estimated_bytes
+
+    est = _estimated_bytes(source)
+    if est is None:
+        return cap
+    return max(1, min(cap, -(-est // (16 << 20))))
+
+
 def build_shingle_index(
     corpus: DataFrame,
     path: str,
@@ -602,7 +692,14 @@ def build_shingle_index(
     engine-side bucketed layout or future partition pruning can exploit
     it, and appends from :func:`update_shingle_index` stay uniformly
     spread.  n (the shingle width) is part of the index's identity —
-    store it in the path and never mix widths in one index."""
+    store it in the path and never mix widths in one index.
+
+    ``num_files`` is a CAP, not a constant: the written file count is
+    derived from the corpus's estimated bytes (guide §6 — output files
+    should be sized, not counted), so a small corpus writes one
+    full-sized file instead of ``num_files`` splinters (32 tiny files =
+    32 shuffle tasks on the write and 32 file opens on every index
+    scan), while a fact-scale corpus saturates the cap."""
     from ..sources.writers import write_table
 
     # Empty corpus (a freshly-seeded streaming-gate index): skip the
@@ -619,6 +716,7 @@ def build_shingle_index(
         num_files = 1
     else:
         postings = shingle_postings(corpus, text_col, id_col, n)
+        num_files = _sized_file_count(corpus, num_files)
     write_table(postings.repartition(num_files, F.col("s")), path, mode=mode)
 
 
@@ -647,6 +745,7 @@ def update_shingle_index(
 
     if postings is None:
         postings = shingle_postings(accepted_new, text_col, id_col, n)
+    num_files = _sized_file_count(accepted_new, num_files)
     write_table(postings.repartition(num_files, F.col("s")), path, mode="append")
 
 

@@ -196,10 +196,16 @@ def hard_negative_mining(
     )
 
 
-def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
+def _brp_model(prepped, num_hash_tables: int, bucket_length: float, dim=None):
     """Fitted (cached) BRP model for ``prepped``, or ``None`` when the
     frame is empty (BRP.fit throws on zero rows — an empty side of a
-    similarity join must mean an empty RESULT, not a crash)."""
+    similarity join must mean an empty RESULT, not a crash).
+
+    ``dim``: the caller's already-probed vector dim (the streaming gate
+    probes each micro-batch once at the top) — passing it skips this
+    function's own ``limit(1)`` probe job, which the per-batch plan key
+    below can never cache away (every micro-batch is a new file, a new
+    semanticHash)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import vector_to_array
 
@@ -217,7 +223,8 @@ def _brp_model(prepped, num_hash_tables: int, bucket_length: float):
     # Spark job): equal hashes mean the SAME logical frame, so its dim
     # was probed before and the limit(1).collect() job can be skipped.
     plan_key = (app_id, prepped._jdf.queryExecution().analyzed().semanticHash())
-    dim = _DIM_CACHE.get(plan_key)
+    if dim is None:
+        dim = _DIM_CACHE.get(plan_key)
     if dim is None:
         dim_row = (
             prepped.select(F.size(vector_to_array("features")).alias("d"))
@@ -264,6 +271,7 @@ def _lsh_assignments(
     out_id: str,
     model=None,
     projections_per_band: int = 1,
+    dim=None,
 ) -> DataFrame:
     """``(out_id, entry, bucket)`` rows of the random-projection LSH
     banding: L2-normalize (euclidean on unit vectors is a monotone
@@ -298,7 +306,7 @@ def _lsh_assignments(
     prepped = _lsh_prep(df, id_col, vec_col, out_id)
     r = max(1, int(projections_per_band))
     if model is None:
-        model = _brp_model(prepped, num_tables * r, bucket_length)
+        model = _brp_model(prepped, num_tables * r, bucket_length, dim=dim)
     if model is None:  # empty input: no banding, empty assignment frame
         return prepped.select(
             F.col(out_id),
@@ -910,6 +918,7 @@ def update_vector_index(
             vec_col,
             "id",
             projections_per_band=int(meta.projections_per_band),
+            dim=batch_dim if isinstance(batch_dim, int) else None,
         )
     )
     write_table(
@@ -951,7 +960,7 @@ def lsh_incremental_matches(
     from ..operators.checkpointing import materialize
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
-    _check_index_dim(meta, new, vec_col, "lsh_incremental_matches")
+    batch_dim = _check_index_dim(meta, new, vec_col, "lsh_incremental_matches")
     new_assigns = _lsh_assignments(
         new,
         int(meta.num_hash_tables),
@@ -960,6 +969,8 @@ def lsh_incremental_matches(
         vec_col,
         "new_id",
         projections_per_band=int(meta.projections_per_band),
+        # dim probed just above — skip the banding model's own probe job
+        dim=batch_dim if isinstance(batch_dim, int) else None,
     )
     corpus_assigns = spark.read.parquet(f"{index_path}/assignments").select(
         F.col("id").alias("match_id"), "entry", "bucket"
@@ -1031,7 +1042,7 @@ def vector_gate_rejections(
     if meta is None:
         meta = spark.read.parquet(f"{index_path}/meta").first()
     if batch_dim is _UNPROBED:
-        _check_index_dim(meta, batch, vec_col, "vector_gate_rejections")
+        batch_dim = _check_index_dim(meta, batch, vec_col, "vector_gate_rejections")
     assigns = materialize(
         _lsh_assignments(
             batch,
@@ -1041,6 +1052,9 @@ def vector_gate_rejections(
             vec_col,
             "id",
             projections_per_band=int(meta.projections_per_band),
+            # the gate probed this batch's dim at the top — skip the
+            # banding model's own per-batch limit(1) probe job
+            dim=batch_dim if isinstance(batch_dim, int) else None,
         ),
         checkpoint_mode,
     )
